@@ -1,0 +1,11 @@
+package graft
+
+/** The full query catalog — SparkEntry derives its `queries`/`oracleSql` maps
+  * from this sequence. Add operator families here as they are implemented.
+  */
+object Catalog {
+  val all: Seq[QueryDef] =
+    operators.RelationalCore.defs
+
+  lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
+}

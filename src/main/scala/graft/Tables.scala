@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated testdata (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Design notes (100 TB posture):
+  *   - Pure `spark.read.parquet` scans — Catalyst handles column pruning and
+  *     predicate pushdown into the parquet reader, so every query in the
+  *     catalog only pays for the columns/rows it touches.
+  *   - Dimension tables (`region`, `nation`, `supplier`, `part`) are small by
+  *     construction (TPC-H star schema); join helpers in the catalog wrap them
+  *     in `broadcast()` so fact-side shuffles never include dimension data.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects. The values are µs-grain (verified: ns%1000==0
+    * at every sf), so read nanos as long and rebuild a microsecond timestamp —
+    * lossless, and identical to what DuckDB's TIMESTAMP_NS sees.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** 1-row anchor frame holding `max(ts)` over events — the deterministic
+    * stand-in for `now()` (SURVEY.md §7.4: never wall-clock in oracle-checked
+    * queries). Joined in via broadcast cross-join so it stays in-plan.
+    */
+  def eventAnchor: DataFrame = events.agg(max(col("ts")).as("anchor_ts"))
+
+  /** Same for orders ( `max(o_orderdate)` ). */
+  def orderAnchor: DataFrame = orders.agg(max(col("o_orderdate")).as("anchor_dt"))
+}
