@@ -5,7 +5,10 @@ package graft
   */
 object Catalog {
   val all: Seq[QueryDef] =
-    operators.RelationalCore.defs
+    operators.RelationalCore.defs ++
+      operators.Analytics.defs ++
+      operators.Windows.defs ++
+      operators.ScalarsAndSets.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

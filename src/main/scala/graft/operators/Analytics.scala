@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Refreshable-analytics query family (SURVEY.md §2.3 J5–J11): gap-fill date
+  * spine, market basket self-join, cohort retention, product affinity
+  * (decorrelated scalar subquery), KPI snapshot, chained dictionary
+  * enrichment. Mirrors 05-add-refreshable-mvs.sql.disabled in the reference.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def decSum(c: Column): Column = sum(dec(c)).cast("double")
+  private def decSumSql(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- q14: date-spine LEFT JOIN gap filling (J5/S6 — sample_queries.sql:370–383).
+    // Spine generated in-plan from min/max order dates (spark.range-equivalent
+    // `sequence` + explode — no driver-side loop, scales to any date span).
+    QueryDef.sql(
+      "q14_date_spine_gapfill",
+      s"""WITH bounds AS (
+         |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS order_date FROM bounds),
+         |daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS n_orders,
+         |         ${decSumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT s.order_date,
+         |  CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+         |  CAST(COALESCE(d.revenue, 0) AS DOUBLE) AS revenue
+         |FROM spine s LEFT JOIN daily d ON s.order_date = d.order_date
+         |ORDER BY s.order_date""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val spine = t.orders
+        .agg(min(to_date(col("o_orderdate"))).as("d0"), max(to_date(col("o_orderdate"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("order_date"))
+      val daily = t.orders
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))
+      spine.join(daily, Seq("order_date"), "left")
+        .select(
+          col("order_date"),
+          coalesce(col("n_orders"), lit(0)).cast("long").as("n_orders"),
+          coalesce(col("revenue"), lit(0)).cast("double").as("revenue"))
+        .orderBy("order_date")
+    },
+
+    // ----- q15: market-basket pairs — self-join with equi + theta residual
+    // (J6/J7 — 05:181–184: p1.user = p2.user AND p1.product < p2.product).
+    QueryDef.sql(
+      "q15_market_basket",
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  pa.p_name AS part_a_name, pb.p_name AS part_b_name,
+        |  COUNT(*) AS co_count
+        |FROM items a
+        |JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |JOIN part pa ON a.l_partkey = pa.p_partkey
+        |JOIN part pb ON b.l_partkey = pb.p_partkey
+        |GROUP BY 1, 2, 3, 4
+        |HAVING COUNT(*) >= 2
+        |ORDER BY co_count DESC, part_a, part_b
+        |LIMIT 50""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+      val a = items.toDF("o", "part_a")
+      val b = items.toDF("o", "part_b")
+      val pa = t.part.select(col("p_partkey").as("pa_key"), col("p_name").as("part_a_name"))
+      val pb = t.part.select(col("p_partkey").as("pb_key"), col("p_name").as("part_b_name"))
+      a.join(b, Seq("o")).filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("co_count"))
+        .filter(col("co_count") >= 2)
+        .join(broadcast(pa), col("part_a") === col("pa_key"))
+        .join(broadcast(pb), col("part_b") === col("pb_key"))
+        .select("part_a", "part_b", "part_a_name", "part_b_name", "co_count")
+        .orderBy(desc("co_count"), asc("part_a"), asc("part_b"))
+        .limit(50)
+    },
+
+    // ----- q16: cohort retention — first-order month vs activity month
+    // (J8 — 05:107–147; month-diff via exact linear month index, SURVEY §2.8
+    // dateDiff('month') boundary semantics).
+    QueryDef.sql(
+      "q16_cohort_retention",
+      """WITH firsts AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month,
+        |    CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS cohort_idx
+        |  FROM orders GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT o_custkey AS cust,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS act_idx
+        |  FROM orders)
+        |SELECT f.cohort_month, a.act_idx - f.cohort_idx AS months_since,
+        |  COUNT(DISTINCT a.cust) AS active_customers
+        |FROM firsts f JOIN activity a ON f.cust = a.cust
+        |GROUP BY 1, 2
+        |ORDER BY cohort_month, months_since""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val monthIdx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+      val firsts = t.orders.groupBy(col("o_custkey").as("cust"))
+        .agg(
+          to_date(date_trunc("month", min(col("o_orderdate")))).as("cohort_month"),
+          min(monthIdx).as("cohort_idx"))
+      val activity = t.orders
+        .select(col("o_custkey").as("cust"), monthIdx.as("act_idx")).distinct()
+      firsts.join(activity, Seq("cust"))
+        .groupBy(col("cohort_month"), (col("act_idx") - col("cohort_idx")).as("months_since"))
+        .agg(countDistinct(col("cust")).as("active_customers"))
+        .orderBy("cohort_month", "months_since")
+    },
+
+    // ----- q17: product affinity — correlated scalar subquery decorrelated by
+    // hand (J10 — 05:176–180: pair count / per-product buyer count).
+    QueryDef.sql(
+      "q17_product_affinity",
+      """WITH up AS (
+        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS part_id
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |buyers AS (SELECT part_id, COUNT(*) AS buyer_count FROM up GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.part_id AS part_a, b.part_id AS part_b, COUNT(*) AS both_count
+        |  FROM up a JOIN up b ON a.user_id = b.user_id AND a.part_id < b.part_id
+        |  GROUP BY 1, 2)
+        |SELECT p.part_a, p.part_b, p.both_count, ba.buyer_count AS part_a_buyers,
+        |  CAST(p.both_count AS DOUBLE) / ba.buyer_count AS affinity
+        |FROM pairs p JOIN buyers ba ON p.part_a = ba.part_id
+        |WHERE p.both_count >= 3
+        |ORDER BY affinity DESC, part_a, part_b
+        |LIMIT 50""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val up = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
+        .distinct()
+      val buyers = up.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
+      val a = up.toDF("u", "part_a")
+      val b = up.toDF("u", "part_b")
+      val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("both_count"))
+        .filter(col("both_count") >= 3)
+      pairs
+        .join(buyers.withColumnRenamed("part_id", "part_a").withColumnRenamed("buyer_count", "part_a_buyers"), Seq("part_a"))
+        .select(col("part_a"), col("part_b"), col("both_count"), col("part_a_buyers"),
+          (col("both_count").cast("double") / col("part_a_buyers")).as("affinity"))
+        .orderBy(desc("affinity"), asc("part_a"), asc("part_b"))
+        .limit(50)
+    },
+
+    // ----- q18: KPI snapshot — the 17-scalar-subquery pattern folded into one
+    // pass per source table + cross-join of 1-row aggregates (J11 — 05:198–223;
+    // SURVEY §7.4 "fold into ~4 passes").
+    QueryDef.sql(
+      "q18_kpi_snapshot",
+      s"""SELECT
+         |  (SELECT COUNT(*) FROM customer) AS total_customers,
+         |  (SELECT ${decSumSql("c_acctbal")} FROM customer) AS total_acctbal,
+         |  (SELECT COUNT(*) FROM orders) AS total_orders,
+         |  (SELECT ${decSumSql("o_totalprice")} FROM orders) AS total_order_value,
+         |  (SELECT ${decSumSql("o_totalprice")} / COUNT(*) FROM orders) AS avg_order_value,
+         |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS fulfilled_orders,
+         |  (SELECT COUNT(*) FROM events) AS total_events,
+         |  (SELECT COUNT(DISTINCT user_id) FROM events) AS active_users,
+         |  (SELECT ${decSumSql("value")} FROM events) AS total_event_value,
+         |  (SELECT COUNT(*) FROM lineitem) AS total_lineitems""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val c = t.customer.agg(
+        count(lit(1)).as("total_customers"),
+        decSum(col("c_acctbal")).as("total_acctbal"))
+      val o = t.orders.agg(
+        count(lit(1)).as("total_orders"),
+        decSum(col("o_totalprice")).as("total_order_value"),
+        (decSum(col("o_totalprice")) / count(lit(1))).as("avg_order_value"),
+        count(when(col("o_orderstatus") === "F", 1)).as("fulfilled_orders"))
+      val e = t.events.agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("active_users"),
+        decSum(col("value")).as("total_event_value"))
+      val l = t.lineitem.agg(count(lit(1)).as("total_lineitems"))
+      c.crossJoin(o).crossJoin(e).crossJoin(l)
+        .select("total_customers", "total_acctbal", "total_orders", "total_order_value",
+          "avg_order_value", "fulfilled_orders", "total_events", "active_users",
+          "total_event_value", "total_lineitems")
+    },
+
+    // ----- q19: chained dictionary enrichment — orders → customer → nation →
+    // region broadcast lookups (J9 — sample_queries.sql:194–198 multi-level dictGet).
+    QueryDef.sql(
+      "q19_order_region_revenue",
+      s"""SELECT r_name AS region, COUNT(*) AS n_orders,
+         |  ${decSumSql("o_totalprice")} AS revenue,
+         |  COUNT(DISTINCT o_custkey) AS customers
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1
+         |ORDER BY revenue DESC, region""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("revenue"),
+          countDistinct(col("o_custkey")).as("customers"))
+        .orderBy(desc("revenue"), asc("region"))
+    },
+  )
+}

@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar-function showcase, conditional aggregates, set operations, null
+  * handling, re-aggregation and top-K (SURVEY.md §2.4 A5–A8/A13, §2.6–§2.8).
+  */
+object ScalarsAndSets {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def decSum(c: Column): Column = sum(dec(c)).cast("double")
+  private def decSumSql(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- q26: UNION ALL of sliding-period metrics anchored on max(ts)
+    // (U1/P6 — app_interactive.py:98–129; anchor replaces now() per SURVEY §7.4).
+    QueryDef.sql(
+      "q26_period_metrics",
+      s"""WITH a AS (SELECT MAX(ts) AS anchor FROM events)
+         |SELECT '1d' AS period, COUNT(*) AS events, COUNT(DISTINCT user_id) AS users,
+         |  ${decSumSql("value")} AS total_value
+         |FROM events, a WHERE ts >= anchor - INTERVAL 1 DAY
+         |UNION ALL
+         |SELECT '7d', COUNT(*), COUNT(DISTINCT user_id), ${decSumSql("value")}
+         |FROM events, a WHERE ts >= anchor - INTERVAL 7 DAY
+         |UNION ALL
+         |SELECT '30d', COUNT(*), COUNT(DISTINCT user_id), ${decSumSql("value")}
+         |FROM events, a WHERE ts >= anchor - INTERVAL 30 DAY
+         |ORDER BY period""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val anchored = t.events.crossJoin(broadcast(t.eventAnchor))
+      def span(label: String, days: Int) =
+        anchored.filter(col("ts") >= col("anchor_ts") - expr(s"INTERVAL $days DAY"))
+          .agg(count(lit(1)).as("events"), countDistinct(col("user_id")).as("users"),
+            decSum(col("value")).as("total_value"))
+          .select(lit(label).as("period"), col("events"), col("users"), col("total_value"))
+      span("1d", 1).unionByName(span("7d", 7)).unionByName(span("30d", 30))
+        .orderBy("period")
+    },
+
+    // ----- q27: date-bucket scalar functions (SURVEY §2.8 — toYYYYMM,
+    // toStartOfMonth/Monday/quarter, dateDiff, ISO day-of-week).
+    QueryDef.sql(
+      "q27_date_buckets",
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS yyyymm,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_base
+        |FROM orders
+        |ORDER BY order_date""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select(
+          to_date(col("o_orderdate")).as("order_date"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          to_date(date_trunc("week", col("o_orderdate"))).as("week_start"),
+          to_date(date_trunc("quarter", col("o_orderdate"))).as("quarter_start"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("yyyymm"),
+          ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).cast("long").as("iso_dow"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).cast("long").as("days_since_base"))
+        .distinct()
+        .orderBy("order_date")
+    },
+
+    // ----- q28: countIf / sumIf conditional aggregates (A5/A6 —
+    // app_interactive.py:103–104, 351–356).
+    QueryDef.sql(
+      "q28_conditional_aggs",
+      s"""SELECT event_type,
+         |  COUNT(*) AS events,
+         |  COUNT(CASE WHEN value > 100 THEN 1 END) AS high_value_events,
+         |  CAST(COALESCE(SUM(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS high_value_total,
+         |  CAST(COUNT(CASE WHEN value > 100 THEN 1 END) AS DOUBLE) / COUNT(*) AS high_value_share
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("events"),
+          count(when(col("value") > 100, 1)).as("high_value_events"),
+          coalesce(sum(when(col("value") > 100, dec(col("value")))), lit(0)).cast("double").as("high_value_total"),
+          (count(when(col("value") > 100, 1)).cast("double") / count(lit(1))).as("high_value_share"))
+        .orderBy("event_type")
+    },
+
+    // ----- q29: aggregate-of-aggregate over an MV-shaped inner rollup
+    // (A8/A13 — app.py:335–345; partial sums stay re-aggregatable DECIMAL so
+    // the outer SUM is exact — the persisted-state story of SURVEY §2.4 A8).
+    QueryDef.sql(
+      "q29_reaggregation",
+      """WITH mv AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |    COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2))) AS val
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_events,
+        |  COUNT(*) AS days_active,
+        |  CAST(SUM(val) AS DOUBLE) AS total_value
+        |FROM mv GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    ) { (spark, dir) =>
+      val mv = Tables(spark, dir).events
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("val"))
+      mv.groupBy("event_type")
+        .agg(
+          sum("cnt").cast("long").as("total_events"),
+          count(lit(1)).as("days_active"),
+          sum("val").cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // ----- q30: null-handling scalars — LEFT JOIN misses → COALESCE/NULLIF/
+    // CASE IS NULL (P8 — 05:223, sample_queries.sql:368–369).
+    QueryDef.sql(
+      "q30_null_handling",
+      """WITH ue AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT c_custkey,
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS events,
+        |  CASE WHEN n IS NULL THEN 'inactive' ELSE 'active' END AS status,
+        |  CAST(COALESCE(NULLIF(n, 0), -1) AS BIGINT) AS n_or_minus1
+        |FROM customer LEFT JOIN ue ON c_custkey = user_id
+        |ORDER BY c_custkey
+        |LIMIT 200""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val ue = t.events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      t.customer.join(ue, col("c_custkey") === col("user_id"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n"), lit(0)).cast("long").as("events"),
+          when(col("n").isNull, "inactive").otherwise("active").as("status"),
+          coalesce(nullif(col("n"), lit(0)), lit(-1)).cast("long").as("n_or_minus1"))
+        .orderBy("c_custkey")
+        .limit(200)
+    },
+
+    // ----- q31: CASE tiers + share-of-total ratios (P9/A14 — app.py:249–254,
+    // 303–304). Revenue shares via exact decimal window sums.
+    QueryDef.sql(
+      "q31_order_tiers",
+      """WITH t AS (
+        |  SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+        |              WHEN o_totalprice >= 100000 THEN 'medium'
+        |              ELSE 'small' END AS tier,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT tier, COUNT(*) AS n_orders,
+        |  CAST(SUM(price) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS DOUBLE) * 100.0 / SUM(COUNT(*)) OVER () AS order_share_pct,
+        |  CAST(SUM(price) AS DOUBLE) * 100.0 / CAST(SUM(SUM(price)) OVER () AS DOUBLE) AS revenue_share_pct
+        |FROM t GROUP BY tier
+        |ORDER BY revenue DESC, tier""".stripMargin,
+    ) { (spark, dir) =>
+      val tiers = Tables(spark, dir).orders
+        .select(
+          when(col("o_totalprice") >= 300000, "large")
+            .when(col("o_totalprice") >= 100000, "medium")
+            .otherwise("small").as("tier"),
+          dec(col("o_totalprice")).as("price"))
+      val w = Window.partitionBy()
+      tiers.groupBy("tier")
+        .agg(count(lit(1)).as("n_orders"), sum("price").as("rev_dec"))
+        .select(
+          col("tier"), col("n_orders"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("n_orders").cast("double") * lit(100.0) / sum("n_orders").over(w)).as("order_share_pct"),
+          (col("rev_dec").cast("double") * lit(100.0) / sum("rev_dec").over(w).cast("double")).as("revenue_share_pct"))
+        .orderBy(desc("revenue"), asc("tier"))
+    },
+
+    // ----- q32: global top-K — ORDER BY … LIMIT plans as TakeOrderedAndProject
+    // (O1 — app.py:154–155 and everywhere).
+    QueryDef.sql(
+      "q32_top_events",
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |ORDER BY value DESC, event_id
+        |LIMIT 100""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy(desc("value"), asc("event_id"))
+        .limit(100)
+    },
+  )
+}
