@@ -8,7 +8,10 @@ object Catalog {
     operators.RelationalCore.defs ++
       operators.Analytics.defs ++
       operators.Windows.defs ++
-      operators.ScalarsAndSets.defs
+      operators.ScalarsAndSets.defs ++
+      pipeline.Dedup.defs ++
+      pipeline.Similarity.defs ++
+      pipeline.TextAnalysis.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

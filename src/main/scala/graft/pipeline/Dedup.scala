@@ -1,0 +1,206 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table (BASELINE.json north star; not part of the reference's
+  * own surface).
+  *
+  * Scale posture: every variant is blocking-based — no all-pairs cross join
+  * ever materializes. Exact dedup is a hash-groupBy; near-dup candidates come
+  * from shingle / band-bucket joins whose fan-out is bounded by bucket
+  * occupancy, so the shuffle volume tracks the duplicate density, not n².
+  */
+object Dedup {
+
+  /** 3-word shingles of a document, distinct. ~O(words) per doc. */
+  private def shingleExpr(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(3)))))
+  }
+
+  // MinHash machinery: h_j(s) = (a_j * H(s) + b_j) mod P over murmur3 shingle
+  // hashes, K permutations drawn from a fixed seed (deterministic across runs).
+  private val P = 2147483647L // 2^31 - 1: a*h + b stays < 2^62, no overflow
+  private val K = 128
+  private val NumBands = 32
+  private val RowsPerBand = K / NumBands // 4 → LSH s-curve threshold ≈ 0.42
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    (Seq.fill(K)(1L + rnd.nextLong(P - 1)), Seq.fill(K)(rnd.nextLong(P)))
+  }
+
+  /** doc_id + minhash signature (array<long> of length K). */
+  private[pipeline] def signatures(docs: DataFrame): DataFrame = {
+    val aLit = typedLit(hashA)
+    val bLit = typedLit(hashB)
+    docs.select(
+      col("doc_id"),
+      transform(sequence(lit(0), lit(K - 1)), j =>
+        array_min(transform(col("hashes"), h =>
+          (element_at(aLit, j + 1) * h + element_at(bLit, j + 1)) % P))).as("sig"))
+  }
+
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      transform(shingleExpr(col("text")), s => hash(s).cast("long").bitwiseAND(lit(0x7fffffffL))).as("hashes"))
+
+  /** Candidate near-dup pairs via banded LSH + signature-estimated Jaccard. */
+  private[pipeline] def minhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sigs = signatures(shingleHashes(Tables(spark, dir).documents)).cache()
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .toDF("doc_id", "band_id", "band_hash")
+    val a = bands.toDF("doc_a", "band_id", "band_hash")
+    val b = bands.toDF("doc_b", "band_id", "band_hash")
+    val cands = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.toDF("doc_a", "sig_a")
+    val sb = sigs.toDF("doc_b", "sig_b")
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double") / K)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b"))
+  }
+
+  // SimHash: 64-bit signature over 3-gram shingle hashes (shingles, not bare
+  // words — on a small shared vocabulary word-sets are near-identical across
+  // documents and word-level SimHash loses all discrimination). Near-dups have
+  // small Hamming distance. Blocking on 4 × 16-bit chunks (a pair within
+  // distance 3 must agree on ≥1 chunk — pigeonhole), so candidate generation
+  // is a bucket join, never all-pairs.
+  private[pipeline] def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      """aggregate(sequence(0, 63), 0L, (acc, i) ->
+        |  acc + if(aggregate(
+        |           transform(array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+        |             j -> concat_ws(' ', slice(split(text, ' '), j, 3)))), s -> xxhash64(s)),
+        |           0L, (a, h) -> a + if(((h >> i) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, i), 0L))
+        |""".stripMargin).as("simhash"))
+
+  private[pipeline] def simhashPairs(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
+    val sh = simhashes(Tables(spark, dir).documents).cache()
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")))
+      .toDF("doc_id", "simhash", "chunk_id", "chunk")
+    val a = chunks.toDF("doc_a", "sim_a", "chunk_id", "chunk")
+    val b = chunks.toDF("doc_b", "sim_b", "chunk_id", "chunk")
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy(asc("hamming"), asc("doc_a"), asc("doc_b"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- dd01: exact dedup — hash-groupBy on full text; keeper = min doc_id.
+    QueryDef.sql(
+      "dd01_exact_dedup",
+      """WITH keep AS (SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS copies FROM documents GROUP BY text)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper,
+        |  CAST(k.copies AS BIGINT) AS copies
+        |FROM documents d JOIN keep k ON d.text = k.text
+        |ORDER BY d.doc_id""".stripMargin,
+    ) { (spark, dir) => exactDedup(Tables(spark, dir).documents) },
+
+    // ----- dd02: exact n-gram Jaccard near-dup with shingle blocking —
+    // candidates share ≥1 shingle, so no quadratic blow-up on diverse corpora.
+    QueryDef.sql(
+      "dd02_ngram_jaccard",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM w),
+        |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(c AS DOUBLE) / (na.ns + nb.ns - c) AS jaccard
+        |FROM common JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+        |WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5
+        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
+    ) { (spark, dir) =>
+      val sh = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(shingleExpr(col("text"))).as("s"))
+      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val a = sh.toDF("doc_a", "s")
+      val b = sh.toDF("doc_b", "s")
+      val common = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      val na = n.toDF("doc_a", "na")
+      val nb = n.toDF("doc_b", "nb")
+      common.join(na, "doc_a").join(nb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+    },
+
+    // ----- dd03: MinHash + banded LSH (K=128, 32 bands × 4 rows) — the
+    // sublinear scale path for near-dup detection; signature build is one
+    // map-side pass, candidates come from band-bucket joins.
+    QueryDef.rowsOnly("dd03_minhash_lsh") { (spark, dir) =>
+      minhashPairs(spark, dir, threshold = 0.5)
+    },
+
+    // ----- dd04: SimHash 64-bit + 16-bit-chunk blocking, Hamming ≤ 3.
+    QueryDef.rowsOnly("dd04_simhash") { (spark, dir) =>
+      simhashPairs(spark, dir, maxDist = 3)
+    },
+
+    // ----- dd05: embedding-cosine near-dup — exact arithmetic mirrored in the
+    // oracle (sequential fold, double ops in identical order on both sides).
+    QueryDef.sql(
+      "dd05_embedding_neardup",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (s, v) -> s + v)
+        |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(a.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s, v) -> s + v))
+        |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(b.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s, v) -> s + v))) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (s, v) -> s + v)
+        |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(a.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s, v) -> s + v))
+        |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(b.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s, v) -> s + v))) >= 0.4
+        |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val cosine = VectorOps.cosine(col("ea"), col("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+    },
+  )
+
+  /** Exact dedup verdict per document (shared with the dd01 entry and tests). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val keep = docs.groupBy("text")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"))
+    docs.join(keep, "text")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("keeper"), 1).otherwise(0).as("is_keeper"),
+        col("copies").cast("long").as("copies"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language ID (stopword heuristic), quality scoring, token counting, and
+  * rolling-hash document fingerprinting. All map-side (no shuffle except the
+  * final ORDER BY), codegen-friendly expression trees — no UDFs.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "los")
+  private val stopFr = Seq("le", "les", "et", "des", "du", "une", "est")
+  private val stopZh = Seq("de5", "shi4", "le5", "zai4", "wo3", "you3", "he2")
+
+  private def hits(words: Column, list: Seq[String]): Column =
+    size(filter(words, w => array_contains(typedLit(list), w)))
+
+  private def sqlHits(list: Seq[String]): String =
+    s"len(list_filter(words, w -> list_contains([${list.map("'" + _ + "'").mkString(", ")}], w)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- tx01: language ID via stopword frequency scoring with a fixed
+    // precedence argmax (deterministic on ties).
+    QueryDef.sql(
+      "tx01_language_id",
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${sqlHits(stopEn)} AS s_en, ${sqlHits(stopDe)} AS s_de, ${sqlHits(stopEs)} AS s_es,
+         |  ${sqlHits(stopFr)} AS s_fr, ${sqlHits(stopZh)} AS s_zh
+         |  FROM w)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+         |       WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+         |       WHEN s_zh > 0 THEN 'zh'
+         |       ELSE 'und' END AS predicted_lang,
+         |  CAST(s_en AS BIGINT) AS score_en
+         |FROM s ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val w = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      val s = w.select(col("doc_id"), col("lang"),
+        hits(col("words"), stopEn).as("s_en"), hits(col("words"), stopDe).as("s_de"),
+        hits(col("words"), stopEs).as("s_es"), hits(col("words"), stopFr).as("s_fr"),
+        hits(col("words"), stopZh).as("s_zh"))
+      s.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+            col("s_de") >= col("s_zh") && col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh") && col("s_es") > 0, "es")
+          .when(col("s_fr") >= col("s_zh") && col("s_fr") > 0, "fr")
+          .when(col("s_zh") > 0, "zh")
+          .otherwise("und").as("predicted_lang"),
+        col("s_en").cast("long").as("score_en"))
+        .orderBy("doc_id")
+    },
+
+    // ----- tx02: quality scoring — length / stopword-ratio / type-token-ratio
+    // signals combined into a deterministic score (double arithmetic mirrored
+    // op-for-op in the oracle).
+    QueryDef.sql(
+      "tx02_quality_score",
+      s"""WITH w AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS words FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS type_token_ratio,
+         |  CAST(${sqlHits(stopEn)} AS DOUBLE) / len(words) AS stopword_ratio,
+         |  (CAST(length(text) AS DOUBLE) - (len(words) - 1)) / len(words) AS avg_word_len
+         |  FROM w)
+         |SELECT doc_id, lang, n_words, n_chars, type_token_ratio, stopword_ratio, avg_word_len,
+         |  type_token_ratio * 0.5 + stopword_ratio * 0.3 +
+         |    (CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 0.2 ELSE 0.0 END) AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val w = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          split(col("text"), " ").as("words"))
+      val f = w.select(col("doc_id"), col("lang"),
+        size(col("words")).cast("long").as("n_words"),
+        col("n_chars").cast("long").as("n_chars"),
+        (size(array_distinct(col("words"))).cast("double") / size(col("words"))).as("type_token_ratio"),
+        (hits(col("words"), stopEn).cast("double") / size(col("words"))).as("stopword_ratio"),
+        ((length(col("text")).cast("double") - (size(col("words")) - 1)) / size(col("words"))).as("avg_word_len"))
+      f.select(col("doc_id"), col("lang"), col("n_words"), col("n_chars"),
+        col("type_token_ratio"), col("stopword_ratio"), col("avg_word_len"),
+        (col("type_token_ratio") * 0.5 + col("stopword_ratio") * 0.3 +
+          when(col("n_words") >= 20 && col("n_words") <= 1000, 0.2).otherwise(0.0)).as("quality_score"))
+        .orderBy("doc_id")
+    },
+
+    // ----- tx03: token counting — whitespace tokens + BPE-ish regex tokens
+    // ([a-z]+ | digits | single punctuation), rolled up per source.
+    QueryDef.sql(
+      "tx03_token_counts",
+      """WITH d AS (SELECT source, doc_id, text,
+        |    len(string_split(text, ' ')) AS ws_tokens,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) AS docs,
+        |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
+        |  CAST(SUM(re_tokens) AS DOUBLE) / COUNT(*) AS avg_re_tokens
+        |FROM d GROUP BY source
+        |ORDER BY source""".stripMargin,
+    ) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("source"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"))
+      d.groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum("ws_tokens").cast("long").as("total_ws_tokens"),
+          sum("re_tokens").cast("long").as("total_re_tokens"),
+          (sum("re_tokens").cast("double") / count(lit(1))).as("avg_re_tokens"))
+        .orderBy("source")
+    },
+
+    // ----- tx04: document fingerprinting — polynomial rolling hash over the
+    // character stream, exact BIGINT arithmetic mod 1e9+7 (bit-identical in
+    // any engine; groups exact duplicates without comparing full texts).
+    QueryDef.sql(
+      "tx04_fingerprint",
+      """WITH f AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)), i -> CAST(ascii(text[i:i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS fp_copies
+        |FROM f ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(col("text"), ""), c => ascii(c).cast("long")),
+            lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
+        .withColumn("fp_copies", count(lit(1)).over(Window.partitionBy("fingerprint")).cast("long"))
+        .orderBy("doc_id")
+    },
+  )
+}
