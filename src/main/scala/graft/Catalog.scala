@@ -11,7 +11,10 @@ object Catalog {
       operators.ScalarsAndSets.defs ++
       pipeline.Dedup.defs ++
       pipeline.Similarity.defs ++
-      pipeline.TextAnalysis.defs
+      pipeline.TextAnalysis.defs ++
+      pipeline.Multimodal.defs ++
+      streaming.StreamingMVs.defs ++
+      sql.SqlGateway.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-dialect function aliases for the ad-hoc SQL path (SURVEY.md
+  * §7.3): thin builders delegating to built-in Catalyst expressions, injected
+  * into the session FunctionRegistry — zero custom evaluation code, so every
+  * alias stays codegen'd and optimizer-visible.
+  *
+  * Covers the dialect names used across the reference workload
+  * (sample_queries.sql, app.py, app_interactive.py): toDate, toHour, toYYYYMM,
+  * toStartOfMonth/Minute, toMonday, today, uniq, countIf, sumIf, groupArray,
+  * arrayStringConcat, dateDiff (incl. the month-boundary-crossing semantics of
+  * ClickHouse dateDiff('month') — SURVEY §2.8/§7.4).
+  */
+object Dialect {
+
+  private def monthIndex(e: Expression): Expression =
+    Add(Multiply(Year(e), Literal(12)), Month(e))
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "toDate" -> (args => Cast(args.head, DateType)),
+    "toHour" -> (args => Hour(args.head)),
+    "toYYYYMM" -> (args => Add(Multiply(Year(args.head), Literal(100)), Month(args.head))),
+    "toStartOfMonth" -> (args => Cast(TruncTimestamp(Literal("month"), args.head), DateType)),
+    "toMonday" -> (args => Cast(TruncTimestamp(Literal("week"), args.head), DateType)),
+    "toStartOfMinute" -> (args => TruncTimestamp(Literal("minute"), args.head)),
+    "today" -> (_ => Cast(CurrentTimestamp(), DateType)),
+    "uniq" -> (args => HyperLogLogPlusPlus(args.head).toAggregateExpression()),
+    "countIf" -> (args =>
+      Count(If(args.head, Literal(1), Literal(null, IntegerType))).toAggregateExpression()),
+    "sumIf" -> (args =>
+      Coalesce(Seq(
+        Sum(If(args(1), args.head, Literal(null, NullType))).toAggregateExpression(),
+        Literal(0)))),
+    "groupArray" -> (args => CollectList(args.head).toAggregateExpression()),
+    // ClickHouse arg order is (array, separator); ConcatWs wants sep first.
+    "arrayStringConcat" -> (args => ConcatWs(Seq(args(1), args.head))),
+    // Registered under a prefixed name: Spark's parser special-cases
+    // `dateDiff(unit, a, b)` with unquoted units before function lookup, and
+    // overriding the builtin `datediff` would break every DataFrame-side
+    // datediff in the session. [[translate]] rewrites the ClickHouse spelling.
+    "graft_dateDiff" -> { args =>
+      val unit = args.head match {
+        case Literal(u, StringType) => String.valueOf(u).toLowerCase
+        case other => throw new IllegalArgumentException(s"dateDiff unit must be a literal, got $other")
+      }
+      val (start, end) = (args(1), args(2))
+      unit match {
+        case "day" => DateDiff(Cast(end, DateType), Cast(start, DateType))
+        // ClickHouse counts month-boundary crossings, not 30-day spans —
+        // floor(months_between) would differ on partial months (SURVEY §2.8).
+        case "month" => Subtract(monthIndex(end), monthIndex(start))
+        case "year" => Subtract(Year(end), Year(start))
+        case "week" => Cast(
+          Divide(Cast(DateDiff(Cast(TruncTimestamp(Literal("week"), end), DateType),
+            Cast(TruncTimestamp(Literal("week"), start), DateType)), DoubleType), Literal(7.0)),
+          IntegerType)
+        case u => throw new IllegalArgumentException(s"dateDiff: unsupported unit '$u'")
+      }
+    },
+  )
+
+  /** Rewrite ClickHouse spellings that collide with Spark parser builtins:
+    * `dateDiff('unit', …)` → `graft_dateDiff('unit', …)`.
+    */
+  def translate(sql: String): String =
+    sql.replaceAll("(?i)\\bdateDiff\\s*\\(\\s*'", "graft_dateDiff('")
+
+  /** Idempotently register all aliases on a session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+}

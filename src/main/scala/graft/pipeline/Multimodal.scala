@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: image/audio/video
+  * payloads are opaque `binary` columns with typed metadata; decode /
+  * feature-extract runs batched per partition.
+  *
+  * The actual media decode is a STUB — the container has no image/audio
+  * libraries — replaced by a deterministic fake (byte histogram + moments).
+  * Everything Spark-side is real and tested: the schema, the binary payload
+  * column, the partitioning (repartition by `kind` so one media type's decode
+  * cost doesn't skew every partition), and the batched per-partition execution
+  * shape (the Scala analog of `mapInPandas`: one iterator per partition, rows
+  * streamed through without materializing the partition).
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int, n_frames: Int)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      byte_mean: Double, byte_entropy_proxy: Double,
+      fake_embedding: Seq[Float])
+
+  /** Synthesize a media table from `documents` — payload = UTF-8 bytes of the
+    * text (a deterministic stand-in for image/audio bytes), kind round-robin,
+    * metadata derived from doc stats.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")), (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"),
+        (col("n_chars") % 640 + 1).cast("int").as("width"),
+        (col("n_chars") % 480 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: a real implementation would decode the payload with an
+    * image/audio codec here; this deterministic fake extracts byte statistics
+    * and an 8-dim pseudo-embedding so the pipeline shape is exercised
+    * end-to-end. Runs per partition, streaming — the `mapInPandas` analog.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("kind")) // co-locate each media type's decode batch
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.payload
+          val n = bytes.length.toLong
+          val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
+          // entropy proxy: mean absolute successive byte delta
+          val delta =
+            if (n < 2) 0.0
+            else bytes.sliding(2).map(p => math.abs((p(1) & 0xff) - (p(0) & 0xff)).toDouble).sum / (n - 1)
+          val emb = Array.tabulate(8) { i =>
+            var acc = 0L
+            var j = i
+            while (j < bytes.length) { acc = (acc * 31 + (bytes(j) & 0xff)) % 1000003L; j += 8 }
+            acc.toFloat / 1000003f
+          }
+          MediaFeatures(r.media_id, r.kind, n, mean, delta, emb.toSeq)
+        }
+      }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- mm01: full multimodal pipeline — synthesize binary media, batched
+    // feature extraction, per-kind rollup (rows-only: binary plumbing is not
+    // SQL-expressible in the oracle).
+    QueryDef.rowsOnly("mm01_media_features") { (spark, dir) =>
+      val feats = extractFeatures(mediaTable(spark, dir))
+      feats.toDF()
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum("n_bytes").as("total_bytes"),
+          avg("byte_mean").as("avg_byte_mean"),
+          avg("byte_entropy_proxy").as("avg_entropy_proxy"))
+        .orderBy("kind")
+    },
+
+    // ----- mm02: frame sampling — explode video metadata into per-frame rows
+    // (the schema/partitioning shape of a frame-extraction stage; frame decode
+    // itself would slot into extractFeatures' stub).
+    QueryDef.rowsOnly("mm02_frame_sample") { (spark, dir) =>
+      import spark.implicits._
+      val media = mediaTable(spark, dir).toDF()
+      media.filter(col("kind") === "video")
+        .select(col("media_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_no"))
+        // sample every 5th frame, deterministic
+        .filter(col("frame_no") % 5 === 0)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("sampled_frames"), max("frame_no").as("last_frame"))
+        .orderBy("media_id")
+    },
+  )
+}

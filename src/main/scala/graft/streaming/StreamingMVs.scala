@@ -1,0 +1,158 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expression of the reference's incremental
+  * materialized views (01-create-tables.sql:87–168; SURVEY.md §2.9, §3.2).
+  *
+  * ClickHouse MV semantics — every INSERT incrementally folds into a grouped
+  * aggregate — map to streaming `groupBy().agg()`:
+  *   - complete/update mode over a file source reproduces the MV read result;
+  *   - `foreachBatch` + key-partition overwrite is the upsert sink pattern
+  *     (Spark has no built-in keyed-upsert table sink — SURVEY §7.4);
+  *   - watermarks bound state where ClickHouse relies on unconditional folding
+  *     (ST7 divergence documented there).
+  *
+  * The streaming entries below run synchronously (Trigger.AvailableNow +
+  * awaitTermination) so they satisfy the `(SparkSession, dir) => DataFrame`
+  * catalog contract; st01's result is oracle-checked against the *batch* SQL —
+  * the defining property of an incremental MV is exactly that it matches a
+  * batch recomputation.
+  */
+object StreamingMVs {
+
+  /** Raw parquet schema of events (ts as INT64 nanos — see Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos; converted below
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events table of a testdata dir. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The daily-activity MV as a streaming aggregation (01:87–98 shape). */
+  def dailyMvStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value").cast("decimal(18,2)")).as("val_dec"))
+
+  /** Run a complete-mode streaming aggregation to exhaustion, return result. */
+  private def runComplete(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** foreachBatch upsert: overwrite only the key partitions present in the
+    * micro-batch (dynamic partition overwrite) — idempotent under checkpoint
+    * replay, and at scale each batch touches only its own partitions.
+    */
+  def upsertByPartition(batch: DataFrame, partitionCol: String, path: String): Unit = {
+    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.write
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- st01: streaming daily MV == batch recompute (oracle checks the
+    // batch SQL — incremental-equals-batch is the MV correctness property).
+    QueryDef.sql(
+      "st01_streaming_daily_mv",
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  COUNT(*) AS events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_date, event_type""".stripMargin,
+    ) { (spark, dir) =>
+      val agg = eventsStream(spark, dir)
+        .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(
+          count(lit(1)).as("events"),
+          sum(col("value").cast("decimal(18,2)")).as("val_dec"))
+      runComplete(spark, agg, s"st01_out_${math.abs(dir.hashCode)}")
+        .select(col("event_date"), col("event_type"), col("events"),
+          col("val_dec").cast("double").as("total_value"))
+        .orderBy("event_date", "event_type")
+    },
+
+    // ----- st02: update-mode MV through the foreachBatch partition-upsert
+    // sink, read back from the sink table (rows-only: sink round-trip).
+    QueryDef.rowsOnly("st02_streaming_upsert_sink") { (spark, dir) =>
+      val outPath = java.nio.file.Files
+        .createTempDirectory("graft_st02_").toString + "/mv_hourly"
+      val agg = eventsStream(spark, dir)
+        .groupBy(
+          to_date(col("ts")).as("event_date"),
+          hour(col("ts")).cast("long").as("event_hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsertByPartition(batch, "event_date", outPath)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outPath)
+        .select("event_date", "event_hour", "event_type", "events", "total_value")
+        .orderBy("event_date", "event_hour", "event_type")
+    },
+
+    // ----- st03: gap-based sessionization via session_window (ST6 — the
+    // true-session extension of the reference's fixed 30-min buckets; oracle
+    // mirrors it with lag + running-sum island detection).
+    QueryDef.sql(
+      "st03_gap_sessions",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM x)
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  COUNT(*) AS session_events
+        |FROM y GROUP BY user_id, sess_no
+        |ORDER BY user_id, session_start""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("session_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_events"))
+        .orderBy("user_id", "session_start")
+    },
+  )
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class DialectSpec extends SparkSpec {
+
+  private def sql1(q: String): Any = {
+    Dialect.register(spark)
+    spark.sql(Dialect.translate(q)).collect()(0).get(0)
+  }
+
+  test("toYYYYMM") {
+    assert(sql1("SELECT toYYYYMM(DATE '2024-03-15')") == 202403)
+  }
+
+  test("toDate / toHour / toStartOfMonth / toMonday / toStartOfMinute") {
+    assert(sql1("SELECT toDate(TIMESTAMP '2024-03-15 13:45:12')").toString == "2024-03-15")
+    assert(sql1("SELECT toHour(TIMESTAMP '2024-03-15 13:45:12')") == 13)
+    assert(sql1("SELECT toStartOfMonth(DATE '2024-03-15')").toString == "2024-03-01")
+    // 2024-03-15 is a Friday; Monday of that week is 2024-03-11
+    assert(sql1("SELECT toMonday(DATE '2024-03-15')").toString == "2024-03-11")
+    assert(sql1("SELECT toStartOfMinute(TIMESTAMP '2024-03-15 13:45:12')").toString == "2024-03-15 13:45:00.0")
+  }
+
+  test("countIf and sumIf") {
+    assert(sql1("SELECT countIf(x > 2) FROM VALUES (1),(2),(3),(4) AS t(x)") == 2L)
+    assert(sql1("SELECT sumIf(x, x > 2) FROM VALUES (1),(2),(3),(4) AS t(x)") == 7)
+    // empty condition set → 0, not NULL (ClickHouse behavior)
+    assert(sql1("SELECT sumIf(x, x > 100) FROM VALUES (1),(2) AS t(x)") == 0)
+  }
+
+  test("uniq approximates distinct count") {
+    val n = sql1("SELECT uniq(x) FROM (SELECT explode(sequence(1, 1000)) AS x)").asInstanceOf[Long]
+    assert(math.abs(n - 1000) < 100)
+  }
+
+  test("groupArray + arrayStringConcat") {
+    assert(sql1("SELECT arrayStringConcat(groupArray(x), ' -> ') FROM VALUES ('a'),('b') AS t(x)") == "a -> b")
+  }
+
+  test("dateDiff month counts boundary crossings (ClickHouse semantics)") {
+    // one day apart but crosses a month boundary → 1 (floor(months_between) would say 0)
+    assert(sql1("SELECT dateDiff('month', DATE '2024-01-31', DATE '2024-02-01')") == 1)
+    assert(sql1("SELECT dateDiff('month', DATE '2024-01-01', DATE '2024-01-31')") == 0)
+    assert(sql1("SELECT dateDiff('day', DATE '2024-01-01', DATE '2024-01-31')") == 30)
+    assert(sql1("SELECT dateDiff('year', DATE '2023-12-31', DATE '2024-01-01')") == 1)
+  }
+}

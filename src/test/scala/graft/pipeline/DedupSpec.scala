@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.{Catalog, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup: every text group has exactly one keeper") {
+    val r = Dedup.exactDedup(Tables(spark, sf()).documents)
+    val total = r.count()
+    assert(total == Tables(spark, sf()).documents.count())
+    // keepers = number of distinct texts
+    val keepers = r.filter(col("is_keeper") === 1).count()
+    val distinctTexts = Tables(spark, sf()).documents.select("text").distinct().count()
+    assert(keepers == distinctTexts)
+  }
+
+  test("minhash estimate tracks exact jaccard on near-dup pairs") {
+    val exact = Catalog.byName("dd02_ngram_jaccard").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = Dedup.minhashPairs(spark, sf(), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "testdata should contain planted near-dup pairs")
+    // Every high-jaccard pair must be recalled by LSH (K=128 → low variance),
+    // and the estimate should be close to the exact value.
+    exact.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"LSH missed planted pair $pair (jaccard=$j)")
+      assert(math.abs(est(pair) - j) < 0.25, s"estimate ${est(pair)} too far from exact $j for $pair")
+    }
+  }
+
+  test("simhash near-dup pairs are genuinely similar (no wild false positives)") {
+    val exactAll = Catalog.byName("dd02_ngram_jaccard").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(spark, sf(), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // hamming<=3 of 64 is a strict filter — every pair it emits should be a
+    // true near-dup (jaccard >= 0.5 pair set from the exact pass)
+    sim.foreach(p => assert(exactAll.contains(p), s"simhash false positive $p"))
+  }
+
+  test("minhash signature length and determinism") {
+    val docs = Tables(spark, sf()).documents.limit(5)
+    val hashes = docs.select(col("doc_id"),
+      expr("transform(split(text, ' '), w -> abs(hash(w)))").as("hashes"))
+    val s1 = Dedup.signatures(hashes).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val s2 = Dedup.signatures(hashes).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(s1 == s2)
+    s1.values.foreach(sig => assert(sig.length == 128))
+  }
+}

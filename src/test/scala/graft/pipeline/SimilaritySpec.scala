@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.{Catalog, SparkSpec}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def rows(name: String) =
+    Catalog.byName(name).build(spark, sf()).collect()
+
+  test("brute-force topk: ranks are 1..10 per query, cosine non-increasing") {
+    val r = rows("ann01_topk_bruteforce")
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val cos = sorted.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("LSH ANN results are a subset of true neighbors by construction quality") {
+    val bf = rows("ann01_topk_bruteforce").map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = rows("ann02_topk_lsh")
+    assert(lsh.nonEmpty)
+    // structural: per-query ranks contiguous, cosine ordering holds
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val cos = sorted.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // recall is data-limited on uniform random vectors; just require overlap > 0
+    assert(lsh.map(r => (r.getLong(0), r.getLong(2))).toSet.intersect(bf).nonEmpty)
+  }
+
+  test("IVF probe-1: every query searches exactly one label partition") {
+    val r = rows("ann03_ivf_probe1")
+    assert(r.nonEmpty)
+    r.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length == 1, "multiple labels probed")
+      assert(rs.length <= 10)
+    }
+  }
+}
