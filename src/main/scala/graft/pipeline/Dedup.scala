@@ -34,15 +34,20 @@ object Dedup {
     (Seq.fill(K)(1L + rnd.nextLong(P - 1)), Seq.fill(K)(rnd.nextLong(P)))
   }
 
-  /** doc_id + minhash signature (array<long> of length K). */
+  /** doc_id + minhash signature (array<long> of length K).
+    *
+    * Shape note: explode + 128 codegen'd min-aggregate buffers, not a nested
+    * higher-order `transform` — HOF lambdas evaluate interpreted and made the
+    * signature build ~100× slower at sf0.1 (191 s → ~2 s). Values are
+    * identical: sig_j = min over shingles of (a_j·H(s) + b_j) mod P.
+    */
   private[pipeline] def signatures(docs: DataFrame): DataFrame = {
-    val aLit = typedLit(hashA)
-    val bLit = typedLit(hashB)
-    docs.select(
-      col("doc_id"),
-      transform(sequence(lit(0), lit(K - 1)), j =>
-        array_min(transform(col("hashes"), h =>
-          (element_at(aLit, j + 1) * h + element_at(bLit, j + 1)) % P))).as("sig"))
+    val exploded = docs.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val minAggs = (0 until K).map(j =>
+      min((lit(hashA(j)) * col("h") + lit(hashB(j))) % P).as(s"m$j"))
+    exploded.groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   private def shingleHashes(docs: DataFrame): DataFrame =
@@ -78,14 +83,20 @@ object Dedup {
   // small Hamming distance. Blocking on 4 × 16-bit chunks (a pair within
   // distance 3 must agree on ≥1 chunk — pigeonhole), so candidate generation
   // is a bucket join, never all-pairs.
-  private[pipeline] def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(
-      """aggregate(sequence(0, 63), 0L, (acc, i) ->
-        |  acc + if(aggregate(
-        |           transform(array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-        |             j -> concat_ws(' ', slice(split(text, ' '), j, 3)))), s -> xxhash64(s)),
-        |           0L, (a, h) -> a + if(((h >> i) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, i), 0L))
-        |""".stripMargin).as("simhash"))
+  // Shape note: explode + 64 codegen'd bit-sum aggregate buffers (one per
+  // signature bit), not nested HOF lambdas — the interpreted form recomputed
+  // the shingle hashes 64× per document and ran 155 s at sf0.1.
+  private[pipeline] def simhashes(docs: DataFrame): DataFrame = {
+    val hs = docs.select(col("doc_id"),
+      explode(transform(shingleExpr(col("text")), s => xxhash64(s))).as("h"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    hs.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   private[pipeline] def simhashPairs(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
     val sh = simhashes(Tables(spark, dir).documents).cache()

@@ -1,11 +1,14 @@
 package graft.pipeline
 
+import graft.functions.{FloatVecDot, FloatVecSumSq}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** Vector arithmetic over `array<float>` embedding columns, built from
-  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs, so
-  * the whole similarity pipeline stays inside WholeStageCodegen.
+/** Vector arithmetic over `array<float>` embedding columns, backed by the
+  * custom codegen'd Catalyst expressions in [[graft.functions.VectorExpressions]]
+  * (Spark's built-in higher-order functions evaluate lambdas interpreted —
+  * ~30× slower on all-pairs similarity joins).
   *
   * All folds are sequential left-to-right in double precision; the DuckDB
   * oracle SQL mirrors the same fold (`list_reduce` over a 0-prepended list),
@@ -13,17 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential left fold sum of a double array column. */
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, v) => acc + v)
-
   /** Dot product of two float-array columns, accumulated in double. */
   def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column =
-    sqrt(foldSum(transform(a, x => x.cast("double") * x.cast("double"))))
+    sqrt(ColumnBridge.column(FloatVecSumSq(ColumnBridge.expression(a))))
 
   /** Cosine similarity: dot / (|a| * |b|). */
   def cosine(a: Column, b: Column): Column =

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression ⇄ Column bridge. Spark 4 made the converters `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); this object lives inside
+  * the sql package tree solely to re-export them for graft's custom Catalyst
+  * expressions. No Spark internals are modified.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
