@@ -9,6 +9,7 @@ object Catalog {
       operators.Analytics.defs ++
       operators.Windows.defs ++
       operators.ScalarsAndSets.defs ++
+      operators.Sketches.defs ++
       pipeline.Dedup.defs ++
       pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Physical storage layout (SURVEY.md §1.3): the Spark equivalents of the
+  * reference's MergeTree layout declarations.
+  *
+  *   - `PARTITION BY toYYYYMM(date)` (01-create-tables.sql:50,78) →
+  *     Hive-style monthly partition directories → partition pruning for the
+  *     ubiquitous date-range filters, and TTL as a directory drop.
+  *   - `ORDER BY (...)` sort key (01:31,51,63,79) → `repartition(month)` +
+  *     `sortWithinPartitions(sort key)` → parquet row-group min/max stats give
+  *     the same skip-by-sort-key effect as the primary index.
+  *   - bloom_filter skipping indices (02-add-indices.sql) → parquet bloom
+  *     filters via write options.
+  *   - TTL DELETE after N days (04-add-ttl.sql:29,37) → [[dropExpiredPartitions]].
+  *
+  * At 100 TB: one shuffle at write time buys partition pruning + row-group
+  * skipping on every subsequent scan; retention never rewrites data, it
+  * unlinks directories.
+  */
+object Layout {
+
+  /** Write events in the reference's events-table layout: monthly partitions,
+    * sorted by (event_type, ts, user_id) within each, bloom filter on user_id.
+    */
+  def writeEventsPartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_month", date_format(col("ts"), "yyyyMM").cast("int"))
+      // sort key leads with the partition column: FileFormatWriter would
+      // otherwise inject its own (unstable) sort on partition columns and
+      // destroy the within-file order the row-group stats rely on
+      .repartition(col("event_month"))
+      .sortWithinPartitions("event_month", "event_type", "ts", "user_id")
+      .write.mode("overwrite")
+      .partitionBy("event_month")
+      .option("parquet.bloom.filter.enabled#user_id", "true")
+      .option("compression", "zstd")
+      .parquet(path)
+
+  /** Read back with partition pruning available on `event_month`. */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** TTL maintenance: drop whole month partitions older than the cutoff
+    * (directory unlink — no data rewrite). Returns dropped partition names.
+    */
+  def dropExpiredPartitions(path: String, cutoffMonth: Int): Seq[String] = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return Seq.empty
+    val dropped = Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("event_month="))
+      .filter { p =>
+        val m = p.getFileName.toString.stripPrefix("event_month=")
+        m.toIntOption.exists(_ < cutoffMonth)
+      }
+      .toSeq
+    dropped.foreach(deleteRecursively)
+    dropped.map(_.getFileName.toString)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck._
+import org.scalacheck.Prop.forAll
+import java.time.LocalDate
+
+/** Pure property tests (ScalaCheck, engine-independent invariants backing the
+  * oracle-parity tactics — SURVEY.md §5.3).
+  */
+object InvariantProps extends Properties("graft.invariants") {
+
+  // A8/A13: partial decimal sums re-aggregate exactly, under any partition.
+  property("partial decimal sums == total sum") =
+    forAll(Gen.listOf(Gen.chooseNum(-100000L, 100000L)), Gen.chooseNum(1, 8)) { (cents, k) =>
+      val vals = cents.map(BigDecimal(_) / 100)
+      val total = vals.sum
+      val partials = vals.grouped(math.max(1, vals.length / k)).map(_.sum).toList
+      partials.sum == total
+    }
+
+  // ClickHouse dateDiff('month') == number of month-boundary crossings:
+  // our linear-index formula must equal counting first-of-months in (a, b].
+  property("month index diff == month-boundary crossings") = {
+    val genDate = Gen.chooseNum(0L, 365L * 60).map(LocalDate.ofEpochDay)
+    forAll(genDate, genDate) { (d1, d2) =>
+      val (a, b) = if (d1.isBefore(d2)) (d1, d2) else (d2, d1)
+      val idxDiff = (b.getYear * 12 + b.getMonthValue) - (a.getYear * 12 + a.getMonthValue)
+      var crossings = 0
+      var d = a.plusDays(1)
+      // count first-of-month days in (a, b] — bounded walk, keep ranges small
+      while (!d.isAfter(b) && crossings <= 1300) {
+        if (d.getDayOfMonth == 1) crossings += 1
+        d = d.plusDays(1)
+      }
+      idxDiff == crossings
+    }
+  }
+
+  // Gateway validator: any statement containing a mutating keyword is
+  // rejected, however it is embedded.
+  property("validator rejects smuggled mutations") = {
+    val mutating = Gen.oneOf("insert", "drop", "delete", "update", "alter", "truncate")
+    val filler = Gen.alphaNumStr.map(_.take(12))
+    forAll(mutating, filler, filler) { (kw, a, b) =>
+      graft.sql.SqlGateway.validate(s"SELECT $a FROM t WHERE x = ($kw $b)").isLeft
+    }
+  }
+
+  property("validator accepts plain selects") =
+    forAll(Gen.identifier.map(_.take(10)).suchThat(_.nonEmpty)) { c =>
+      val tok = c.toLowerCase
+      val shadows = Set("insert", "drop", "delete", "update", "alter", "truncate",
+        "merge", "grant", "revoke", "refresh", "vacuum", "create", "set")
+      shadows.contains(tok) || graft.sql.SqlGateway.validate(s"SELECT $c FROM t").isRight
+    }
+}

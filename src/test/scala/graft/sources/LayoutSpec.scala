@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class LayoutSpec extends SparkSpec {
+
+  private def syntheticEvents() = {
+    import spark.implicits._
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "view", 1.0),
+      (2L, Timestamp.valueOf("2024-01-20 11:00:00"), 2L, "click", 2.0),
+      (3L, Timestamp.valueOf("2024-02-03 12:00:00"), 1L, "view", 3.0),
+      (4L, Timestamp.valueOf("2024-03-15 13:00:00"), 3L, "purchase", 4.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("partitioned write produces monthly dirs; pruned read touches fewer files") {
+    val out = java.nio.file.Files.createTempDirectory("graft_layout").toString + "/events"
+    Layout.writeEventsPartitioned(syntheticEvents(), out)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("event_month="))
+    assert(dirs.toSet == Set("event_month=202401", "event_month=202402", "event_month=202403"))
+
+    val all = Layout.readEvents(spark, out)
+    assert(all.count() == 4)
+    val pruned = all.filter(col("event_month") === 202401)
+    assert(pruned.count() == 2)
+    // pruning shows up as a PartitionFilters clause on the scan node
+    // (DataFrame.inputFiles lists the relation's files pre-pruning)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_month"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+
+  test("TTL drops expired month partitions without touching the rest") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ttl").toString + "/events"
+    Layout.writeEventsPartitioned(syntheticEvents(), out)
+    val dropped = Layout.dropExpiredPartitions(out, cutoffMonth = 202402)
+    assert(dropped == Seq("event_month=202401"))
+    val rest = Layout.readEvents(spark, out)
+    assert(rest.count() == 2)
+    assert(rest.select(min("event_month")).collect()(0).getInt(0) == 202402)
+  }
+
+  test("sort-within-partitions layout is preserved in written files") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sort").toString + "/events"
+    Layout.writeEventsPartitioned(syntheticEvents(), out)
+    // within the Jan partition, rows must be ordered by the sort key
+    val jan = spark.read.parquet(out + "/event_month=202401").collect()
+    val key = jan.map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("ts").getTime))
+    assert(key.sorted.sameElements(key), "rows should be sorted by (event_type, ts)")
+  }
+}
