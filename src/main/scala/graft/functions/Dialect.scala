@@ -65,10 +65,13 @@ object Dialect {
   )
 
   /** Rewrite ClickHouse spellings that collide with Spark parser builtins:
-    * `dateDiff('unit', …)` → `graft_dateDiff('unit', …)`.
+    * `dateDiff('unit', …)` → `graft_dateDiff('unit', …)`, zero-arg `count()`
+    * → `count(*)`.
     */
   def translate(sql: String): String =
-    sql.replaceAll("(?i)\\bdateDiff\\s*\\(\\s*'", "graft_dateDiff('")
+    sql
+      .replaceAll("(?i)\\bdateDiff\\s*\\(\\s*'", "graft_dateDiff('")
+      .replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
 
   /** Idempotently register all aliases on a session. */
   def register(spark: SparkSession): Unit = {

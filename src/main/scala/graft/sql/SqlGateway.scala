@@ -50,6 +50,55 @@ object SqlGateway {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ----- sq02/sq03: the reference's own dashboard SQL, near-verbatim in
+    // ClickHouse dialect (count(), countIf, toYYYYMM), over the demo-schema
+    // views (users/orders with the reference's column names —
+    // sources/DemoSchema per FIXTURES §C). Oracles run the ANSI equivalent on
+    // the underlying TPC-H-ish tables.
+    QueryDef.sql(
+      "sq02_reference_top_countries",
+      """SELECT n_name AS country,
+        |  COUNT(*) AS total_users,
+        |  COUNT(CASE WHEN c_acctbal >= 5000 THEN 1 END) AS premium_users,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY total_users DESC, country
+        |LIMIT 10""".stripMargin,
+    ) { (spark, dir) =>
+      graft.sources.DemoSchema.register(spark, dir)
+      Dialect.register(spark)
+      spark.sql(Dialect.translate(
+        """SELECT country,
+          |  count() AS total_users,
+          |  countIf(is_premium = 1) AS premium_users,
+          |  CAST(sum(CAST(total_spent AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+          |FROM users
+          |GROUP BY country
+          |ORDER BY total_users DESC, country
+          |LIMIT 10""".stripMargin))
+    },
+
+    QueryDef.sql(
+      "sq03_reference_monthly_revenue",
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS order_month,
+        |  COUNT(*) AS orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1
+        |ORDER BY order_month""".stripMargin,
+    ) { (spark, dir) =>
+      graft.sources.DemoSchema.register(spark, dir)
+      Dialect.register(spark)
+      spark.sql(Dialect.translate(
+        """SELECT CAST(toYYYYMM(order_date) AS BIGINT) AS order_month,
+          |  count() AS orders,
+          |  CAST(sum(CAST(total_amount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders_demo WHERE status = 'completed'
+          |GROUP BY 1
+          |ORDER BY order_month""".stripMargin))
+    },
+
     // ----- sq01: a ClickHouse-dialect query through the gateway — toYYYYMM /
     // countIf / sumIf / toDate resolve via the injected aliases; the oracle is
     // the ANSI equivalent.
