@@ -179,6 +179,56 @@ object ScalarsAndSets {
         .orderBy(desc("revenue"), asc("tier"))
     },
 
+    // ----- q33: INTERSECT / EXCEPT — beyond the reference's UNION-ALL-only
+    // surface (SURVEY §2.7 notes the gap); engine-completeness coverage.
+    QueryDef.sql(
+      "q33_set_intersect_except",
+      """WITH viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'both' AS cohort, user_id FROM (SELECT user_id FROM viewers INTERSECT SELECT user_id FROM purchasers) x
+        |UNION ALL
+        |SELECT 'view_only', user_id FROM (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM purchasers) y
+        |ORDER BY cohort, user_id""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+      val viewers = e.filter(col("event_type") === "view").select("user_id").distinct()
+      val purchasers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+      viewers.intersect(purchasers).select(lit("both").as("cohort"), col("user_id"))
+        .unionByName(viewers.except(purchasers).select(lit("view_only").as("cohort"), col("user_id")))
+        .orderBy("cohort", "user_id")
+    },
+
+    // ----- q34: semi / anti / full-outer joins — not used by the reference
+    // (SURVEY §2.3 note) but part of a complete relational surface.
+    QueryDef.sql(
+      "q34_semi_anti_full",
+      """SELECT 'with_orders' AS bucket, COUNT(*) AS customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders', COUNT(*) FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'full_outer_rows', COUNT(*)
+        |FROM (SELECT DISTINCT o_custkey FROM orders) o
+        |FULL OUTER JOIN customer ON o_custkey = c_custkey
+        |ORDER BY bucket""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val cust = t.customer
+      val ord = t.orders
+      val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("customers"))
+        .select(lit("with_orders").as("bucket"), col("customers"))
+      val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("customers"))
+        .select(lit("without_orders").as("bucket"), col("customers"))
+      val full = ord.select("o_custkey").distinct()
+        .join(cust, col("o_custkey") === col("c_custkey"), "full_outer")
+        .agg(count(lit(1)).as("customers"))
+        .select(lit("full_outer_rows").as("bucket"), col("customers"))
+      semi.unionByName(anti).unionByName(full).orderBy("bucket")
+    },
+
     // ----- q32: global top-K — ORDER BY … LIMIT plans as TakeOrderedAndProject
     // (O1 — app.py:154–155 and everywhere).
     QueryDef.sql(

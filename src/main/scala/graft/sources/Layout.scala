@@ -45,6 +45,17 @@ object Layout {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed write (`CLUSTERED BY ... INTO n BUCKETS`): co-locates join keys
+    * at write time so fact-fact joins on the bucket key need no shuffle at
+    * all — the 100 TB answer to repeated lineitem⋈orders joins. Requires a
+    * catalog table (bucket metadata lives in the catalog, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** TTL maintenance: drop whole month partitions older than the cutoff
     * (directory unlink — no data rewrite). Returns dropped partition names.
     */
