@@ -39,7 +39,31 @@ object Bench {
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val eps = ingestEventsPerSec(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming ingest→MV throughput: drive the synthetic generator through
+    * the watermarked minute-MV aggregation (graft.streaming.Ingest) for a few
+    * seconds and report events/s — comparable to the reference's headline
+    * ~100 events/s + 20 orders/s ingest claim (BASELINE.md).
+    */
+  private def ingestEventsPerSec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.streaming.Trigger
+    try {
+      val q = graft.streaming.Ingest.generatedMinuteMv(spark, rowsPerBatch = 50000)
+        .writeStream.outputMode("update").format("noop")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      val t0 = System.nanoTime()
+      Thread.sleep(8000)
+      q.stop()
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      val secs = (System.nanoTime() - t0) / 1e9
+      math.round(rows / secs * 10) / 10.0
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
+      -1.0
+    }
   }
 }
