@@ -124,6 +124,63 @@ object Windows {
         .orderBy("user_id")
     },
 
+    // ----- q35: customer CLV/RFM — three percent_rank windows (mixed
+    // directions) + threshold segmentation (05-add-refreshable-mvs.sql:55–99;
+    // W2 at full fidelity). Recency anchored on max(o_orderdate), monetary
+    // ranked on the exact decimal.
+    QueryDef.sql(
+      "q35_rfm_scores",
+      """WITH a AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS anchor FROM orders),
+        |stats AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(datediff('day', CAST(MAX(o_orderdate) AS DATE), (SELECT anchor FROM a)) AS BIGINT) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT cust, recency_days, frequency,
+        |    CAST(monetary_dec AS DOUBLE) AS monetary,
+        |    percent_rank() OVER (ORDER BY recency_days DESC, cust) AS r_pct,
+        |    percent_rank() OVER (ORDER BY frequency ASC, cust) AS f_pct,
+        |    percent_rank() OVER (ORDER BY monetary_dec ASC, cust) AS m_pct
+        |  FROM stats)
+        |SELECT cust, recency_days, frequency, monetary, r_pct, f_pct, m_pct,
+        |  CASE WHEN r_pct >= 0.75 AND f_pct >= 0.75 AND m_pct >= 0.75 THEN 'champion'
+        |       WHEN r_pct >= 0.5 AND f_pct >= 0.5 THEN 'loyal'
+        |       WHEN r_pct < 0.25 AND m_pct >= 0.5 THEN 'at_risk'
+        |       ELSE 'regular' END AS segment
+        |FROM scored
+        |ORDER BY cust""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val anchor = t.orders.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+      val stats = t.orders
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(
+          max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("o_totalprice"))).as("monetary_dec"))
+        .crossJoin(broadcast(anchor))
+        .select(col("cust"),
+          datediff(col("anchor"), col("last_order")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary_dec"))
+      val wR = Window.orderBy(desc("recency_days"), asc("cust"))
+      val wF = Window.orderBy(asc("frequency"), asc("cust"))
+      val wM = Window.orderBy(asc("monetary_dec"), asc("cust"))
+      val scored = stats.select(
+        col("cust"), col("recency_days"), col("frequency"),
+        col("monetary_dec").cast("double").as("monetary"),
+        percent_rank().over(wR).as("r_pct"),
+        percent_rank().over(wF).as("f_pct"),
+        percent_rank().over(wM).as("m_pct"))
+      scored.withColumn("segment",
+        when(col("r_pct") >= 0.75 && col("f_pct") >= 0.75 && col("m_pct") >= 0.75, "champion")
+          .when(col("r_pct") >= 0.5 && col("f_pct") >= 0.5, "loyal")
+          .when(col("r_pct") < 0.25 && col("m_pct") >= 0.5, "at_risk")
+          .otherwise("regular"))
+        .orderBy("cust")
+    },
+
     // ----- q25: ordered event journey per user — groupArray → arrayStringConcat
     // (A10 — sample_queries.sql:422,435). Spark side sorts collected structs so
     // the result is deterministic regardless of shuffle arrival order.
