@@ -73,6 +73,22 @@ object Layout {
     dropped.map(_.getFileName.toString)
   }
 
+  /** Compaction (SURVEY §7.1 step 9): rewrite one month partition into
+    * `targetFiles` files — the background-merge analog for a streaming sink
+    * that accumulated many small files. Writes to a temp dir then swaps, so
+    * readers never see a half-written partition.
+    */
+  def compactPartition(spark: SparkSession, path: String, month: Int, targetFiles: Int = 1): Unit = {
+    val partDir = Paths.get(path, s"event_month=$month")
+    if (!Files.exists(partDir)) return
+    val tmp = Paths.get(path, s".compact_tmp_$month")
+    spark.read.parquet(partDir.toString)
+      .coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursively(partDir)
+    Files.move(tmp, partDir)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)

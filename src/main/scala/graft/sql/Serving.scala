@@ -46,4 +46,28 @@ object Serving {
   def refresh(spark: SparkSession, dir: String, queryName: String, resultPath: String): Unit =
     Catalog.byName(queryName).build(spark, dir)
       .write.mode("overwrite").parquet(resultPath)
+
+  /** `REFRESH EVERY n` (ST10 — 05-add-refreshable-mvs.sql:18,56,108,156,199):
+    * drive [[refresh]] on a fixed cadence. Returns a handle; close to stop.
+    * In production any external scheduler works identically — refresh is a
+    * pure overwrite of the result table.
+    */
+  def scheduleRefresh(
+      spark: SparkSession, dir: String, queryName: String,
+      resultPath: String, periodMillis: Long): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, s"graft-refresh-$queryName"); t.setDaemon(true); t
+    }
+    exec.scheduleAtFixedRate(
+      () => try refresh(spark, dir, queryName, resultPath)
+      catch { case e: Throwable => System.err.println(s"[refresh] $queryName: $e") },
+      0, periodMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+    // graceful stop: let an in-flight refresh finish its overwrite — an
+    // interrupt mid-write would leave an uncommitted result table
+    () => {
+      exec.shutdown()
+      exec.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+  }
 }

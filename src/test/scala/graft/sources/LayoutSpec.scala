@@ -43,6 +43,24 @@ class LayoutSpec extends SparkSpec {
     assert(rest.select(min("event_month")).collect()(0).getInt(0) == 202402)
   }
 
+  test("compaction rewrites a partition to fewer files, same rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/events"
+    // write with many shuffle partitions to force several small files
+    val many = syntheticEvents().repartition(6)
+    many.withColumn("event_month", date_format(col("ts"), "yyyyMM").cast("int"))
+      .write.mode("overwrite").partitionBy("event_month").parquet(out)
+    val before = spark.read.parquet(out).filter(col("event_month") === 202401)
+    val filesBefore = new java.io.File(out + "/event_month=202401")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val rowsBefore = before.count()
+    assert(filesBefore > 1)
+    Layout.compactPartition(spark, out, 202401)
+    val filesAfter = new java.io.File(out + "/event_month=202401")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 1)
+    assert(spark.read.parquet(out).filter(col("event_month") === 202401).count() == rowsBefore)
+  }
+
   test("sort-within-partitions layout is preserved in written files") {
     val out = java.nio.file.Files.createTempDirectory("graft_sort").toString + "/events"
     Layout.writeEventsPartitioned(syntheticEvents(), out)

@@ -77,6 +77,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map("2024-01-01" -> 3L, "2024-01-02" -> 9L))
   }
 
+  test("late rows fold into their group when no watermark is set (ST7 / ClickHouse parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("late_test").start()
+    try {
+      stream.addData(Ev(1, ts("2024-01-05 10:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // a row 4 days "late" relative to everything seen so far
+      stream.addData(Ev(2, ts("2024-01-01 09:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_test")
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      // ClickHouse MV semantics: the late insert still lands in its key group
+      assert(rows == Map("2024-01-05" -> 1L, "2024-01-01" -> 1L))
+    } finally q.stop()
+  }
+
   test("file-source streaming MV over testdata matches batch (AvailableNow)") {
     val agg = StreamingMVs.dailyMvStream(spark, sf())
     val q = agg.writeStream.outputMode("complete")
