@@ -10,6 +10,7 @@ object Catalog {
       operators.Windows.defs ++
       operators.ScalarsAndSets.defs ++
       operators.Sketches.defs ++
+      operators.DistributedRank.defs ++
       functions.Dictionaries.defs ++
       pipeline.Dedup.defs ++
       pipeline.Similarity.defs ++
