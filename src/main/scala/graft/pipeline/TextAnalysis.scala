@@ -127,6 +127,35 @@ object TextAnalysis {
         .orderBy("source")
     },
 
+    // ----- tx05: text normalization — the cleaning stage of a training-data
+    // pipeline: lowercase, strip non-alphanumerics, collapse whitespace,
+    // drop stopwords; reports size retention. Pure map-side expressions.
+    QueryDef.sql(
+      "tx05_normalize",
+      s"""WITH n AS (SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, clean,
+         |    list_filter(string_split(clean, ' '),
+         |      w -> NOT list_contains([${stopEn.map("'" + _ + "'").mkString(", ")}], w)) AS kept
+         |  FROM n)
+         |SELECT doc_id, lang,
+         |  CAST(length(clean) AS BIGINT) AS clean_chars,
+         |  CAST(len(kept) AS BIGINT) AS kept_words,
+         |  array_to_string(kept[1:8], ' ') AS preview
+         |FROM f ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val n = Tables(spark, dir).documents.select(col("doc_id"), col("lang"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("clean"))
+      val f = n.withColumn("kept",
+        filter(split(col("clean"), " "), w => !array_contains(typedLit(stopEn), w)))
+      f.select(col("doc_id"), col("lang"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        size(col("kept")).cast("long").as("kept_words"),
+        concat_ws(" ", slice(col("kept"), 1, 8)).as("preview"))
+        .orderBy("doc_id")
+    },
+
     // ----- tx04: document fingerprinting — polynomial rolling hash over the
     // character stream, exact BIGINT arithmetic mod 1e9+7 (bit-identical in
     // any engine; groups exact duplicates without comparing full texts).
