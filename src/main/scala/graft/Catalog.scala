@@ -11,6 +11,7 @@ object Catalog {
       operators.ScalarsAndSets.defs ++
       operators.Sketches.defs ++
       operators.DistributedRank.defs ++
+      plans.TopKPerGroup.defs ++
       functions.Dictionaries.defs ++
       pipeline.Dedup.defs ++
       pipeline.Similarity.defs ++

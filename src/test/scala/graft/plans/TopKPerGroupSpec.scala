@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.{Catalog, SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerGroupSpec extends SparkSpec {
+
+  test("custom operator equals window row_number formulation") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 5.0), ("b", 6L, 5.0),
+      ("c", 7L, 1.0),
+    ).toDF("g", "id", "score")
+    val viaWindow = df.withColumn("rnk",
+      row_number().over(Window.partitionBy("g").orderBy(desc("score"), asc("id"))).cast("long"))
+      .filter(col("rnk") <= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val viaCustom = TopKPerGroup.topK(df, Seq("g"), "score", "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(viaCustom == viaWindow)
+    // ties: group a has two 30.0 scores — id asc breaks them
+    assert(viaCustom.contains(("a", 2L, 1L)) && viaCustom.contains(("a", 4L, 2L)))
+  }
+
+  test("physical plan uses TopKPerGroupExec with a clustered exchange, no sort") {
+    val t = Tables(spark, sf())
+    val rev = t.lineitem.groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").cast("double").as("qty"))
+    val plan = TopKPerGroup.topK(rev, Seq("l_suppkey"), "qty", "l_partkey", 3)
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the "Exec" suffix in plan strings
+    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("WindowExec"), "must not fall back to a window")
+  }
+
+  test("q37 equals q21 row for row") {
+    val q21 = Catalog.byName("q21_top_parts_per_brand").build(spark, sf())
+      .collect().map(_.toSeq.toList).toSet
+    val q37 = Catalog.byName("q37_topk_custom_operator").build(spark, sf())
+      .select("p_brand", "p_partkey", "p_name", "revenue", "line_count", "rnk")
+      .collect().map(_.toSeq.toList).toSet
+    assert(q37 == q21 && q21.nonEmpty)
+  }
+
+  test("k larger than group size emits the whole group, ranked") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 2.0), ("g", 2L, 1.0)).toDF("g", "id", "score")
+    val out = TopKPerGroup.topK(df, Seq("g"), "score", "id", 10)
+      .orderBy("rnk").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+  }
+}
