@@ -30,8 +30,15 @@ object DistributedRank {
   def withGlobalRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
     val spark = df.sparkSession
     val numParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // persist: the offsets collect and the final plan must observe the SAME
+    // range partitioning — repartitionByRange samples boundaries per
+    // execution, and two independent executions can split borderline keys
+    // differently (observed at sf0.1: offsets for a partitioning the final
+    // run didn't have). At larger scale swap persist for a checkpoint or an
+    // explicitly computed boundary set reused by both passes.
     val ranged = df.repartitionByRange(numParts, keys: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist()
     // one row per partition — tiny, metadata-scale collect
     val sizes = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

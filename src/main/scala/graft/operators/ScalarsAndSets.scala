@@ -229,6 +229,30 @@ object ScalarsAndSets {
       semi.unionByName(anti).unionByName(full).orderBy("bucket")
     },
 
+    // ----- q38: ROLLUP hierarchy totals (beyond the reference — SURVEY §2.4
+    // notes it has no grouping sets; engine completeness). Null markers
+    // coalesced to 'ALL' so ordering stays deterministic cross-engine.
+    QueryDef.sql(
+      "q38_rollup_totals",
+      """SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+        |ORDER BY yr, status""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select(year(col("o_orderdate")).as("y"), col("o_orderstatus"), dec(col("o_totalprice")).as("p"))
+        .rollup("y", "o_orderstatus")
+        .agg(count(lit(1)).as("orders"), sum("p").cast("double").as("revenue"))
+        .select(
+          coalesce(col("y").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("orders"), col("revenue"))
+        .orderBy("yr", "status")
+    },
+
     // ----- q32: global top-K — ORDER BY … LIMIT plans as TakeOrderedAndProject
     // (O1 — app.py:154–155 and everywhere).
     QueryDef.sql(

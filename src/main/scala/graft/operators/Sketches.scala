@@ -35,6 +35,21 @@ object Sketches {
         .orderBy("event_type")
     },
 
+    // ----- uq03: quantiles — exact interpolated percentile + approximate
+    // t-digest-class percentile_approx (ClickHouse quantile/quantileTDigest
+    // family). Interpolation rounding differs across engines ⇒ rows-only;
+    // SketchesSpec bounds approx vs exact.
+    QueryDef.rowsOnly("uq03_quantiles") { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_exact"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("median_approx"),
+          expr("percentile(o_totalprice, array(0.25, 0.75, 0.95))").as("quartiles"),
+          count(lit(1)).as("orders"))
+        .orderBy("o_orderstatus")
+    },
+
     // ----- uq02: query-time approximate distinct (`uniq` ≈ approx_count_distinct).
     QueryDef.rowsOnly("uq02_uniq_approx") { (spark, dir) =>
       Tables(spark, dir).events
