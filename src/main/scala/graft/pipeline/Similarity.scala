@@ -38,6 +38,30 @@ object Similarity {
     e.select(col("vec_id"), posexplode(keys)).toDF("vec_id", "table_id", "bucket")
   }
 
+  private def lshTopK(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val bk = buckets(e).cache()
+    val qbBase = bk.filter(col("vec_id") < NumQueries).toDF("qid", "table_id", "bucket")
+    val qb =
+      if (!multiProbe) qbBase
+      else qbBase.select(col("qid"), col("table_id"),
+        explode(expr(
+          s"transform(sequence(-1, ${H - 1}), i -> if(i < 0, bucket, bucket ^ shiftleft(1L, i)))"))
+          .as("bucket"))
+    val cands = qb.join(bk.toDF("nid", "table_id", "bucket"), Seq("table_id", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "nid").distinct()
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    cands.join(broadcast(q), "qid").join(n, "nid")
+      .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "nid", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- ann01: exact top-K cosine neighbors, brute force (the correctness
@@ -75,21 +99,15 @@ object Similarity {
     // ----- ann02: LSH-bucketed ANN — candidates share a (table, bucket) key
     // with the query; exact cosine re-rank within candidates only.
     QueryDef.rowsOnly("ann02_topk_lsh") { (spark, dir) =>
-      val e = Tables(spark, dir).embeddings
-      val bk = buckets(e).cache()
-      val qb = bk.filter(col("vec_id") < NumQueries).toDF("qid", "table_id", "bucket")
-      val cands = qb.join(bk.toDF("nid", "table_id", "bucket"), Seq("table_id", "bucket"))
-        .filter(col("nid") =!= col("qid"))
-        .select("qid", "nid").distinct()
-      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
-      cands.join(broadcast(q), "qid").join(n, "nid")
-        .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
-        .select("qid", "rnk", "nid", "cosine")
-        .orderBy("qid", "rnk")
+      lshTopK(spark, dir, multiProbe = false)
+    },
+
+    // ----- ann04: multi-probe LSH — queries additionally probe every
+    // Hamming-1 neighbor bucket (one hyperplane sign flipped), recovering
+    // most of the recall single-probe loses for ~(H+1)× the candidate reads —
+    // still a tiny fraction of a full scan.
+    QueryDef.rowsOnly("ann04_topk_lsh_multiprobe") { (spark, dir) =>
+      lshTopK(spark, dir, multiProbe = true)
     },
 
     // ----- ann03: IVF-style coarse quantization, probe=1 — the `label` column

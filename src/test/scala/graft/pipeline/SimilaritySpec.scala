@@ -34,6 +34,14 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.map(r => (r.getLong(0), r.getLong(2))).toSet.intersect(bf).nonEmpty)
   }
 
+  test("multi-probe LSH recall >= single-probe recall") {
+    val bf = rows("ann01_topk_bruteforce").map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = rows("ann02_topk_lsh").map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = rows("ann04_topk_lsh_multiprobe").map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(multi.intersect(bf).size >= single.intersect(bf).size)
+    assert(multi.nonEmpty)
+  }
+
   test("IVF probe-1: every query searches exactly one label partition") {
     val r = rows("ann03_ivf_probe1")
     assert(r.nonEmpty)
