@@ -181,6 +181,34 @@ object Windows {
         .orderBy("cust")
     },
 
+    // ----- q40: lag/lead period-over-period deltas — daily revenue with
+    // previous-day delta and next-day peek (completes the offset-window
+    // family; the reference uses islands of this shape via MVs).
+    QueryDef.sql(
+      "q40_revenue_deltas",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT order_date,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec - lag(rev_dec) OVER (ORDER BY order_date) AS DOUBLE) AS delta_prev,
+        |  CAST(lead(rev_dec) OVER (ORDER BY order_date) AS DOUBLE) AS next_revenue
+        |FROM daily
+        |ORDER BY order_date""".stripMargin,
+    ) { (spark, dir) =>
+      val daily = Tables(spark, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("order_date"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      val w = Window.orderBy("order_date")
+      daily.select(
+        col("order_date"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec") - lag("rev_dec", 1).over(w)).cast("double").as("delta_prev"),
+        lead("rev_dec", 1).over(w).cast("double").as("next_revenue"))
+        .orderBy("order_date")
+    },
+
     // ----- q25: ordered event journey per user — groupArray → arrayStringConcat
     // (A10 — sample_queries.sql:422,435). Spark side sorts collected structs so
     // the result is deterministic regardless of shuffle arrival order.

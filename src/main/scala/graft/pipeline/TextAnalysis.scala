@@ -156,6 +156,29 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ----- tx06: corpus term frequencies — top terms with document frequency
+    // (the vocabulary-stats stage of a corpus pipeline; explode + two-level agg).
+    QueryDef.sql(
+      "tx06_term_frequencies",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+        |  FROM w GROUP BY term)
+        |SELECT term, occurrences, doc_freq,
+        |  CAST(occurrences AS DOUBLE) / doc_freq AS occ_per_doc
+        |FROM tf
+        |ORDER BY occurrences DESC, term
+        |LIMIT 30""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+        .select(col("term"), col("occurrences"), col("doc_freq"),
+          (col("occurrences").cast("double") / col("doc_freq")).as("occ_per_doc"))
+        .orderBy(desc("occurrences"), asc("term"))
+        .limit(30)
+    },
+
     // ----- tx04: document fingerprinting — polynomial rolling hash over the
     // character stream, exact BIGINT arithmetic mod 1e9+7 (bit-identical in
     // any engine; groups exact duplicates without comparing full texts).

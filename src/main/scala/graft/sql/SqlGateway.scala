@@ -99,6 +99,32 @@ object SqlGateway {
           |ORDER BY order_month""".stripMargin))
     },
 
+    // ----- sq04: correlated scalar subqueries through the raw SQL path —
+    // Catalyst's RewriteCorrelatedScalarSubquery handles the decorrelation
+    // the DataFrame path does by hand in q17 (SURVEY §4). Same SQL runs in
+    // both engines.
+    QueryDef.sql(
+      "sq04_correlated_subquery",
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |  CAST((SELECT MAX(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order
+        |FROM customer
+        |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+        |ORDER BY n_orders DESC, c_custkey
+        |LIMIT 50""".stripMargin,
+    ) { (spark, dir) =>
+      execute(spark, dir,
+        """SELECT c_custkey, c_name,
+          |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          |  CAST((SELECT MAX(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders
+          |        WHERE o_custkey = c_custkey) AS DOUBLE) AS max_order
+          |FROM customer
+          |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+          |ORDER BY n_orders DESC, c_custkey
+          |LIMIT 50""".stripMargin)
+    },
+
     // ----- sq01: a ClickHouse-dialect query through the gateway — toYYYYMM /
     // countIf / sumIf / toDate resolve via the injected aliases; the oracle is
     // the ANSI equivalent.
