@@ -45,6 +45,29 @@ object Ingest {
       .groupBy(window(col("ts"), "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("events"), sum("value").as("total_value"))
 
+  /** JSONEachRow batch ingestion (S2 — generate_data.py:44–59 posts
+    * `INSERT ... FORMAT JSONEachRow` over HTTP): parse JSON-lines into the
+    * typed events schema. `from_json` with an explicit schema — malformed
+    * rows surface as nulls, never exceptions (columnar-safe at scale).
+    */
+  def fromJsonLines(spark: SparkSession, lines: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    lines.select(from_json(col("value").cast("string"), schema).as("e"))
+      .select("e.*")
+  }
+
+  /** Stream-static enrichment: the streaming events joined to a broadcast
+    * dimension (the streaming form of J9 dictionary lookup — stream side
+    * never shuffles for the join).
+    */
+  def enrichedStream(spark: SparkSession, rowsPerBatch: Int, dim: DataFrame): DataFrame =
+    generatedEventStream(spark, rowsPerBatch)
+      .join(broadcast(dim), Seq("user_id"), "left")
+
   /** Change feed (S5/ST8): poll events with id > lastSeen, in id order,
     * bounded batch — the reference's SSE tail loop
     * (`WHERE event_id > $last ORDER BY event_id LIMIT 50`). The monotonic-id
