@@ -77,6 +77,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map("2024-01-01" -> 3L, "2024-01-02" -> 9L))
   }
 
+  test("checkpoint recovery: a restarted query reprocesses nothing (ST11)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_ckpt_sink").toString + "/mv"
+    def runOnce(): Unit = {
+      val agg = StreamingMVs.dailyMvStream(spark, sf())
+        .withColumnRenamed("val_dec", "v")
+        .select(col("event_date"), col("event_type"), col("events"), col("v").cast("double").as("total"))
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamingMVs.upsertByPartition(batch, "event_date", sink)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(sink).collect().map(_.toSeq).toSet
+    assert(first.nonEmpty)
+    // same source, same checkpoint: nothing new to process, sink unchanged
+    runOnce()
+    val second = spark.read.parquet(sink).collect().map(_.toSeq).toSet
+    assert(second == first)
+  }
+
+  test("stream-stream interval self-join with watermarks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val v = views.toDF().select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases.toDF().select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = v.join(p,
+      expr("v_user = p_user AND p_ts BETWEEN v_ts AND v_ts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_test").start()
+    try {
+      views.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 0), Ev(2, ts("2024-01-01 10:00:00"), 2, "view", 0))
+      purchases.addData(
+        Ev(3, ts("2024-01-01 10:10:00"), 1, "purchase", 9), // within 30 min of user 1's view
+        Ev(4, ts("2024-01-01 11:10:00"), 2, "purchase", 9)) // outside the interval
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test").collect()
+      assert(rows.length == 1, s"expected one attributed purchase, got ${rows.length}")
+      assert(rows(0).getAs[Long]("v_user") == 1)
+    } finally q.stop()
+  }
+
   test("late rows fold into their group when no watermark is set (ST7 / ClickHouse parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
