@@ -30,6 +30,31 @@ object Dialect {
     "toStartOfMinute" -> (args => TruncTimestamp(Literal("minute"), args.head)),
     "today" -> (_ => Cast(CurrentTimestamp(), DateType)),
     "uniq" -> (args => HyperLogLogPlusPlus(args.head).toAggregateExpression()),
+    "uniqExact" -> (args => Count(args.head).toAggregateExpression(isDistinct = true)),
+    "avgIf" -> (args =>
+      Average(If(args(1), args.head, Literal(null, NullType))).toAggregateExpression()),
+    "minIf" -> (args =>
+      Min(If(args(1), args.head, Literal(null, NullType))).toAggregateExpression()),
+    "maxIf" -> (args =>
+      Max(If(args(1), args.head, Literal(null, NullType))).toAggregateExpression()),
+    // toStartOfInterval(ts, INTERVAL n unit) — floor-bucket by the interval
+    // length in seconds (day-time intervals only, matching the workload's
+    // 30-minute sessions — sample_queries.sql:431)
+    "toStartOfInterval" -> { args =>
+      val secs: Long = args(1) match {
+        // Spark 4 parses day-time INTERVAL literals as ANSI intervals (micros)
+        case Literal(micros: Long, _: DayTimeIntervalType) => micros / 1000000L
+        case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, _) =>
+          require(ci.months == 0, "toStartOfInterval: month intervals unsupported")
+          ci.days * 86400L + ci.microseconds / 1000000L
+        case other =>
+          throw new IllegalArgumentException(s"toStartOfInterval expects an INTERVAL literal, got $other")
+      }
+      require(secs > 0, "toStartOfInterval: zero-length interval")
+      SecondsToTimestamp(Multiply(
+        IntegralDivide(Cast(args.head, LongType), Literal(secs), evalMode = EvalMode.LEGACY),
+        Literal(secs)))
+    },
     "countIf" -> (args =>
       Count(If(args.head, Literal(1), Literal(null, IntegerType))).toAggregateExpression()),
     "sumIf" -> (args =>

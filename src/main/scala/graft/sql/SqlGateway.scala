@@ -99,6 +99,31 @@ object SqlGateway {
           |ORDER BY order_month""".stripMargin))
     },
 
+    // ----- sq05: the reference's 30-minute sessionization SQL
+    // (sample_queries.sql:414–438) near-verbatim — toStartOfInterval + count()
+    // over the demo events view; oracle uses epoch floor arithmetic.
+    QueryDef.sql(
+      "sq05_reference_sessions",
+      """SELECT user_id,
+        |  time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS session_start,
+        |  COUNT(*) AS session_events
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY user_id, session_start
+        |LIMIT 500""".stripMargin,
+    ) { (spark, dir) =>
+      graft.sources.DemoSchema.register(spark, dir)
+      Dialect.register(spark)
+      spark.sql(Dialect.translate(
+        """SELECT user_id,
+          |  toStartOfInterval(event_timestamp, INTERVAL 30 MINUTE) AS session_start,
+          |  count() AS session_events
+          |FROM events_demo
+          |GROUP BY user_id, session_start
+          |ORDER BY user_id, session_start
+          |LIMIT 500""".stripMargin))
+    },
+
     // ----- sq04: correlated scalar subqueries through the raw SQL path —
     // Catalyst's RewriteCorrelatedScalarSubquery handles the decorrelation
     // the DataFrame path does by hand in q17 (SURVEY §4). Same SQL runs in

@@ -29,6 +29,20 @@ class DialectSpec extends SparkSpec {
     assert(sql1("SELECT sumIf(x, x > 100) FROM VALUES (1),(2) AS t(x)") == 0)
   }
 
+  test("avgIf/minIf/maxIf/uniqExact") {
+    assert(sql1("SELECT avgIf(x, x > 2) FROM VALUES (1),(3),(5) AS t(x)") == 4.0)
+    assert(sql1("SELECT minIf(x, x > 2) FROM VALUES (1),(3),(5) AS t(x)") == 3)
+    assert(sql1("SELECT maxIf(x, x < 4) FROM VALUES (1),(3),(5) AS t(x)") == 3)
+    assert(sql1("SELECT uniqExact(x) FROM VALUES (1),(1),(2) AS t(x)") == 2L)
+  }
+
+  test("toStartOfInterval floor-buckets timestamps") {
+    assert(sql1("SELECT toStartOfInterval(TIMESTAMP '2024-03-15 13:47:12', INTERVAL 30 MINUTE)").toString
+      == "2024-03-15 13:30:00.0")
+    assert(sql1("SELECT toStartOfInterval(TIMESTAMP '2024-03-15 13:47:12', INTERVAL 1 HOUR)").toString
+      == "2024-03-15 13:00:00.0")
+  }
+
   test("uniq approximates distinct count") {
     val n = sql1("SELECT uniq(x) FROM (SELECT explode(sequence(1, 1000)) AS x)").asInstanceOf[Long]
     assert(math.abs(n - 1000) < 100)
