@@ -17,6 +17,7 @@ object Catalog {
       pipeline.Similarity.defs ++
       pipeline.TextAnalysis.defs ++
       pipeline.Multimodal.defs ++
+      pipeline.CorpusPipeline.defs ++
       streaming.StreamingMVs.defs ++
       sql.SqlGateway.defs
 
