@@ -31,6 +31,9 @@ object Dialect {
     "today" -> (_ => Cast(CurrentTimestamp(), DateType)),
     "uniq" -> (args => HyperLogLogPlusPlus(args.head).toAggregateExpression()),
     "uniqExact" -> (args => Count(args.head).toAggregateExpression(isDistinct = true)),
+    "median" -> (args => Median(args.head).toAggregateExpression()),
+    "quantileExact" -> (args =>
+      Percentile(args(1), args.head, Literal(1L)).toAggregateExpression()),
     "avgIf" -> (args =>
       Average(If(args(1), args.head, Literal(null, NullType))).toAggregateExpression()),
     "minIf" -> (args =>

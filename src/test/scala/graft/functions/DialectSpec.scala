@@ -43,6 +43,11 @@ class DialectSpec extends SparkSpec {
       == "2024-03-15 13:00:00.0")
   }
 
+  test("median and quantileExact") {
+    assert(sql1("SELECT median(x) FROM VALUES (1),(2),(3),(100) AS t(x)") == 2.5)
+    assert(sql1("SELECT quantileExact(0.25, x) FROM VALUES (1),(2),(3),(4),(5) AS t(x)") == 2.0)
+  }
+
   test("uniq approximates distinct count") {
     val n = sql1("SELECT uniq(x) FROM (SELECT explode(sequence(1, 1000)) AS x)").asInstanceOf[Long]
     assert(math.abs(n - 1000) < 100)
