@@ -253,6 +253,80 @@ object ScalarsAndSets {
         .orderBy("yr", "status")
     },
 
+    // ----- q41: CUBE — all grouping-set combinations (completes the
+    // grouping-sets family started by q38's ROLLUP).
+    QueryDef.sql(
+      "q41_cube_matrix",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |  COUNT(*) AS line_count,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), col("l_linestatus"), dec(col("l_quantity")).as("q"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("line_count"), sum("q").cast("double").as("total_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("line_count"), col("total_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // ----- q42: first_value / last_value with explicit frames — per customer,
+    // first and latest order value (offset-window family completion).
+    QueryDef.sql(
+      "q42_first_last_order",
+      """SELECT DISTINCT o_custkey,
+        |  CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS first_order_value,
+        |  CAST(last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS latest_order_value,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin,
+    ) { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir).orders
+        .select(col("o_custkey"),
+          first(dec(col("o_totalprice"))).over(w).cast("double").as("first_order_value"),
+          last(dec(col("o_totalprice"))).over(w).cast("double").as("latest_order_value"),
+          count(lit(1)).over(w).cast("long").as("n_orders"))
+        .distinct()
+        .orderBy("o_custkey")
+    },
+
+    // ----- q45: string scalar functions — substring/replace/case/pad/locate
+    // (completes the §2.8 string family beyond ILIKE/concat_ws).
+    QueryDef.sql(
+      "q45_string_functions",
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  replace(c_name, 'Customer#', 'C-') AS short_name,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos
+        |FROM customer
+        |ORDER BY c_custkey
+        |LIMIT 100""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).customer
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          regexp_replace(col("c_name"), "Customer#", "C-").as("short_name"),
+          length(col("c_name")).cast("long").as("name_len"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+          locate("#", col("c_name")).cast("long").as("hash_pos"))
+        .orderBy("c_custkey")
+        .limit(100)
+    },
+
     // ----- q32: global top-K — ORDER BY … LIMIT plans as TakeOrderedAndProject
     // (O1 — app.py:154–155 and everywhere).
     QueryDef.sql(
