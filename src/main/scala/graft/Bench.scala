@@ -55,10 +55,16 @@ object Bench {
       val q = graft.streaming.Ingest.generatedMinuteMv(spark, rowsPerBatch = 50000)
         .writeStream.outputMode("update").format("noop")
         .trigger(Trigger.ProcessingTime(0)).start()
+      // warm-up: wait (bounded) for the first processed batch before timing,
+      // so slow stream startup under load doesn't read as zero throughput
+      val warmDeadline = System.currentTimeMillis() + 30000
+      while (q.recentProgress.map(_.numInputRows).sum == 0 &&
+        System.currentTimeMillis() < warmDeadline) Thread.sleep(200)
+      val rows0 = q.recentProgress.map(_.numInputRows).sum
       val t0 = System.nanoTime()
       Thread.sleep(8000)
       q.stop()
-      val rows = q.recentProgress.map(_.numInputRows).sum
+      val rows = q.recentProgress.map(_.numInputRows).sum - rows0
       val secs = (System.nanoTime() - t0) / 1e9
       math.round(rows / secs * 10) / 10.0
     } catch { case e: Throwable =>
