@@ -18,6 +18,7 @@ object Catalog {
       pipeline.TextAnalysis.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
+      pipeline.SparseText.defs ++
       streaming.StreamingMVs.defs ++
       sql.SqlGateway.defs
 

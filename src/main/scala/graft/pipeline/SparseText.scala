@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical similarity and duplicate-cluster resolution — the
+  * text-side counterparts of the dense-embedding operators.
+  *
+  * ts01: TF/DF-weighted sparse cosine between documents over 3-gram shingle
+  * "terms", computed by a term-blocked join. Shingles, not unigrams: on a
+  * small shared vocabulary every document shares every word and unigram
+  * blocking degenerates to n² (measured: 114k candidate pairs at sf0.01);
+  * shingles keep the join volume proportional to true overlap. Weights are
+  * rational values of integer counts (tf/df), so every arithmetic step is an
+  * exact IEEE operation mirrored by the oracle — no transcendental idf (ln
+  * differs across libm implementations and would break hash parity); the
+  * final cosine is rounded to 9 decimals on both sides to absorb SUM(double)
+  * accumulation-order ulps.
+  *
+  * ts02: connected components over the exact near-dup pair graph (dd02) via
+  * min-label propagation — the "keep one doc per duplicate cluster" stage.
+  * Spark side iterates bounded label-propagation joins (Pregel-lite); the
+  * oracle computes the same components with a recursive-CTE transitive
+  * closure.
+  */
+object SparseText {
+
+  private val CosineThreshold = 0.35
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef.sql(
+      "ts01_sparse_text_cosine",
+      s"""WITH terms AS (
+         |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+         |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS term
+         |    FROM documents) t
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM terms GROUP BY term),
+         |w AS (SELECT doc_id, t.term, tf / df AS wt FROM terms t JOIN df ON t.term = df.term),
+         |norms AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wt * b.wt) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+         |FROM dots d JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id
+         |WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= $CosineThreshold
+         |ORDER BY cosine DESC, doc_a, doc_b""".stripMargin,
+    ) { (spark, dir) =>
+      val words = split(col("text"), " ")
+      val shingles = transform(
+        sequence(lit(1), greatest(size(words) - 2, lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(3))))
+      val terms = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(shingles).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = terms.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val w = terms.join(df, "term").select(col("doc_id"), col("term"), (col("tf") / col("df")).as("wt"))
+      val norms = w.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+      val a = w.select(col("term"), col("doc_id").as("doc_a"), col("wt").as("wa"))
+      val b = w.select(col("term"), col("doc_id").as("doc_b"), col("wt").as("wb"))
+      val dots = a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("wa") * col("wb")).as("dot"))
+      val na = norms.toDF("doc_a", "na")
+      val nb = norms.toDF("doc_b", "nb")
+      // rounded to 9 decimals on both sides: groupBy SUM(double) accumulation
+      // order differs across engines (1-ulp drift); rounding absorbs it while
+      // keeping the threshold decision identical
+      dots.join(na, "doc_a").join(nb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("dot") / (col("na") * col("nb")), 9).as("cosine"))
+        .filter(col("cosine") >= CosineThreshold)
+        .orderBy(desc("cosine"), asc("doc_a"), asc("doc_b"))
+    },
+
+    QueryDef.sql(
+      "ts02_dedup_clusters",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM w),
+        |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5),
+        |undirected AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM edges
+        |  UNION ALL SELECT doc_b, doc_a FROM edges),
+        |nodes AS (SELECT DISTINCT src AS doc FROM undirected),
+        |reach AS (
+        |  WITH RECURSIVE r(doc, peer) AS (
+        |    SELECT doc, doc FROM nodes
+        |    UNION
+        |    SELECT r.doc, u.dst FROM r JOIN undirected u ON r.peer = u.src)
+        |  SELECT * FROM r)
+        |SELECT doc AS doc_id, CAST(MIN(peer) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY doc
+        |ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      // exact near-dup edges (same definition as dd02)
+      val edges = graft.Catalog.byName("dd02_ngram_jaccard").build(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val undirected = edges
+        .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+        .cache()
+      // min-label propagation to fixpoint (components here are tiny chains;
+      // each iteration halves label distance — bounded loop with convergence check)
+      var labels = undirected.select(col("src").as("doc")).distinct()
+        .withColumn("label", col("doc"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = undirected
+          .join(labels.withColumnRenamed("doc", "src").withColumnRenamed("label", "src_label"), "src")
+          .groupBy(col("dst").as("doc"))
+          .agg(min("src_label").as("nbr_label"))
+        val next = labels.join(neighborMin, Seq("doc"), "left")
+          .select(col("doc"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .cache()
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
+          .filter(col("label") =!= col("old")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("doc").as("doc_id"), col("label").cast("long").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+  )
+}
