@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Read-only plan audit across the whole catalog: flags plan shapes that are
+  * fine at test scale but wrong at 100 TB (cartesian products, broadcast
+  * nested loops, single-partition exchanges) so intentional uses stay
+  * documented and accidental ones get caught.
+  *
+  * Round-1 audit result — every flag accounted for, no CartesianProduct:
+  *   - BroadcastNestedLoopJoin: 1-row max(ts)/centroid anchor cross-joins
+  *     (q18/q26/q35/ann03 — broadcasting one row is free) and the non-equi
+  *     brute-force similarity baselines (dd05/ann01 — whose scale paths are
+  *     the LSH/IVF variants ann02/ann04/ann03, dd03/dd04).
+  *   - SinglePartition: single-row global aggregates (q08/q09/q18/q26/q34/
+  *     pp01 stage stats), whole-relation windows over already-aggregated
+  *     small relations (q05/q31 share-of-total over ~5 event types), the
+  *     1-row-seeded date spine (q14), and the global-ranking windows
+  *     (q22/q23/q35/q40) whose distributed twin is q36/DistributedRank.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")
+    Catalog.all.foreach { d =>
+      try {
+        val plan = d.build(spark, sfDir).queryExecution.executedPlan.toString
+        val hits = flags.filter(plan.contains)
+        if (hits.nonEmpty) println(s"[audit] ${d.name}: ${hits.mkString(", ")}")
+      } catch { case e: Throwable => println(s"[audit] ${d.name}: PLAN FAILED ${e.getMessage.take(100)}") }
+      finally spark.catalog.clearCache()
+    }
+    println("[audit] done")
+    spark.stop()
+  }
+}
