@@ -327,6 +327,48 @@ object ScalarsAndSets {
         .limit(100)
     },
 
+    // ----- q43: array scalar functions over the embedding column —
+    // size/max/min/element access (the array-manipulation family the
+    // multimodal and similarity pipelines build on).
+    QueryDef.sql(
+      "q43_array_functions",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dims,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_component,
+        |  CAST(list_min(embedding) AS DOUBLE) AS min_component,
+        |  CAST(embedding[1] AS DOUBLE) AS first_component,
+        |  CAST(embedding[64] AS DOUBLE) AS last_component
+        |FROM embeddings
+        |ORDER BY vec_id
+        |LIMIT 200""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dims"),
+          array_max(col("embedding")).cast("double").as("max_component"),
+          array_min(col("embedding")).cast("double").as("min_component"),
+          element_at(col("embedding"), 1).cast("double").as("first_component"),
+          element_at(col("embedding"), 64).cast("double").as("last_component"))
+        .orderBy("vec_id")
+        .limit(200)
+    },
+
+    // ----- q46: UNION with distinct semantics (only UNION ALL appears in the
+    // reference — §2.7; completes the set-operation family with q33).
+    QueryDef.sql(
+      "q46_union_distinct",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .union(e.filter(col("event_type") === "signup").select("user_id"))
+        .distinct()
+        .orderBy("user_id")
+    },
+
     // ----- q32: global top-K — ORDER BY … LIMIT plans as TakeOrderedAndProject
     // (O1 — app.py:154–155 and everywhere).
     QueryDef.sql(
