@@ -93,9 +93,18 @@ object Multimodal {
 
     // ----- mm02: frame sampling — explode video metadata into per-frame rows
     // (the schema/partitioning shape of a frame-extraction stage; frame decode
-    // itself would slot into extractFeatures' stub).
-    QueryDef.rowsOnly("mm02_frame_sample") { (spark, dir) =>
-      import spark.implicits._
+    // itself would slot into extractFeatures' stub). Pure integer arithmetic
+    // over the documents-derived metadata ⇒ DuckDB mirrors the explode with
+    // generate_series (kind == "video" ⇔ doc_id % 3 = 2; n_frames = n_chars % 30 + 1).
+    QueryDef.sql(
+      "mm02_frame_sample",
+      """SELECT doc_id AS media_id,
+        |  COUNT(*) AS sampled_frames,
+        |  CAST(MAX(f.frame_no) AS BIGINT) AS last_frame
+        |FROM documents, UNNEST(generate_series(0, n_chars % 30)) AS f(frame_no)
+        |WHERE doc_id % 3 = 2 AND f.frame_no % 5 = 0
+        |GROUP BY 1 ORDER BY media_id""".stripMargin,
+    ) { (spark, dir) =>
       val media = mediaTable(spark, dir).toDF()
       media.filter(col("kind") === "video")
         .select(col("media_id"), col("n_frames"),
@@ -103,7 +112,8 @@ object Multimodal {
         // sample every 5th frame, deterministic
         .filter(col("frame_no") % 5 === 0)
         .groupBy("media_id")
-        .agg(count(lit(1)).as("sampled_frames"), max("frame_no").as("last_frame"))
+        .agg(count(lit(1)).as("sampled_frames"),
+          max("frame_no").cast("long").as("last_frame"))
         .orderBy("media_id")
     },
   )

@@ -102,8 +102,17 @@ object StreamingMVs {
     },
 
     // ----- st02: update-mode MV through the foreachBatch partition-upsert
-    // sink, read back from the sink table (rows-only: sink round-trip).
-    QueryDef.rowsOnly("st02_streaming_upsert_sink") { (spark, dir) =>
+    // sink, read back from the sink table. The sink round-trip must equal the
+    // batch hourly aggregate — same incremental-equals-batch property as st01.
+    QueryDef.sql(
+      "st02_streaming_upsert_sink",
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(hour(ts) AS BIGINT) AS event_hour, event_type,
+        |  COUNT(*) AS events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY event_date, event_hour, event_type""".stripMargin,
+    ) { (spark, dir) =>
       val outPath = java.nio.file.Files
         .createTempDirectory("graft_st02_").toString + "/mv_hourly"
       val agg = eventsStream(spark, dir)
