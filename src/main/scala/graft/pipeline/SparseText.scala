@@ -59,8 +59,17 @@ object SparseText {
         .select(col("doc_id"), explode(shingles).as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).cast("double").as("tf"))
-      val df = terms.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val w = terms.join(df, "term").select(col("doc_id"), col("term"), (col("tf") / col("df")).as("wt"))
+      // w feeds three consumers (norms, join side a, join side b) — materialize
+      // it once or the explode+groupBy+join chain runs three times.
+      // localCheckpoint rather than cache: blocks are freed by the
+      // ContextCleaner when the result frame is dropped, so library callers
+      // don't leak storage (the DistributedRank lesson). Hot shingle terms
+      // skew the a×b join key; AQE's skew-join split (on by default)
+      // re-partitions those at runtime, which preserves exact semantics —
+      // unlike dropping high-DF terms, which would change the cosine.
+      val w = terms.join(terms.groupBy("term").agg(count(lit(1)).cast("double").as("df")), "term")
+        .select(col("doc_id"), col("term"), (col("tf") / col("df")).as("wt"))
+        .localCheckpoint(true)
       val norms = w.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
       val a = w.select(col("term"), col("doc_id").as("doc_a"), col("wt").as("wa"))
       val b = w.select(col("term"), col("doc_id").as("doc_b"), col("wt").as("wb"))
@@ -112,11 +121,20 @@ object SparseText {
       val undirected = edges
         .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
-        .cache()
-      // min-label propagation to fixpoint (components here are tiny chains;
-      // each iteration halves label distance — bounded loop with convergence check)
+        .localCheckpoint(true) // edges are reused every round; snap the
+                               // expensive dd02 shingle join exactly once
+      // Min-label propagation to fixpoint. Each round's frame references the
+      // previous one twice (neighbor-min + outer join), so without plan
+      // truncation the logical plan doubles per round and Catalyst analysis
+      // alone goes exponential — this, not the data, was the 225 s r1 cost.
+      // localCheckpoint(eager) replaces the plan with the materialized RDD
+      // each round (superseded block sets are freed by the ContextCleaner
+      // as the old frames become unreachable). Convergence is an aggregated
+      // max(changed) over the just-materialized frame — metadata-scale, no
+      // second join job.
       var labels = undirected.select(col("src").as("doc")).distinct()
         .withColumn("label", col("doc"))
+        .localCheckpoint(true)
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
@@ -125,12 +143,12 @@ object SparseText {
           .groupBy(col("dst").as("doc"))
           .agg(min("src_label").as("nbr_label"))
         val next = labels.join(neighborMin, Seq("doc"), "left")
-          .select(col("doc"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .cache()
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "doc")
-          .filter(col("label") =!= col("old")).limit(1).count()
-        labels = next
-        converged = changed == 0
+          .select(col("doc"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+            (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
+          .localCheckpoint(true)
+        converged = !next.agg(coalesce(max("chg"), lit(false))).head().getBoolean(0)
+        labels = next.drop("chg")
         iter += 1
       }
       labels.select(col("doc").as("doc_id"), col("label").cast("long").as("cluster_id"))
