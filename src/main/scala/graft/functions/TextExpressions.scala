@@ -1,0 +1,131 @@
+package graft.functions
+
+import java.util.{HashSet => JHashSet}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text kernels for the corpus operators (same rationale as
+  * [[VectorExpressions]]: Spark's higher-order functions run their lambdas
+  * interpreted, which made stopword counting and rolling-hash fingerprinting
+  * the slowest map-side stages in round 1 — tx01 25.8 s, tx04 5.0 s at sf0.1).
+  *
+  * Semantics note: `ArrayCountInSet` counts *occurrences* (duplicates
+  * included), exactly like `size(filter(words, w -> contains(set, w)))` —
+  * `size(array_intersect(...))` would dedup and change results.
+  */
+object TextExpressions {
+
+  /** Occurrence count of array elements that belong to a static string set. */
+  def countInSet(words: Column, items: Seq[String]): Column =
+    ColumnBridge.column(ArrayCountInSet(ColumnBridge.expression(words), items))
+
+  /** Polynomial rolling hash over a string's UTF-16 code units:
+    * fold(acc = (acc * mult + char) % mod), acc0 = 0.
+    */
+  def polyHash(text: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
+    ColumnBridge.column(StringPolyHash(ColumnBridge.expression(text), mult, mod))
+}
+
+case class ArrayCountInSet(child: Expression, items: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_count_in_set requires array<string>, got ${dt.catalogString}")
+  }
+
+  // The membership set is built once per task (serialized with the
+  // expression, referenced from generated code) — never per row.
+  @transient private lazy val set: JHashSet[UTF8String] = {
+    val s = new JHashSet[UTF8String](items.size * 2)
+    items.foreach(i => s.add(UTF8String.fromString(i)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val setRef = ctx.addReferenceObj("countInSet", set, classOf[JHashSet[UTF8String]].getName)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = $a.numElements();
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `(…((0 * m + c₀) % p * m + c₁) % p …)` over the string's UTF-16 code
+  * units — bit-identical to the HOF formulation it replaces
+  * (`aggregate(transform(split(text, '')), 0L, (acc, c) -> (acc*m + ascii(c)) % p)`)
+  * for any BMP text, and to DuckDB's `list_reduce` fold for ASCII text.
+  */
+case class StringPolyHash(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_hash requires string, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * mult + s.charAt(i).toLong) % mod
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $a.toString();
+         |int $n = $s.length();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc = ($acc * ${mult}L + (long) $s.charAt($i)) % ${mod}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

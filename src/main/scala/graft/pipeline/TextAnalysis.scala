@@ -17,8 +17,13 @@ object TextAnalysis {
   private val stopFr = Seq("le", "les", "et", "des", "du", "une", "est")
   private val stopZh = Seq("de5", "shi4", "le5", "zai4", "wo3", "you3", "he2")
 
+  // Occurrence count per stopword list: a codegen'd set-membership loop
+  // (graft.functions.ArrayCountInSet). The r1 formulation
+  // size(filter(words, w -> array_contains(list, w))) evaluated the lambda
+  // interpreted per row × 5 lists — 25.8 s at sf0.1; the kernel is map-speed
+  // and keeps identical occurrence semantics (array_intersect would dedup).
   private def hits(words: Column, list: Seq[String]): Column =
-    size(filter(words, w => array_contains(typedLit(list), w)))
+    graft.functions.TextExpressions.countInSet(words, list)
 
   private def sqlHits(list: Seq[String]): String =
     s"len(list_filter(words, w -> list_contains([${list.map("'" + _ + "'").mkString(", ")}], w)))"
@@ -194,11 +199,12 @@ object TextAnalysis {
         |FROM f ORDER BY doc_id""".stripMargin,
     ) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // Codegen'd rolling-hash kernel (StringPolyHash) — the r1 interpreted
+      // aggregate-HOF over a per-character split was 5 s at sf0.1 for a
+      // map-side op; the kernel folds the UTF-16 units directly.
       Tables(spark, dir).documents
         .select(col("doc_id"),
-          aggregate(
-            transform(split(col("text"), ""), c => ascii(c).cast("long")),
-            lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
+          graft.functions.TextExpressions.polyHash(col("text")).as("fingerprint"))
         .withColumn("fp_copies", count(lit(1)).over(Window.partitionBy("fingerprint")).cast("long"))
         .orderBy("doc_id")
     },
