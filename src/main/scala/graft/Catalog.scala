@@ -20,6 +20,7 @@ object Catalog {
       pipeline.CorpusPipeline.defs ++
       pipeline.SparseText.defs ++
       streaming.StreamingMVs.defs ++
+      streaming.MvCascade.defs ++
       sql.SqlGateway.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap

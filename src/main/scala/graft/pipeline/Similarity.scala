@@ -121,8 +121,11 @@ object Similarity {
         .select(col("label"), posexplode(col("embedding"))).toDF("label", "dim", "v")
         .groupBy("label", "dim").agg(avg("v").as("c"))
         .groupBy("label")
+        // cast the double-avg centroid to array<float> for the float-vector
+        // kernel — r1 passed the double array straight in and getFloat read
+        // garbage off 8-byte slots (caught by the kernel's new type check)
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("centroid"))
+          x => x.getField("c")).cast("array<float>").as("centroid"))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
