@@ -40,7 +40,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val eps = ingestEventsPerSec(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist: the driver captures a bounded stdout tail, and r1's
+    // per-query numbers fell outside the window — the file copy is the
+    // durable record.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
   }
 
@@ -50,7 +60,19 @@ object Bench {
     * ~100 events/s + 20 orders/s ingest claim (BASELINE.md).
     */
   private def ingestEventsPerSec(spark: SparkSession): Double = {
-    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+    // Accumulate numInputRows in a listener: recentProgress is a bounded
+    // rolling buffer (~100 entries), and with ProcessingTime(0) more batches
+    // than that can elapse between two reads — differencing it undercounts
+    // (even negatively) once early batches roll out of the window.
+    val totalRows = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        totalRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     try {
       val q = graft.streaming.Ingest.generatedMinuteMv(spark, rowsPerBatch = 50000)
         .writeStream.outputMode("update").format("noop")
@@ -58,18 +80,18 @@ object Bench {
       // warm-up: wait (bounded) for the first processed batch before timing,
       // so slow stream startup under load doesn't read as zero throughput
       val warmDeadline = System.currentTimeMillis() + 30000
-      while (q.recentProgress.map(_.numInputRows).sum == 0 &&
+      while (totalRows.get() == 0 &&
         System.currentTimeMillis() < warmDeadline) Thread.sleep(200)
-      val rows0 = q.recentProgress.map(_.numInputRows).sum
+      val rows0 = totalRows.get()
       val t0 = System.nanoTime()
       Thread.sleep(8000)
       q.stop()
-      val rows = q.recentProgress.map(_.numInputRows).sum - rows0
+      val rows = totalRows.get() - rows0
       val secs = (System.nanoTime() - t0) / 1e9
       math.round(rows / secs * 10) / 10.0
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
       -1.0
-    }
+    } finally spark.streams.removeListener(listener)
   }
 }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * .orderBy(desc(s)))` + `filter(rank <= k)` — W1, q21) must SORT every group
   * in full before discarding all but k rows; at 100 TB with millions of rows
   * per group that is the dominant cost. This operator keeps a bounded k-row
-  * heap per group — memory O(groups × k), no sort — and demonstrates the full
+  * heap per group — memory O(groups × k), no sort — in two phases like a
+  * partial aggregation: a map-side pass ([[TopKPerGroupPartialExec]]) bounds
+  * the exchange to ≤ k rows per group per input partition, then the final
+  * pass re-heaps and ranks. It demonstrates the full
   * Catalyst extension stack per the build guidance: logical node ([[TopKPerGroupNode]]) →
   * planner strategy ([[TopKStrategy]]) → physical exec ([[TopKPerGroupExec]]),
   * registered via `SparkSessionExtensions` ([[GraftExtensions]]) or
@@ -102,10 +105,83 @@ case class TopKPerGroupNode(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: TopKPerGroupNode =>
+      // partial (map-side) pass under the final pass: the exchange the final
+      // exec requires then carries at most k rows per group per input
+      // partition — the top-K analog of partial aggregation
       TopKPerGroupExec(n.k, n.groupExprs, n.sortExpr, n.tieExpr, n.rankAttr,
-        planLater(n.child)) :: Nil
+        TopKPerGroupPartialExec(n.k, n.groupExprs, n.sortExpr, n.tieExpr,
+          planLater(n.child))) :: Nil
     case _ => Nil
   }
+}
+
+/** Shared bounded-heap pass: consume a partition, keep the best k rows per
+  * group (worst at heap head). Memory O(groups-in-partition × k); rows are
+  * copied only when they enter a heap — after warm-up that is the rare
+  * better-than-current-worst case, not every input row.
+  */
+private[plans] object TopKHeaps {
+  def build(
+      iter: Iterator[InternalRow],
+      childOutput: Seq[Attribute],
+      groupExprs: Seq[Attribute],
+      sortExpr: Attribute,
+      tieExpr: Attribute,
+      k: Int,
+  ): (java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]],
+      java.util.Comparator[InternalRow]) = {
+    val groupProj = UnsafeProjection.create(groupExprs, childOutput)
+    val sortOrd = SortOrder(sortExpr, Descending) ::
+      SortOrder(tieExpr, Ascending) :: Nil
+    val cmp = RowOrdering.create(sortOrd, childOutput)
+    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    val heapCmp = new java.util.Comparator[InternalRow] {
+      // PriorityQueue keeps the SMALLEST first — "smallest" = worst row =
+      // largest under cmp (cmp sorts best-first), so reverse
+      override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
+    }
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = groupProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k + 1, heapCmp)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (cmp.compare(row, heap.peek()) < 0) { // row ranks better than current worst
+        heap.poll()
+        heap.add(row.copy())
+      }
+    }
+    (heaps, cmp)
+  }
+}
+
+/** Map-side combine: emits each input partition's per-group top-k survivors
+  * (unranked — ranking needs the group complete). No required distribution,
+  * so it runs before the exchange on whatever partitioning the child has.
+  */
+case class TopKPerGroupPartialExec(
+    k: Int,
+    groupExprs: Seq[Attribute],
+    sortExpr: Attribute,
+    tieExpr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (childOutput, kL, gL, sL, tL) = (child.output, k, groupExprs, sortExpr, tieExpr)
+    child.execute().mapPartitions({ iter =>
+      val (heaps, _) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
 }
 
 case class TopKPerGroupExec(
@@ -124,37 +200,9 @@ case class TopKPerGroupExec(
     ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val childOutput = child.output
-    val kLocal = k
-    val groupLocal = groupExprs
-    val sortLocal = sortExpr
-    val tieLocal = tieExpr
+    val (childOutput, kL, gL, sL, tL) = (child.output, k, groupExprs, sortExpr, tieExpr)
     child.execute().mapPartitions({ iter =>
-      val groupProj = UnsafeProjection.create(groupLocal, childOutput)
-      val sortOrd = SortOrder(sortLocal, Descending) ::
-        SortOrder(tieLocal, Ascending) :: Nil
-      val cmp = RowOrdering.create(sortOrd, childOutput)
-      // per group: bounded buffer of the current best k rows (worst at head)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      val heapCmp = new java.util.Comparator[InternalRow] {
-        // PriorityQueue keeps the SMALLEST first — "smallest" = worst row =
-        // largest under cmp (cmp sorts best-first), so reverse
-        override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
-      }
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, heapCmp)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (cmp.compare(row, heap.peek()) < 0) { // row ranks better than current worst
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
+      val (heaps, cmp) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
       val rankRow = new SpecificInternalRow(Seq(LongType))

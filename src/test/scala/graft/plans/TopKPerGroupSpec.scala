@@ -32,6 +32,8 @@ class TopKPerGroupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // SparkPlan.nodeName strips the "Exec" suffix in plan strings
     assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    assert(plan.contains("TopKPerGroupPartial"),
+      s"map-side partial pass missing — shuffle would carry whole groups:\n$plan")
     assert(!plan.contains("WindowExec"), "must not fall back to a window")
   }
 
