@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * `documents` table (BASELINE.json north star; not part of the reference's
   * own surface).
   *
-  * Scale posture: every variant is blocking-based — no all-pairs cross join
-  * ever materializes. Exact dedup is a hash-groupBy; near-dup candidates come
-  * from shingle / band-bucket joins whose fan-out is bounded by bucket
-  * occupancy, so the shuffle volume tracks the duplicate density, not n².
+  * Scale posture: the scale paths are blocking-based — exact dedup is a
+  * hash-groupBy; near-dup candidates come from shingle / band-bucket joins
+  * (dd02/dd03/dd04) or hyperplane-LSH buckets (dd06) whose fan-out is bounded
+  * by bucket occupancy, so the shuffle volume tracks the duplicate density,
+  * not n². The one deliberate exception is dd05: an all-pairs theta join kept
+  * as the oracle-checkable exact baseline (PlanAudit lists its BNLJ as
+  * accounted for) — at scale you run dd06, the bucketed variant of the same
+  * cosine threshold, and accept LSH recall in exchange for sublinear work.
   */
 object Dedup {
 
@@ -56,7 +60,9 @@ object Dedup {
 
   /** Candidate near-dup pairs via banded LSH + signature-estimated Jaccard. */
   private[pipeline] def minhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sigs = signatures(shingleHashes(Tables(spark, dir).documents)).cache()
+    // localCheckpoint, not cache: 3 consumers (bands, sig_a, sig_b), and the
+    // blocks free themselves when the result frame is dropped
+    val sigs = signatures(shingleHashes(Tables(spark, dir).documents)).localCheckpoint(true)
     val bands = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
@@ -99,7 +105,7 @@ object Dedup {
   }
 
   private[pipeline] def simhashPairs(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
-    val sh = simhashes(Tables(spark, dir).documents).cache()
+    val sh = simhashes(Tables(spark, dir).documents).localCheckpoint(true)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")))
       .toDF("doc_id", "simhash", "chunk_id", "chunk")
@@ -199,6 +205,29 @@ object Dedup {
       val cosine = VectorOps.cosine(col("ea"), col("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+    },
+
+    // ----- dd06: the scale path for embedding near-dup — candidates share a
+    // hyperplane-LSH bucket (Similarity's L=6 tables × H=8 bits), exact
+    // cosine + the same 0.4 threshold within buckets only. Work is bounded by
+    // bucket occupancy (n/2^H expected per table), not n²; recall vs dd05 is
+    // the LSH s-curve trade and is measured in DedupSpec. Raising L (more
+    // tables) buys recall linearly in cost; lowering H fattens buckets.
+    QueryDef.rowsOnly("dd06_embedding_neardup_lsh") { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val bk = Similarity.buckets(e)
+      val a = bk.toDF("vec_a", "table_id", "bucket")
+      val b = bk.toDF("vec_b", "table_id", "bucket")
+      val cands = a.join(b, Seq("table_id", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      cands.join(ea, "vec_a").join(eb, "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
     },

@@ -39,6 +39,24 @@ class DedupSpec extends SparkSpec {
     sim.foreach(p => assert(exactAll.contains(p), s"simhash false positive $p"))
   }
 
+  test("bucketed embedding near-dup (dd06) is a subset of the exact baseline (dd05) with honest recall") {
+    val exact = Catalog.byName("dd05_embedding_neardup").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Catalog.byName("dd06_embedding_neardup_lsh").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    // no false positives: every bucketed pair is an exact pair, same cosine
+    lsh.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"dd06 emitted non-near-dup pair $pair")
+      assert(math.abs(exact(pair) - c) < 1e-12)
+    }
+    // recall floor: the corpus' near-dups sit near the 0.4 threshold where
+    // the L=6/H=8 s-curve is shallow (~15% expected) — assert a soft floor
+    // that catches a broken bucket join without overclaiming LSH physics
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.05, s"dd06 recall $recall collapsed (${lsh.size}/${exact.size})")
+  }
+
   test("minhash signature length and determinism") {
     val docs = Tables(spark, sf()).documents.limit(5)
     val hashes = docs.select(col("doc_id"),
