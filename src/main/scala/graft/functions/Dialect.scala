@@ -54,9 +54,12 @@ object Dialect {
           throw new IllegalArgumentException(s"toStartOfInterval expects an INTERVAL literal, got $other")
       }
       require(secs > 0, "toStartOfInterval: zero-length interval")
-      SecondsToTimestamp(Multiply(
-        IntegralDivide(Cast(args.head, LongType), Literal(secs), evalMode = EvalMode.LEGACY),
-        Literal(secs)))
+      // bucket start = ts - pmod(ts, secs): Pmod is non-negative, so this
+      // floors for pre-epoch (negative-seconds) timestamps too — ClickHouse
+      // floor semantics. The r1 IntegralDivide truncated toward zero and
+      // rounded pre-epoch timestamps up into the wrong bucket.
+      val tsSecs = Cast(args.head, LongType)
+      SecondsToTimestamp(Subtract(tsSecs, Pmod(tsSecs, Literal(secs))))
     },
     "countIf" -> (args =>
       Count(If(args.head, Literal(1), Literal(null, IntegerType))).toAggregateExpression()),
@@ -95,6 +98,11 @@ object Dialect {
   /** Rewrite ClickHouse spellings that collide with Spark parser builtins:
     * `dateDiff('unit', …)` → `graft_dateDiff('unit', …)`, zero-arg `count()`
     * → `count(*)`.
+    *
+    * Caveat: this is a regex over the whole SQL text, so the spellings are
+    * rewritten even inside string literals (`SELECT 'count()'` becomes
+    * `'count(*)'`). Acceptable for the gateway's validated dashboard queries;
+    * a full fix needs a lexer-aware pass.
     */
   def translate(sql: String): String =
     sql

@@ -30,15 +30,18 @@ object DistributedRank {
   def withGlobalRank(df: DataFrame, rankCol: String, keys: Column*): DataFrame = {
     val spark = df.sparkSession
     val numParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // persist: the offsets collect and the final plan must observe the SAME
-    // range partitioning — repartitionByRange samples boundaries per
-    // execution, and two independent executions can split borderline keys
-    // differently (observed at sf0.1: offsets for a partitioning the final
-    // run didn't have). At larger scale swap persist for a checkpoint or an
-    // explicitly computed boundary set reused by both passes.
+    // localCheckpoint (eager): the offsets collect and the final plan must
+    // observe the SAME range partitioning — repartitionByRange samples
+    // boundaries per execution, and two independent executions can split
+    // borderline keys differently (observed at sf0.1: offsets for a
+    // partitioning the final run didn't have). The checkpoint materializes
+    // the ranged RDD once so both passes share it, and — unlike the r1
+    // persist(), which leaked a cache entry per call for the session
+    // lifetime — its blocks are freed by the ContextCleaner as soon as the
+    // caller drops the returned frame.
     val ranged = df.repartitionByRange(numParts, keys: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     // one row per partition — tiny, metadata-scale collect
     val sizes = ranged.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -74,7 +77,8 @@ object DistributedRank {
       val ranked = withGlobalRank(cust, "rank", col("c_acctbal"), col("c_custkey"))
       ranked.select(
         col("c_custkey"), col("c_acctbal"),
-        ((col("rank") - 1).cast("double") / lit((n - 1).toDouble)).as("bal_pctile"),
+        // greatest(n-1, 1): percent_rank of a 1-row relation is 0, not 0/0
+        ((col("rank") - 1).cast("double") / lit(math.max(n - 1, 1L).toDouble)).as("bal_pctile"),
         // ntile(k) assigns floor tiles of size ceil/floor split: first (n % k)
         // tiles get (n/k + 1) rows — reproduce exactly
         {

@@ -75,18 +75,25 @@ object Layout {
 
   /** Compaction (SURVEY §7.1 step 9): rewrite one month partition into
     * `targetFiles` files — the background-merge analog for a streaming sink
-    * that accumulated many small files. Writes to a temp dir then swaps, so
-    * readers never see a half-written partition.
+    * that accumulated many small files. Swap order is rename-aside → rename-in
+    * → delete-aside: a crash at any point leaves the full partition data on
+    * disk (either live or in `.compact_old_<month>`, recoverable by rename) —
+    * never the deleted-but-not-replaced gap a delete-first swap has. Readers
+    * can race only the instant between the two renames, not a recursive
+    * delete.
     */
   def compactPartition(spark: SparkSession, path: String, month: Int, targetFiles: Int = 1): Unit = {
     val partDir = Paths.get(path, s"event_month=$month")
     if (!Files.exists(partDir)) return
     val tmp = Paths.get(path, s".compact_tmp_$month")
+    val old = Paths.get(path, s".compact_old_$month")
     spark.read.parquet(partDir.toString)
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursively(partDir)
+    deleteRecursively(old) // stale leftover from an earlier crash, if any
+    Files.move(partDir, old)
     Files.move(tmp, partDir)
+    deleteRecursively(old)
   }
 
   private def deleteRecursively(p: Path): Unit = {
