@@ -21,7 +21,8 @@ object Catalog {
       pipeline.SparseText.defs ++
       streaming.StreamingMVs.defs ++
       streaming.MvCascade.defs ++
-      sql.SqlGateway.defs
+      sql.SqlGateway.defs ++
+      sql.SystemTables.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -1,0 +1,160 @@
+package graft.sql
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import graft.QueryDef
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** The reference's system-introspection surface (SURVEY.md §2.1 S8;
+  * examples/sample_queries.sql:483–543): `system.parts`, `system.tables`,
+  * `system.query_log` re-expressed over what Spark actually has —
+  * parquet footers for storage stats and a QueryExecutionListener for the
+  * query log. formatReadableSize stays out of scope (presentation-layer).
+  *
+  * Scale note: part stats come from parquet FOOTERS only — row counts,
+  * compressed/uncompressed sizes per row group — never a data scan. The
+  * footer loop runs driver-side here (ten tables, one file each: metadata
+  * scale, same documented exception as DistributedRank's offsets collect);
+  * a 100 TB deployment would parallelize the same footer read over an RDD
+  * of file paths.
+  */
+object SystemTables {
+
+  final case class PartInfo(
+      table_name: String, part_file: String, rows: Long,
+      compressed_bytes: Long, uncompressed_bytes: Long, row_groups: Long)
+
+  private val tableNames = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** system.parts analog: one row per parquet file, stats from the footer. */
+  def parts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val infos = tableNames.flatMap { t =>
+      val p = new Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.isFile(p)) Seq(p)
+        else fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      files.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          val blocks = reader.getRowGroups.asScala
+          PartInfo(t, f.getName,
+            blocks.map(_.getRowCount).sum,
+            blocks.map(_.getCompressedSize).sum,
+            blocks.map(_.getTotalByteSize).sum,
+            blocks.size.toLong)
+        } finally reader.close()
+      }
+    }
+    infos.toDF()
+  }
+
+  /** system.tables analog: per-table rollup of the parts, including the
+    * compression-effectiveness ratio the reference computes from
+    * system.parts (sample_queries.sql:503–510).
+    */
+  def tables(spark: SparkSession, dir: String): DataFrame =
+    parts(spark, dir)
+      .groupBy("table_name")
+      .agg(
+        sum("rows").as("total_rows"),
+        count(lit(1)).as("parts"),
+        sum("compressed_bytes").as("bytes_on_disk"),
+        sum("uncompressed_bytes").as("data_uncompressed_bytes"),
+        round(sum("uncompressed_bytes").cast("double") /
+          sum("compressed_bytes"), 2).as("compression_ratio"))
+      .orderBy("table_name")
+
+  /** Register the introspection surface as temp views for the SQL gateway. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    parts(spark, dir).createOrReplaceTempView("system_parts")
+    tables(spark, dir).createOrReplaceTempView("system_tables")
+    QueryLog.frame(spark).createOrReplaceTempView("system_query_log")
+  }
+
+  /** system.query_log analog: a QueryExecutionListener records every
+    * completed action's name, duration, and status.
+    */
+  object QueryLog {
+    final case class Entry(fn: String, duration_ms: Long, status: String)
+
+    private val buf = new ConcurrentLinkedQueue[Entry]()
+    @volatile private var installed: Option[QueryExecutionListener] = None
+
+    def install(spark: SparkSession): Unit = synchronized {
+      if (installed.isEmpty) {
+        val l = new QueryExecutionListener {
+          override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+            buf.add(Entry(funcName, durationNs / 1000000L, "QueryFinish"))
+          override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+            buf.add(Entry(funcName, -1L, "ExceptionWhileProcessing"))
+        }
+        spark.listenerManager.register(l)
+        installed = Some(l)
+      }
+    }
+
+    def frame(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      buf.asScala.toSeq.toDF()
+    }
+
+    /** Wait (bounded) for the async listener bus to drain entries for `fn`. */
+    def await(fn: String, atLeast: Int, timeoutMs: Long = 10000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (buf.asScala.count(_.fn == fn) < atLeast &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- sys01: table-level introspection — footer row counts must equal
+    // the oracle's count(*) per table (proves the metadata path tells the
+    // truth without scanning data).
+    QueryDef.sql(
+      "sys01_system_tables",
+      tableNames.sorted.map(t =>
+        s"SELECT '$t' AS table_name, COUNT(*) AS total_rows FROM $t")
+        .mkString("", "\nUNION ALL ", "\nORDER BY table_name"),
+    ) { (spark, dir) =>
+      tables(spark, dir).select("table_name", "total_rows").orderBy("table_name")
+    },
+
+    // ----- sys02: part-level storage stats (rows-only: byte sizes depend on
+    // writer/compressor versions).
+    QueryDef.rowsOnly("sys02_system_parts") { (spark, dir) =>
+      parts(spark, dir)
+        .select(col("table_name"), col("part_file"), col("rows"),
+          col("compressed_bytes"), col("uncompressed_bytes"), col("row_groups"))
+        .orderBy("table_name", "part_file")
+    },
+
+    // ----- sys03: query-log surface — run two probe actions under the
+    // listener and report them (rows-only: durations are wall-clock).
+    QueryDef.rowsOnly("sys03_query_log") { (spark, dir) =>
+      QueryLog.install(spark)
+      val t = graft.Tables(spark, dir)
+      t.nation.count()
+      t.region.count()
+      QueryLog.await("count", atLeast = 2)
+      QueryLog.frame(spark)
+        .filter(col("status") === "QueryFinish")
+        .groupBy("fn")
+        .agg(count(lit(1)).as("finished_queries"),
+          max(col("duration_ms") >= 0).as("durations_valid"))
+        .orderBy("fn")
+    },
+  )
+}
