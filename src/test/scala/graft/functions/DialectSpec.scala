@@ -41,6 +41,12 @@ class DialectSpec extends SparkSpec {
       == "2024-03-15 13:30:00.0")
     assert(sql1("SELECT toStartOfInterval(TIMESTAMP '2024-03-15 13:47:12', INTERVAL 1 HOUR)").toString
       == "2024-03-15 13:00:00.0")
+    // pre-epoch timestamps floor DOWN into their bucket (ClickHouse
+    // semantics) — truncate-toward-zero division rounded them up
+    assert(sql1("SELECT toStartOfInterval(TIMESTAMP '1969-12-31 23:47:12', INTERVAL 30 MINUTE)").toString
+      == "1969-12-31 23:30:00.0")
+    assert(sql1("SELECT toStartOfInterval(TIMESTAMP '1969-12-31 23:59:59', INTERVAL 1 HOUR)").toString
+      == "1969-12-31 23:00:00.0")
   }
 
   test("median and quantileExact") {
