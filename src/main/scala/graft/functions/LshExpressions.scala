@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd random-hyperplane LSH signature (same rationale as
+  * [[VectorExpressions]]): per input vector, for each of L hash tables,
+  * the H-bit bucket key whose bit i is sign(embedding · plane_{t,i}).
+  *
+  * The r1 formulation was three nested interpreted higher-order functions
+  * (transform → aggregate → aggregate/zip_with): L×H×dim ≈ 3000 interpreted
+  * lambda evaluations per row, dominating ann02/ann04/dd06. This expression
+  * emits one fused loop nest; arithmetic is the identical left-to-right
+  * double fold of (double)emb[j] * plane[j], so bucket keys are unchanged.
+  */
+object LshExpressions {
+  /** Bucket keys per table: array<long> of length `planes.length`. */
+  def hyperplaneBuckets(embedding: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(embedding),
+      planes.map(_.map(_.toArray).toArray).toArray))
+
+  /** Count of positions where two long arrays agree (MinHash signature
+    * match count) — replaces `size(filter(zip_with(a, b, ==), x -> x))`.
+    */
+  def eqCount(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayLongEqCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+case class ArrayLongEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_eq_count requires two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, cnt) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("cnt"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets requires array<float>, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val emb = a.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    val keys = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var acc = 0L
+      var i = 0
+      while (i < table.length) {
+        val p = table(i)
+        val m = math.min(n, p.length)
+        var d = 0.0
+        var j = 0
+        while (j < m) { d += emb.getFloat(j).toDouble * p(j); j += 1 }
+        acc = acc * 2 + (if (d > 0) 1L else 0L)
+        i += 1
+      }
+      keys(t) = acc
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][][]")
+      val (n, keys, t, i, j, m, d, acc, p, table) =
+        (ctx.freshName("n"), ctx.freshName("keys"), ctx.freshName("t"),
+          ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("m"),
+          ctx.freshName("d"), ctx.freshName("acc"), ctx.freshName("p"),
+          ctx.freshName("table"))
+      s"""
+         |int $n = $a.numElements();
+         |long[] $keys = new long[$planesRef.length];
+         |for (int $t = 0; $t < $planesRef.length; $t++) {
+         |  double[][] $table = $planesRef[$t];
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $table.length; $i++) {
+         |    double[] $p = $table[$i];
+         |    int $m = java.lang.Math.min($n, $p.length);
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      $d += (double) $a.getFloat($j) * $p[$j];
+         |    }
+         |    $acc = $acc * 2 + ($d > 0 ? 1L : 0L);
+         |  }
+         |  $keys[$t] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

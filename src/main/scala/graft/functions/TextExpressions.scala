@@ -31,6 +31,67 @@ object TextExpressions {
     */
   def polyHash(text: Column, mult: Long = 31L, mod: Long = 1000000007L): Column =
     ColumnBridge.column(StringPolyHash(ColumnBridge.expression(text), mult, mod))
+
+  /** Elements NOT in the static set, order and duplicates preserved —
+    * replaces `filter(words, w -> !array_contains(set, w))` (stopword drop).
+    */
+  def filterNotInSet(words: Column, items: Seq[String]): Column =
+    ColumnBridge.column(ArrayFilterNotInSet(ColumnBridge.expression(words), items))
+}
+
+case class ArrayFilterNotInSet(child: Expression, items: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_filter_not_in_set requires array<string>, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val set: JHashSet[UTF8String] = {
+    val s = new JHashSet[UTF8String](items.size * 2)
+    items.foreach(i => s.add(UTF8String.fromString(i)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      // null elements drop, matching the HOF's null-predicate semantics
+      if (!arr.isNullAt(i)) {
+        val v = arr.getUTF8String(i)
+        if (!set.contains(v)) out += v
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val setRef = ctx.addReferenceObj("filterNotInSet", set, classOf[JHashSet[UTF8String]].getName)
+      val (n, i, m, out, v) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("m"), ctx.freshName("out"), ctx.freshName("v"))
+      s"""
+         |int $n = $a.numElements();
+         |java.util.ArrayList $out = new java.util.ArrayList($n);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $v = $a.getUTF8String($i);
+         |    if (!$setRef.contains($v)) $out.add($v);
+         |  }
+         |}
+         |Object[] $m = $out.toArray();
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($m);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class ArrayCountInSet(child: Expression, items: Seq[String])

@@ -77,7 +77,8 @@ object Dedup {
     val sb = sigs.toDF("doc_b", "sig_b")
     cands.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b)).cast("double") / K)
+        // codegen'd signature-match count (K×2 interpreted lambdas per pair otherwise)
+        (graft.functions.LshExpressions.eqCount(col("sig_a"), col("sig_b")).cast("double") / K)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b"))

@@ -25,18 +25,15 @@ object Similarity {
     Seq.fill(L, H, 64)(rnd.nextGaussian())
   }
 
-  /** (vec_id, table_id, bucket) — one row per vector per hash table. */
-  private[pipeline] def buckets(e: DataFrame): DataFrame = {
-    val planesLit = typedLit(planes)
-    val emb = transform(col("embedding"), x => x.cast("double"))
-    val keys = transform(sequence(lit(0), lit(L - 1)), t =>
-      aggregate(sequence(lit(0), lit(H - 1)), lit(0L), (acc, i) => {
-        val plane = element_at(element_at(planesLit, t + 1), i + 1)
-        val d = aggregate(zip_with(emb, plane, (a, b) => a * b), lit(0.0), (s, v) => s + v)
-        acc * 2 + when(d > 0, 1L).otherwise(0L)
-      }))
-    e.select(col("vec_id"), posexplode(keys)).toDF("vec_id", "table_id", "bucket")
-  }
+  /** (vec_id, table_id, bucket) — one row per vector per hash table.
+    * Signature computation is the codegen'd [[graft.functions.HyperplaneBuckets]]
+    * kernel; the r1 nested-HOF formulation evaluated ~L×H×dim interpreted
+    * lambdas per row and dominated every LSH entry's runtime.
+    */
+  private[pipeline] def buckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(graft.functions.LshExpressions.hyperplaneBuckets(col("embedding"), planes)))
+      .toDF("vec_id", "table_id", "bucket")
 
   private def lshTopK(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val e = Tables(spark, dir).embeddings

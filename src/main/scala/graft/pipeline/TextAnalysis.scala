@@ -153,7 +153,7 @@ object TextAnalysis {
       val n = Tables(spark, dir).documents.select(col("doc_id"), col("lang"),
         trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("clean"))
       val f = n.withColumn("kept",
-        filter(split(col("clean"), " "), w => !array_contains(typedLit(stopEn), w)))
+        graft.functions.TextExpressions.filterNotInSet(split(col("clean"), " "), stopEn))
       f.select(col("doc_id"), col("lang"),
         length(col("clean")).cast("long").as("clean_chars"),
         size(col("kept")).cast("long").as("kept_words"),
