@@ -61,6 +61,23 @@ object Dialect {
       val tsSecs = Cast(args.head, LongType)
       SecondsToTimestamp(Subtract(tsSecs, Pmod(tsSecs, Literal(secs))))
     },
+    // formatReadableSize(bytes) → '1.23 MiB' (sample_queries.sql:504–505).
+    // Pure built-in composition (CaseWhen + FormatNumber) so it stays
+    // codegen'd; format_number never sees a value ≥ 1024 post-division, so
+    // its thousands separator can't appear.
+    "formatReadableSize" -> { args =>
+      val b = args.head
+      val units = Seq("PiB" -> (1L << 50), "TiB" -> (1L << 40), "GiB" -> (1L << 30),
+        "MiB" -> (1L << 20), "KiB" -> (1L << 10))
+      val branches = units.map { case (unit, scale) =>
+        (GreaterThanOrEqual(Cast(b, DoubleType), Literal(scale.toDouble)),
+          Concat(Seq(
+            FormatNumber(Divide(Cast(b, DoubleType), Literal(scale.toDouble)), Literal(2)),
+            Literal(s" $unit"))))
+      }
+      CaseWhen(branches,
+        Concat(Seq(Cast(Cast(b, LongType), StringType), Literal(" B"))))
+    },
     "countIf" -> (args =>
       Count(If(args.head, Literal(1), Literal(null, IntegerType))).toAggregateExpression()),
     "sumIf" -> (args =>

@@ -34,4 +34,36 @@ class GatewaySpec extends SparkSpec {
       SqlGateway.execute(spark, sf(), "DROP TABLE orders")
     }
   }
+
+  test("reference observability SQL runs via the gateway over the system views") {
+    SystemTables.registerViews(spark, sf())
+    // sample_queries.sql:503–510 (compression effectiveness), near-verbatim:
+    // system.parts → system_parts, table → table_name
+    val rows = SqlGateway.execute(spark, sf(),
+      """SELECT table_name,
+        |  formatReadableSize(sum(compressed_bytes)) AS compressed_size,
+        |  formatReadableSize(sum(uncompressed_bytes)) AS uncompressed_size,
+        |  round(sum(uncompressed_bytes) / sum(compressed_bytes), 2) AS compression_ratio
+        |FROM system_parts
+        |GROUP BY table_name
+        |ORDER BY table_name""".stripMargin).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getString(1).matches("""[\d.,]+ (B|KiB|MiB|GiB|TiB|PiB)"""), r.getString(1))
+      assert(r.getDouble(3) > 0)
+    }
+  }
+
+  test("formatReadableSize matches ClickHouse rendering") {
+    graft.functions.Dialect.register(spark)
+    val got = spark.sql(
+      "SELECT formatReadableSize(999), formatReadableSize(1024), " +
+        "formatReadableSize(1536), formatReadableSize(1073741824), formatReadableSize(0)")
+      .collect()(0)
+    assert(got.getString(0) == "999 B")
+    assert(got.getString(1) == "1.00 KiB")
+    assert(got.getString(2) == "1.50 KiB")
+    assert(got.getString(3) == "1.00 GiB")
+    assert(got.getString(4) == "0 B")
+  }
 }
