@@ -37,6 +37,59 @@ object TextExpressions {
     */
   def filterNotInSet(words: Column, items: Seq[String]): Column =
     ColumnBridge.column(ArrayFilterNotInSet(ColumnBridge.expression(words), items))
+
+  /** 3-word shingles straight from the text — replaces the interpreted
+    * `transform(sequence(1, greatest(n-2, 1)), i -> concat_ws(' ', slice(words, i, 3)))`
+    * used by every shingle-based operator. Identical output, including the
+    * degenerate n ≤ 2 case (one shingle = all words joined) and kept empty
+    * strings from repeated separators (Spark split semantics, limit -1).
+    */
+  def wordShingles(text: Column): Column =
+    ColumnBridge.column(StringWordShingles(ColumnBridge.expression(text)))
+}
+
+case class StringWordShingles(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_shingles requires string, got ${dt.catalogString}")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Public for the generated code path: one compiled call per row, all
+    * work in UTF8String space (the space separator is a single byte, which
+    * never collides with UTF-8 continuation bytes).
+    */
+  def compute(s: UTF8String): ArrayData = {
+    val words = s.split(space, -1)
+    val n = words.length
+    val count = math.max(n - 2, 1)
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + 3, n)
+      out(i) =
+        if (end - i == 3) UTF8String.concatWs(space, words(i), words(i + 1), words(i + 2))
+        else UTF8String.concatWs(space, java.util.Arrays.copyOfRange(words, i, end): _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("shingleKernel", this, classOf[StringWordShingles].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class ArrayFilterNotInSet(child: Expression, items: Seq[String])

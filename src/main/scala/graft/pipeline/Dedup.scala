@@ -19,13 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 3-word shingles of a document, distinct. ~O(words) per doc. */
-  private def shingleExpr(text: Column): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
-        i => concat_ws(" ", slice(words, i, lit(3)))))
-  }
+  /** 3-word shingles of a document, distinct. ~O(words) per doc; the window
+    * build is the codegen'd [[graft.functions.StringWordShingles]] kernel.
+    */
+  private def shingleExpr(text: Column): Column =
+    array_distinct(graft.functions.TextExpressions.wordShingles(text))
 
   // MinHash machinery: h_j(s) = (a_j * H(s) + b_j) mod P over murmur3 shingle
   // hashes, K permutations drawn from a fixed seed (deterministic across runs).

@@ -51,10 +51,7 @@ object SparseText {
          |WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= $CosineThreshold
          |ORDER BY cosine DESC, doc_a, doc_b""".stripMargin,
     ) { (spark, dir) =>
-      val words = split(col("text"), " ")
-      val shingles = transform(
-        sequence(lit(1), greatest(size(words) - 2, lit(1))),
-        i => concat_ws(" ", slice(words, i, lit(3))))
+      val shingles = graft.functions.TextExpressions.wordShingles(col("text"))
       val terms = Tables(spark, dir).documents
         .select(col("doc_id"), explode(shingles).as("term"))
         .groupBy("doc_id", "term")
