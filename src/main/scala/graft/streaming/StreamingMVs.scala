@@ -71,7 +71,12 @@ object StreamingMVs {
     */
   def upsertByPartition(batch: DataFrame, partitionCol: String, path: String): Unit = {
     batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    batch.write
+    batch
+      // one file per key partition per batch (not shuffle.partitions files):
+      // the part-like layout compaction expects, and far less file churn on
+      // a sink that rewrites its touched partitions every micro-batch
+      .repartition(col(partitionCol))
+      .write
       .mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)
