@@ -11,6 +11,8 @@ object Catalog {
       operators.ScalarsAndSets.defs ++
       operators.Sketches.defs ++
       operators.DistributedRank.defs ++
+      operators.AsOfJoin.defs ++
+      pipeline.Sampling.defs ++
       plans.TopKPerGroup.defs ++
       functions.Dictionaries.defs ++
       pipeline.Dedup.defs ++

@@ -59,6 +59,34 @@ object DistributedRank {
       .drop("__pid", "__local")
   }
 
+  /** Adds `totalCol` (running sum of `valueCol`, inclusive of the current
+    * row, ordered by `keys` ascending) with no single-partition window —
+    * same offsets pattern as [[withGlobalRank]]: range-partition on the
+    * order keys, per-partition value sums (metadata-scale collect),
+    * broadcast exclusive prefix offsets, local cumulative sum + offset.
+    */
+  def withRunningTotal(df: DataFrame, totalCol: String, valueCol: String, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val numParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(numParts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = ranged.groupBy("__pid").agg(sum(col(valueCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until numParts).map { p =>
+        val o = p -> acc; acc += sums.getOrElse(p, 0L); o
+      }.toMap
+    }
+    val w = Window.partitionBy("__pid").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(totalCol,
+        sum(col(valueCol)).over(w) + element_at(typedLit(offsets), col("__pid")))
+      .drop("__pid")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ----- q36: the scalable twin of q22 — distributed percent_rank/decile,
     // oracle-checked against the plain window formulation (identical values,

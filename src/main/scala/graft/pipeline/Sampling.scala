@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus subsampling and sequence packing — the selection stages of a
+  * training-data pipeline after curation (CorpusPipeline) has decided what
+  * is eligible.
+  *
+  * Both operators are deterministic integer arithmetic (Knuth multiplicative
+  * hashing / running token sums), so they are fully oracle-checkable AND
+  * reproducible across runs and engines — the property a training pipeline
+  * needs from its sampling layer (re-running the job must select the same
+  * corpus). No RNG state, no sampling-order dependence.
+  */
+object Sampling {
+
+  // Knuth's multiplicative constant; doc_id ≤ ~1e9 keeps the product far
+  // from int64 overflow. pmod(...) gives a uniform pseudo-key in [0, 1000).
+  private val KnuthA = 2654435761L
+  private def bucket1000 = pmod(col("doc_id") * KnuthA, lit(1000L))
+
+  // per-language sampling rates in permille: downsample dominant languages,
+  // keep the tail — class-balance reweighting by deterministic selection
+  private val ratesPermille = Seq("en" -> 300, "de" -> 500, "es" -> 500,
+    "fr" -> 500, "zh" -> 800)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- spl01: stratified deterministic sampling — per-language rates
+    // applied via a hash bucket on doc_id; same arithmetic on both engines.
+    QueryDef.sql(
+      "spl01_stratified_sample",
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, ((doc_id * $KnuthA) % 1000 + 1000) % 1000 AS bkt
+         |  FROM documents),
+         |r(lang, permille) AS (VALUES ${ratesPermille.map { case (l, p) => s"('$l', $p)" }.mkString(", ")})
+         |SELECT b.doc_id, b.lang
+         |FROM b JOIN r ON b.lang = r.lang
+         |WHERE b.bkt < r.permille
+         |ORDER BY b.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val rates = ratesPermille.toDF("lang", "permille")
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), bucket1000.as("bkt"))
+        .join(broadcast(rates), "lang")
+        .filter(col("bkt") < col("permille"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ----- pk01: token-budget sequence packing — assign documents (in
+    // deterministic doc_id order) to consecutive shards of ≤ 4096 tokens:
+    // shard = floor(tokens_before_this_doc / 4096). The running sum is
+    // DistributedRank.withRunningTotal — range partitions + broadcast prefix
+    // offsets, NO single-partition window (the oracle's global window is the
+    // semantics spec, not the plan).
+    QueryDef.sql(
+      "pk01_token_packing",
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(tokens_before // 4096 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir).documents
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.DistributedRank
+        .withRunningTotal(t, "cum_tokens", "n_tokens", col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor((col("cum_tokens") - col("n_tokens")) / 4096).cast("long").as("shard"))
+        .orderBy("doc_id")
+    },
+  )
+}
