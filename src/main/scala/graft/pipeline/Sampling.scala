@@ -51,6 +51,30 @@ object Sampling {
         .orderBy("doc_id")
     },
 
+    // ----- spl02: per-group reservoir-style sampling — N deterministic
+    // "random" docs per language = top-N by the Knuth hash key, executed by
+    // the TopKPerGroup custom operator (bounded heaps + map-side combine),
+    // so the per-group selection never sorts a whole stratum. Deterministic
+    // hash order ⇒ exact oracle, unlike a true reservoir's RNG.
+    QueryDef.sql(
+      "spl02_reservoir_per_group",
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, ((doc_id * $KnuthA) % 1000 + 1000) % 1000 AS bkt
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, bkt,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bkt DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM b)
+         |SELECT lang, rnk, doc_id FROM r WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin,
+    ) { (spark, dir) =>
+      val b = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), bucket1000.as("bkt"))
+      graft.plans.TopKPerGroup.topK(b, Seq("lang"), "bkt", "doc_id", 5)
+        .select(col("lang"), col("rnk"), col("doc_id"))
+        .orderBy("lang", "rnk")
+    },
+
     // ----- pk01: token-budget sequence packing — assign documents (in
     // deterministic doc_id order) to consecutive shards of ≤ 4096 tokens:
     // shard = floor(tokens_before_this_doc / 4096). The running sum is

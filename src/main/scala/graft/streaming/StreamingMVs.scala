@@ -140,6 +140,47 @@ object StreamingMVs {
         .orderBy("event_date", "event_hour", "event_type")
     },
 
+    // ----- st10: stream-stream interval join — purchases matched to the
+    // same user's clicks in the preceding 30 minutes, both sides streaming
+    // with watermarks bounding join state (the attribution-join shape; r1
+    // covered it by unit test only, this entry is oracle-checked).
+    QueryDef.sql(
+      "st10_stream_stream_interval_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    ) { (spark, dir) =>
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("click_ts") <= col("purchase_ts"))
+      val name = s"st10_out_${math.abs(dir.hashCode)}"
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .select(col("purchase_id"), col("click_id"), col("purchase_ts"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // ----- st03: gap-based sessionization via session_window (ST6 — the
     // true-session extension of the reference's fixed 30-min buckets; oracle
     // mirrors it with lag + running-sum island detection).
