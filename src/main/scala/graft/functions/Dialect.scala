@@ -85,6 +85,11 @@ object Dialect {
         Sum(If(args(1), args.head, Literal(null, NullType))).toAggregateExpression(),
         Literal(0)))),
     "groupArray" -> (args => CollectList(args.head).toAggregateExpression()),
+    // State/Merge re-aggregation (AggregatingMergeTree read path,
+    // sample_queries.sql:79–84): over graft's MV sinks the persisted partial
+    // state IS the per-group sum/count, so merging = summing the partials.
+    "sumMerge" -> (args => Sum(args.head).toAggregateExpression()),
+    "countMerge" -> (args => Sum(args.head).toAggregateExpression()),
     // ClickHouse arg order is (array, separator); ConcatWs wants sep first.
     "arrayStringConcat" -> (args => ConcatWs(Seq(args(1), args.head))),
     // Registered under a prefixed name: Spark's parser special-cases

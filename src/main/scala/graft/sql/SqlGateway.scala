@@ -124,6 +124,41 @@ object SqlGateway {
           |LIMIT 500""".stripMargin))
     },
 
+    // ----- sq06: the reference's State/Merge funnel read
+    // (sample_queries.sql:77–88) near-verbatim over the cascade's funnel MV —
+    // countMerge/sumMerge collapse the persisted per-(user, date) partial
+    // state; today()-30d becomes a max(event_date) anchor (never wall-clock
+    // in oracle-checked queries). Oracle recomputes from raw events.
+    QueryDef.sql(
+      "sq06_funnel_state_merge",
+      """WITH f AS (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events),
+        |a AS (SELECT max(d) AS mx FROM f)
+        |SELECT COUNT(*) AS total_events,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+        |    / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 2) AS conversion_rate,
+        |  round(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+        |    / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 2) AS cart_rate
+        |FROM f, a WHERE d >= mx - INTERVAL 30 DAY""".stripMargin,
+    ) { (spark, dir) =>
+      graft.streaming.MvCascade.mv(spark, dir, "mv_user_funnel")
+        .createOrReplaceTempView("mv_user_funnel")
+      Dialect.register(spark)
+      spark.sql(Dialect.translate(
+        """SELECT countMerge(total_events) AS total_events,
+          |  sumMerge(views) AS views,
+          |  sumMerge(clicks) AS clicks,
+          |  sumMerge(purchases) AS purchases,
+          |  CAST(sumMerge(val_dec) AS DOUBLE) AS revenue,
+          |  round(CAST(sumMerge(purchases) AS DOUBLE) * 100.0 / sumMerge(views), 2) AS conversion_rate,
+          |  round(CAST(sumMerge(clicks) AS DOUBLE) * 100.0 / sumMerge(views), 2) AS cart_rate
+          |FROM mv_user_funnel
+          |WHERE event_date >= (SELECT max(event_date) FROM mv_user_funnel) - INTERVAL 30 DAY""".stripMargin))
+    },
+
     // ----- sq04: correlated scalar subqueries through the raw SQL path —
     // Catalyst's RewriteCorrelatedScalarSubquery handles the decorrelation
     // the DataFrame path does by hand in q17 (SURVEY §4). Same SQL runs in
