@@ -113,35 +113,47 @@ object Similarity {
     // At scale: centroid build is one shuffle on (label, dim); the search scan
     // touches 1/nlist of the data (partition pruning on the inverted list).
     QueryDef.rowsOnly("ann03_ivf_probe1") { (spark, dir) =>
-      val e = Tables(spark, dir).embeddings
-      val centroids = e
-        .select(col("label"), posexplode(col("embedding"))).toDF("label", "dim", "v")
-        .groupBy("label", "dim").agg(avg("v").as("c"))
-        .groupBy("label")
-        // cast the double-avg centroid to array<float> for the float-vector
-        // kernel — r1 passed the double array straight in and getFloat read
-        // garbage off 8-byte slots (caught by the kernel's new type check)
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).cast("array<float>").as("centroid"))
-      val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
-      val assigned = q.crossJoin(broadcast(centroids))
-        .select(col("qid"), col("qe"), col("label"),
-          VectorOps.cosine(col("qe"), col("centroid")).as("ccos"))
-        .withColumn("r", row_number().over(wAssign))
-        .filter(col("r") === 1)
-        .select("qid", "qe", "label")
-      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label"))
-      val wRank = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
-      assigned.join(n, Seq("label"))
-        .filter(col("nid") =!= col("qid"))
-        .select(col("qid"), col("label").cast("long").as("probed_label"), col("nid"),
-          VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
-        .withColumn("rnk", row_number().over(wRank).cast("long"))
-        .filter(col("rnk") <= 10)
-        .select("qid", "rnk", "nid", "probed_label", "cosine")
-        .orderBy("qid", "rnk")
+      ivfTopK(spark, dir, probes = 1)
+    },
+
+    // ----- ann05: IVF probe-2 — each query searches its two nearest
+    // centroids' partitions: ~2× the scan of probe-1, recovers the recall
+    // lost when a true neighbor sits just across a partition boundary
+    // (the standard nprobe knob; SimilaritySpec asserts recall ≥ probe-1).
+    QueryDef.rowsOnly("ann05_ivf_probe2") { (spark, dir) =>
+      ivfTopK(spark, dir, probes = 2)
     },
   )
+
+  private def ivfTopK(spark: SparkSession, dir: String, probes: Int): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding"))).toDF("label", "dim", "v")
+      .groupBy("label", "dim").agg(avg("v").as("c"))
+      .groupBy("label")
+      // cast the double-avg centroid to array<float> for the float-vector
+      // kernel — r1 passed the double array straight in and getFloat read
+      // garbage off 8-byte slots (caught by the kernel's new type check)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).cast("array<float>").as("centroid"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
+    val assigned = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("label"),
+        VectorOps.cosine(col("qe"), col("centroid")).as("ccos"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") <= probes)
+      .select("qid", "qe", "label")
+    val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label"))
+    val wRank = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    assigned.join(n, Seq("label"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("label").cast("long").as("probed_label"), col("nid"),
+        VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "nid", "probed_label", "cosine")
+      .orderBy("qid", "rnk")
+  }
 }

@@ -51,4 +51,29 @@ class PlanSpec extends SparkSpec {
     // partial + final pairs appear as two HashAggregate nodes
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
+
+  test("as-of join plans as one key shuffle + window, no range explosion") {
+    val p = plan("aj01_asof_join")
+    assert(!p.contains("CartesianProduct"), s"as-of must not cross-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"as-of must not BNLJ:\n$p")
+    assert(p.contains("Window"), s"carry-forward window missing:\n$p")
+  }
+
+  test("token packing has no single-partition window stage") {
+    val p = plan("pk01_token_packing")
+    assert(!p.contains("SinglePartition"),
+      s"running total must use the distributed offsets pattern:\n$p")
+  }
+
+  test("per-group reservoir sampling runs through the bounded-heap operator") {
+    val p = plan("spl02_reservoir_per_group")
+    assert(p.contains("TopKPerGroupPartial"), s"map-side top-K pass missing:\n$p")
+    assert(!p.contains("WindowExec"), s"must not fall back to a window sort:\n$p")
+  }
+
+  test("stratified sample broadcasts the rate table and pushes nothing extra") {
+    val p = plan("spl01_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rate table should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join for a 5-row dim:\n$p")
+  }
 }

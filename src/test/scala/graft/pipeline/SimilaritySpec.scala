@@ -42,6 +42,17 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("IVF probe-2 recall >= probe-1 recall, searches at most two partitions") {
+    val bf = rows("ann01_topk_bruteforce").map(r => (r.getLong(0), r.getLong(2))).toSet
+    val p1 = rows("ann03_ivf_probe1").map(r => (r.getLong(0), r.getLong(2))).toSet
+    val p2rows = rows("ann05_ivf_probe2")
+    val p2 = p2rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(p2.intersect(bf).size >= p1.intersect(bf).size)
+    p2rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length <= 2, "more than two labels probed")
+    }
+  }
+
   test("IVF probe-1: every query searches exactly one label partition") {
     val r = rows("ann03_ivf_probe1")
     assert(r.nonEmpty)
