@@ -49,6 +49,21 @@ object TopKPerGroup {
       spark.experimental.extraStrategies = s :+ TopKStrategy
   }
 
+  /** Plan `df` with the [[WindowTopKRewrite]] optimizer rule active, then
+    * restore the session's rule set. The physical plan is forced (and
+    * memoized by QueryExecution) while the rule is installed, so only this
+    * frame gets the rewrite — other queries in the session keep their
+    * deterministic plans.
+    */
+  def withAutoRewrite(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ WindowTopKRewrite
+    try { df.queryExecution.executedPlan; df }
+    finally spark.experimental.extraOptimizations = before
+  }
+
   import graft.{QueryDef, Tables}
   import org.apache.spark.sql.functions._
 
@@ -81,6 +96,42 @@ object TopKPerGroup {
       topK(rev, Seq("p_brand"), "revenue", "p_partkey", 5)
         .orderBy("p_brand", "rnk")
     },
+
+    // ----- q39: the SAME query written as the plain window idiom, replanned
+    // automatically by the WindowTopKRewrite optimizer rule — users keep
+    // their SQL shape, the engine swaps in the bounded-heap operator
+    // (TopKPerGroupSpec asserts the rewritten plan; identical oracle).
+    QueryDef.sql(
+      "q39_auto_topk_rewrite",
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey, p_name,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS line_count
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT p_brand, p_partkey, p_name, revenue, line_count, rnk FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS BIGINT) AS rnk
+        |  FROM rev) x
+        |WHERE rnk <= 5
+        |ORDER BY p_brand, rnk""".stripMargin,
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.{Window => W}
+      val t = Tables(spark, dir)
+      val rev = t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("line_count"))
+      val windowed = rev
+        .withColumn("rnk", row_number().over(
+          W.partitionBy("p_brand").orderBy(desc("revenue"), asc("p_partkey"))))
+        .filter(col("rnk") <= 5)
+        .select(col("p_brand"), col("p_partkey"), col("p_name"),
+          col("revenue"), col("line_count"), col("rnk").cast("long").as("rnk"))
+        .orderBy("p_brand", "rnk")
+      withAutoRewrite(windowed)
+    },
   )
 }
 
@@ -100,6 +151,76 @@ case class TopKPerGroupNode(
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
     copy(child = newChild)
+}
+
+/** Optimizer rewrite (`Rule[LogicalPlan]`): recognize the built-in per-group
+  * top-K idiom —
+  * `Filter(rnk <= k, Project(..., Window(row_number over (part, s DESC, t ASC))))`
+  * — and replan it onto [[TopKPerGroupNode]], the bounded-heap operator.
+  * Users keep the window formulation; the engine swaps in the plan that
+  * doesn't sort whole groups — the Catalyst analog of ClickHouse projections
+  * choosing a better physical form for the same query.
+  *
+  * Deliberately narrow match (the rewrite must be provably identical):
+  * single row_number window expression, non-empty attribute-only partition
+  * spec, ORDER BY exactly (attr DESC, attr ASC), filter exactly `rnk <= K`
+  * or `rnk < K` on the rank attribute with a positive integer literal.
+  */
+object WindowTopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window, WindowGroupLimit}
+  import org.apache.spark.sql.types.IntegerType
+
+  private def topKOf(w: Window, rankAlias: Alias): Option[(Seq[Attribute], Attribute, Attribute)] =
+    rankAlias.child match {
+      case WindowExpression(_: RowNumber, WindowSpecDefinition(parts,
+          Seq(SortOrder(s: Attribute, Descending, _, _), SortOrder(t: Attribute, Ascending, _, _)), _))
+        if parts.nonEmpty && parts.forall(_.isInstanceOf[Attribute]) =>
+        Some((parts.map(_.asInstanceOf[Attribute]), s, t))
+      case _ => None
+    }
+
+  private def limitOf(cond: Expression, rankId: ExprId): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.exprId == rankId && k >= 1 => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.exprId == rankId && k >= 2 => Some(k - 1)
+    case _ => None
+  }
+
+  /** Rewrite one Filter-over-Window occurrence if it matches; None = leave. */
+  private def rewrite(cond: Expression, projList: Option[Seq[NamedExpression]], w: Window): Option[LogicalPlan] =
+    w.windowExpressions match {
+      case Seq(al: Alias) =>
+        (topKOf(w, al), limitOf(cond, al.exprId)) match {
+          case (Some((groups, sortA, tieA)), Some(k)) =>
+            // Spark's own InferWindowGroupLimit may already have inserted a
+            // WindowGroupLimit (sort + per-group limit) under the Window —
+            // our heap subsumes it, so unwrap to avoid double work
+            val source = w.child match {
+              case wgl: WindowGroupLimit => wgl.child
+              case c => c
+            }
+            val node = TopKPerGroupNode(k, groups, sortA, tieA, source)
+            // restore the rank under its original exprId/type so parents
+            // (and the dropped Filter's consumers) resolve unchanged
+            val rankBack = Alias(Cast(node.rankAttr, IntegerType), al.name)(exprId = al.exprId)
+            val restored = projList match {
+              case Some(pl) => pl.map {
+                case a: AttributeReference if a.exprId == al.exprId => rankBack
+                case other => other
+              }
+              case None => w.child.output :+ rankBack // project collapsed away
+            }
+            Some(Project(restored, node))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, Project(projList, w: Window)) =>
+      rewrite(cond, Some(projList), w).getOrElse(f)
+    case f @ Filter(cond, w: Window) =>
+      rewrite(cond, None, w).getOrElse(f)
+  }
 }
 
 object TopKStrategy extends SparkStrategy {

@@ -46,6 +46,46 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(q37 == q21 && q21.nonEmpty)
   }
 
+  test("optimizer rule rewrites the window idiom onto the bounded-heap operator") {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, sf())
+    val base = t.lineitem.groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").cast("double").as("qty"))
+    val idiom = base
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("l_suppkey").orderBy(desc("qty"), asc("l_partkey"))))
+      .filter(col("rnk") <= 3)
+    val rewritten = TopKPerGroup.withAutoRewrite(idiom)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    // identical rows to the un-rewritten idiom
+    val viaWindow = idiom.collect().map(_.toSeq.toList).toSet
+    assert(rewritten.collect().map(_.toSeq.toList).toSet == viaWindow && viaWindow.nonEmpty)
+    // and the rule must NOT leak into later queries on the same session
+    val later = idiom.queryExecution.executedPlan.toString
+    assert(!spark.experimental.extraOptimizations.contains(WindowTopKRewrite))
+  }
+
+  test("rewrite declines patterns it cannot prove identical") {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, sf())
+    val base = t.lineitem.groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").cast("double").as("qty"))
+    // ORDER BY ... ASC (not DESC+tiebreak): must stay a window plan
+    val asc1 = base.withColumn("rnk", row_number().over(
+      Window.partitionBy("l_suppkey").orderBy(asc("qty"))))
+      .filter(col("rnk") <= 3)
+    val p1 = TopKPerGroup.withAutoRewrite(asc1).queryExecution.executedPlan.toString
+    assert(!p1.contains("TopKPerGroup") && p1.contains("Window"), p1)
+    // global rank (no partition): must stay a window plan
+    val glob = base.withColumn("rnk", row_number().over(
+      Window.orderBy(desc("qty"), asc("l_partkey"))))
+      .filter(col("rnk") <= 3)
+    val p2 = TopKPerGroup.withAutoRewrite(glob).queryExecution.executedPlan.toString
+    assert(!p2.contains("TopKPerGroup"), p2)
+  }
+
   test("k larger than group size emits the whole group, ranked") {
     import spark.implicits._
     val df = Seq(("g", 1L, 2.0), ("g", 2L, 1.0)).toDF("g", "id", "score")
