@@ -343,8 +343,13 @@ case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
-/** `spark.sql.extensions=graft.plans.GraftExtensions` registration path. */
+/** `spark.sql.extensions=graft.plans.GraftExtensions` registration path:
+  * installs the full operator stack — planner strategy AND the window-idiom
+  * auto-rewrite — on every session of the application.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => WindowTopKRewrite)
+  }
 }

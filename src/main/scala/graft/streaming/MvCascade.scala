@@ -57,10 +57,15 @@ object MvCascade {
   private val runs = TrieMap[String, String]()
 
   def run(spark: SparkSession, dir: String): String =
-    runs.getOrElseUpdate(dir, execute(spark, dir))
+    runs.getOrElseUpdate(dir,
+      executeAt(spark, dir, Files.createTempDirectory("graft_cascade_").toString))
 
-  private def execute(spark: SparkSession, dir: String): String = {
-    val root = Files.createTempDirectory("graft_cascade_").toString
+  /** Run the cascade against an explicit root (checkpoints live under it):
+    * re-running with the same root is the checkpoint-recovery path — every
+    * query's AvailableNow trigger finds its source offsets already committed
+    * and changes nothing (MvCascadeSpec asserts this exactly-once property).
+    */
+  private[streaming] def executeAt(spark: SparkSession, dir: String, root: String): String = {
     val events = StreamingMVs.eventsStream(spark, dir)
       .withWatermark("ts", "1 day") // bound state at scale (ST7 posture)
     val valDec = col("value").cast("decimal(18,2)")

@@ -59,6 +59,20 @@ class MvCascadeSpec extends SparkSpec {
       "mv_product_revenue")
   }
 
+  test("re-running the cascade against its checkpoints changes nothing (exactly-once)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cascade_replay_").toString
+    MvCascade.executeAt(spark, sf(), root)
+    def snapshot(): Map[String, Long] =
+      Seq("mv_daily_activity", "mv_user_funnel", "mv_product_revenue", "mv_hll_daily_users")
+        .map(n => n -> spark.read.parquet(s"$root/$n").count()).toMap
+    val first = snapshot()
+    assert(first.values.forall(_ > 0))
+    // same root → same checkpoints → AvailableNow finds all offsets
+    // committed; a correct exactly-once sink must not duplicate or grow
+    MvCascade.executeAt(spark, sf(), root)
+    assert(snapshot() == first, "cascade replay mutated the sinks")
+  }
+
   test("HLL-state parts merge to the exact distinct within sketch error") {
     val rows = graft.Catalog.byName("st09_streaming_hll_state").build(spark, sf()).collect()
     assert(rows.nonEmpty)
