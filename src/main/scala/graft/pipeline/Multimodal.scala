@@ -74,7 +74,59 @@ object Multimodal {
       }
   }
 
+  final case class ResizedRow(
+      media_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, payload: Array[Byte])
+
+  /** STUB resize: a real implementation would decode + bilinear-resample
+    * here; the stub honors the *plan* exactly — output buffer is
+    * out_w × out_h × 3 deterministic bytes — so the Spark-side contract
+    * (schema, per-partition batching, buffer sizing) is executed for real
+    * and the oracle can audit the executed output's byte counts against
+    * the integer resize arithmetic.
+    */
+  def resizeStub(media: Dataset[MediaRow], targetW: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("kind"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val outW = targetW
+          val outH = math.max(1, r.height * targetW / r.width) // floor, aspect-preserving
+          val buf = new Array[Byte](outW * outH * 3)
+          var i = 0
+          while (i < buf.length) { buf(i) = ((r.media_id * 31 + i) % 251).toByte; i += 1 }
+          ResizedRow(r.media_id, r.width, r.height, outW, outH, buf)
+        }
+      }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ----- mm03: image-resize plumbing — the oracle recomputes the resize
+    // arithmetic from the source metadata and must match the byte counts of
+    // the stub's EXECUTED output buffers (kind == "image" ⇔ doc_id % 3 = 0).
+    QueryDef.sql(
+      "mm03_resize_plan",
+      """SELECT doc_id AS media_id,
+        |  CAST(n_chars % 640 + 1 AS BIGINT) AS width,
+        |  CAST(n_chars % 480 + 1 AS BIGINT) AS height,
+        |  CAST(224 AS BIGINT) AS out_w,
+        |  CAST(greatest(1, ((n_chars % 480 + 1) * 224) // (n_chars % 640 + 1)) AS BIGINT) AS out_h,
+        |  CAST(224 * greatest(1, ((n_chars % 480 + 1) * 224) // (n_chars % 640 + 1)) * 3 AS BIGINT) AS out_bytes
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin,
+    ) { (spark, dir) =>
+      resizeStub(mediaTable(spark, dir).filter(col("kind") === "image"), targetW = 224)
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          octet_length(col("payload")).cast("long").as("out_bytes"))
+        .orderBy("media_id")
+    },
 
     // ----- mm01: full multimodal pipeline — synthesize binary media, batched
     // feature extraction, per-kind rollup (rows-only: binary plumbing is not
