@@ -1,0 +1,105 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Every codegen kernel must be value-identical to the interpreted
+  * higher-order-function formulation it replaced — checked row-by-row on
+  * randomized inputs (fixed seed) plus the edge cases that bite: empty
+  * strings, repeated separators, single words, unicode, empty arrays.
+  */
+class KernelEquivalenceSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(1234)
+  private val words = Seq("the", "a", "fox", "jumps", "über", "naïve", "b2b", "", "x")
+  private def randText(): String =
+    Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length))).mkString(" ")
+
+  private lazy val texts = {
+    import spark.implicits._
+    (Seq("", " ", "one", "two  spaces", "a b c d e f", "ü ü ü")
+      ++ Seq.fill(200)(randText())).toDF("text")
+  }
+
+  private def assertColsEqual(df: org.apache.spark.sql.DataFrame): Unit = {
+    val bad = df.filter(!(col("kernel") <=> col("hof"))).collect()
+    assert(bad.isEmpty, s"kernel != HOF on ${bad.take(3).mkString("; ")}")
+  }
+
+  test("StringPolyHash == aggregate-HOF rolling hash") {
+    assertColsEqual(texts.select(
+      TextExpressions.polyHash(col("text")).as("kernel"),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("hof")))
+  }
+
+  test("ArrayCountInSet == size(filter(array_contains)) incl. duplicates") {
+    val set = Seq("the", "a", "fox", "")
+    assertColsEqual(texts.select(
+      TextExpressions.countInSet(split(col("text"), " "), set).as("kernel"),
+      size(filter(split(col("text"), " "),
+        w => array_contains(typedLit(set), w))).as("hof")))
+  }
+
+  test("ArrayFilterNotInSet == filter(!array_contains), order and dupes kept") {
+    val set = Seq("the", "a")
+    assertColsEqual(texts.select(
+      TextExpressions.filterNotInSet(split(col("text"), " "), set).as("kernel"),
+      filter(split(col("text"), " "),
+        w => !array_contains(typedLit(set), w)).as("hof")))
+  }
+
+  test("StringWordShingles == transform/slice/concat_ws window build") {
+    val w = split(col("text"), " ")
+    assertColsEqual(texts.select(
+      TextExpressions.wordShingles(col("text")).as("kernel"),
+      transform(sequence(lit(1), greatest(size(w) - 2, lit(1))),
+        i => concat_ws(" ", slice(w, i, lit(3)))).as("hof")))
+  }
+
+  test("ArrayLongEqCount == size(filter(zip_with(==)))") {
+    import spark.implicits._
+    val sigs = Seq.fill(120)((
+      Seq.fill(16)(rnd.nextInt(4).toLong),
+      Seq.fill(16)(rnd.nextInt(4).toLong))).toDF("a", "b")
+    assertColsEqual(sigs.select(
+      LshExpressions.eqCount(col("a"), col("b")).as("kernel"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), b => b)).as("hof")))
+  }
+
+  test("HyperplaneBuckets == nested transform/aggregate/zip_with formulation") {
+    import spark.implicits._
+    val L = 3
+    val H = 4
+    val dim = 8
+    val planes = Seq.fill(L, H, dim)(rnd.nextGaussian())
+    val vecs = Seq.fill(100)(Seq.fill(dim)(rnd.nextFloat())).toDF("embedding")
+    val planesLit = typedLit(planes)
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    val hof = transform(sequence(lit(0), lit(L - 1)), t =>
+      aggregate(sequence(lit(0), lit(H - 1)), lit(0L), (acc, i) => {
+        val plane = element_at(element_at(planesLit, t + 1), i + 1)
+        val d = aggregate(zip_with(emb, plane, (a, b) => a * b), lit(0.0), (s, v) => s + v)
+        acc * 2 + when(d > 0, 1L).otherwise(0L)
+      }))
+    assertColsEqual(vecs.select(
+      LshExpressions.hyperplaneBuckets(col("embedding"), planes).as("kernel"),
+      hof.as("hof")))
+  }
+
+  test("FloatVecDot/SumSq == zip_with/aggregate folds") {
+    import spark.implicits._
+    import graft.pipeline.VectorOps
+    val vecs = Seq.fill(100)((
+      Seq.fill(16)(rnd.nextFloat()), Seq.fill(16)(rnd.nextFloat()))).toDF("a", "b")
+    val da = transform(col("a"), x => x.cast("double"))
+    val db = transform(col("b"), x => x.cast("double"))
+    assertColsEqual(vecs.select(
+      VectorOps.dot(col("a"), col("b")).as("kernel"),
+      aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (s, v) => s + v).as("hof")))
+    assertColsEqual(vecs.select(
+      VectorOps.norm(col("a")).as("kernel"),
+      sqrt(aggregate(zip_with(da, da, (x, y) => x * y), lit(0.0), (s, v) => s + v)).as("hof")))
+  }
+}
