@@ -7,16 +7,24 @@ import org.apache.spark.sql.SparkSession
   * nested loops, single-partition exchanges) so intentional uses stay
   * documented and accidental ones get caught.
   *
-  * Round-1 audit result — every flag accounted for, no CartesianProduct:
+  * Round-2 audit result — every flag accounted for, no CartesianProduct:
   *   - BroadcastNestedLoopJoin: 1-row max(ts)/centroid anchor cross-joins
-  *     (q18/q26/q35/ann03 — broadcasting one row is free) and the non-equi
-  *     brute-force similarity baselines (dd05/ann01 — whose scale paths are
-  *     the LSH/IVF variants ann02/ann04/ann03, dd03/dd04).
+  *     (q18/q26/q35/ann03/ann05 — broadcasting one row is free) and the
+  *     non-equi brute-force similarity baselines (dd05/ann01 — whose scale
+  *     paths are the LSH/IVF variants ann02/ann04/ann03/ann05, dd03/dd04,
+  *     dd06).
   *   - SinglePartition: single-row global aggregates (q08/q09/q18/q26/q34/
-  *     pp01 stage stats), whole-relation windows over already-aggregated
-  *     small relations (q05/q31 share-of-total over ~5 event types), the
-  *     1-row-seeded date spine (q14), and the global-ranking windows
-  *     (q22/q23/q35/q40) whose distributed twin is q36/DistributedRank.
+  *     sq06/pp01/pp02 stage stats), whole-relation windows over
+  *     already-aggregated small relations (q05/q31 share-of-total over ~5
+  *     event types), the 1-row-seeded date spine (q14), and the
+  *     global-ranking windows (q22/q23/q35/q40) whose distributed twins are
+  *     q36/DistributedRank and pk01/withRunningTotal.
+  *   - lambdafunction (interpreted HOF): only constant-width builds —
+  *     dd03/pp01 band hashing (32 evals/doc), dd04 chunk split (4/doc),
+  *     ann04 probe expansion (9/bucket-row). Every per-element hot path
+  *     (vector math, stopword counts, shingles, LSH signatures, rolling
+  *     hashes, signature compares) runs codegen kernels (graft.functions.*,
+  *     equivalence-tested in KernelEquivalenceSpec).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -27,7 +35,11 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")
+    // "lambdafunction" marks interpreted higher-order-function evaluation —
+    // acceptable only on metadata-scale or post-aggregation columns; hot-path
+    // occurrences must move to codegen kernels (graft.functions.*)
+    val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition",
+      "lambdafunction")
     Catalog.all.foreach { d =>
       try {
         val plan = d.build(spark, sfDir).queryExecution.executedPlan.toString

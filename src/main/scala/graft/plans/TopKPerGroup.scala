@@ -55,7 +55,7 @@ object TopKPerGroup {
     * frame gets the rewrite — other queries in the session keep their
     * deterministic plans.
     */
-  def withAutoRewrite(df: DataFrame): DataFrame = {
+  def withAutoRewrite(df: DataFrame): DataFrame = synchronized {
     val spark = df.sparkSession
     install(spark)
     val before = spark.experimental.extraOptimizations
