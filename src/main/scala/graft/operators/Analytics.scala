@@ -69,7 +69,9 @@ object Analytics {
         |LIMIT 50""".stripMargin,
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
+      // both self-join sides read the distinct'ed pairs — materialize once
       val items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(true)
       val a = items.toDF("o", "part_a")
       val b = items.toDF("o", "part_b")
       val pa = t.part.select(col("p_partkey").as("pa_key"), col("p_name").as("part_a_name"))
@@ -139,10 +141,13 @@ object Analytics {
         |LIMIT 50""".stripMargin,
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
+      // three consumers (buyers, pair side a, pair side b) — materialize the
+      // join+distinct once; ContextCleaner frees the blocks with the frame
       val up = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
         .distinct()
+        .localCheckpoint(true)
       val buyers = up.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
       val a = up.toDF("u", "part_a")
       val b = up.toDF("u", "part_b")

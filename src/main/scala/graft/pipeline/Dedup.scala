@@ -149,8 +149,11 @@ object Dedup {
         |WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5
         |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
     ) { (spark, dir) =>
+      // sh feeds three consumers (per-doc counts, join side a, join side b) —
+      // materialize the explode once
       val sh = Tables(spark, dir).documents
         .select(col("doc_id"), explode(shingleExpr(col("text"))).as("s"))
+        .localCheckpoint(true)
       val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val a = sh.toDF("doc_a", "s")
       val b = sh.toDF("doc_b", "s")

@@ -37,7 +37,7 @@ object Similarity {
 
   private def lshTopK(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val bk = buckets(e).cache()
+    val bk = buckets(e).localCheckpoint(true) // 2 consumers; self-freeing
     val qbBase = bk.filter(col("vec_id") < NumQueries).toDF("qid", "table_id", "bucket")
     val qb =
       if (!multiProbe) qbBase
