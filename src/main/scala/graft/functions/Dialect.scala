@@ -85,6 +85,17 @@ object Dialect {
         Sum(If(args(1), args.head, Literal(null, NullType))).toAggregateExpression(),
         Literal(0)))),
     "groupArray" -> (args => CollectList(args.head).toAggregateExpression()),
+    // argMax(arg, val) / argMin(arg, val) — ClickHouse argument order matches
+    // Spark's max_by/min_by directly
+    "argMax" -> (args => MaxBy(args.head, args(1)).toAggregateExpression()),
+    "argMin" -> (args => MinBy(args.head, args(1)).toAggregateExpression()),
+    // arrayJoin(arr) — ClickHouse's in-SELECT explode
+    "arrayJoin" -> (args => Explode(args.head)),
+    // quantile(level)(x) has function-parameter syntax ClickHouse-side; the
+    // SQL path takes quantile(level, x) like quantileExact — interpolated
+    // percentile, the deterministic member of the quantile family
+    "quantile" -> (args =>
+      Percentile(args(1), args.head, Literal(1L)).toAggregateExpression()),
     // State/Merge re-aggregation (AggregatingMergeTree read path,
     // sample_queries.sql:79–84): over graft's MV sinks the persisted partial
     // state IS the per-group sum/count, so merging = summing the partials.

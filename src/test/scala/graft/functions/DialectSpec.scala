@@ -49,6 +49,13 @@ class DialectSpec extends SparkSpec {
       == "1969-12-31 23:00:00.0")
   }
 
+  test("argMax/argMin/arrayJoin/quantile") {
+    assert(sql1("SELECT argMax(name, score) FROM VALUES ('a', 1), ('b', 9), ('c', 3) AS t(name, score)") == "b")
+    assert(sql1("SELECT argMin(name, score) FROM VALUES ('a', 1), ('b', 9), ('c', 3) AS t(name, score)") == "a")
+    assert(spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS v").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(sql1("SELECT quantile(0.5, x) FROM VALUES (1), (2), (3), (4) AS t(x)") == 2.5)
+  }
+
   test("median and quantileExact") {
     assert(sql1("SELECT median(x) FROM VALUES (1),(2),(3),(100) AS t(x)") == 2.5)
     assert(sql1("SELECT quantileExact(0.25, x) FROM VALUES (1),(2),(3),(4),(5) AS t(x)") == 2.0)
