@@ -5,6 +5,21 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every catalog query, fully materialized (noop sink —
   * forces the complete physical plan, unlike count() which can prune
   * projections), on SPARK_GRAFT_SF_DIR. Prints exactly one JSON line.
+  *
+  * Methodology (hardened after round 2 shipped a blind regression):
+  *   - ingest throughput is measured FIRST, in the still-clean session — r2
+  *     measured 0.0 ev/s because 268 s of leaked checkpoint blocks starved
+  *     the stream of execution memory;
+  *   - every query is timed 3×; the headline per-query number is the MIN
+  *     (median also reported), so a single GC/compaction event can't define
+  *     the round's numbers;
+  *   - [[Residency.release]] runs between every pair of measurements and the
+  *     harness asserts nothing stayed resident — `clearCache()` alone cannot
+  *     free localCheckpoint blocks (the r2 q19/q20 contamination);
+  *   - the one-time streaming-cascade machinery (st04–st09 MV builds, which
+  *     sq06 also reads) is executed before timing and reported separately as
+  *     `streaming_setup_sec` — r2 misattributed its ~28 s to whichever query
+  *     sorted first.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,36 +35,68 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def materialize(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally spark.catalog.clearCache() // drop per-query cached frames
-      (System.nanoTime() - t0) / 1e9
-    }
+    val eps = ingestEventsPerSec(spark)
+    Residency.release(spark)
 
     // JVM/codegen/parquet-footer warm-up (not reported)
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    Residency.release(spark)
+
+    // One-time streaming machinery, timed apart from the read entries.
+    val setupT0 = System.nanoTime()
+    val streamingSetup =
+      try { graft.streaming.MvCascade.run(spark, sfDir); (System.nanoTime() - setupT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] cascade setup failed: ${e.getMessage}"); -1.0
+      }
+    Residency.release(spark)
+
+    def materialize(name: String): Double = {
+      val t0 = System.nanoTime()
+      val secs =
+        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
+      Residency.release(spark)
+      val left = Residency.residentRddCount(spark)
+      if (left > 0) System.err.println(s"[bench] WARNING: $name left $left resident RDDs after release")
+      secs
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val eps = ingestEventsPerSec(spark)
+    val rounds = 3
+    val samples: Map[String, Seq[Double]] =
+      (1 to rounds).flatMap(_ => names.map(n => n -> materialize(n)))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    def minOf(n: String): Double = {
+      val ok = samples(n).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    def medianOf(n: String): Double = {
+      val ok = samples(n).filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    def fmtMap(f: String => Double): String =
+      names.map(n => "\"" + n + "\":" + f(n)).mkString("{", ",", "}")
+    val total = names.map(minOf).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_events_per_sec":$eps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"ingest_events_per_sec":$eps,"sf":"$sfDir"}"""
     println(line)
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
-    // durable record.
+    // durable record. Keyed by scale factor so consecutive runs (one per sf)
+    // don't clobber each other; bench.json stays as "latest run" for tooling.
     try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, line + "\n")
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+      for (p <- Seq(s"target/bench_$sfName.json", "target/bench.json")) {
+        val out = java.nio.file.Paths.get(p)
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, line + "\n")
+      }
     } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
   }

@@ -23,12 +23,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
+    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    Residency.release(spark)
     (1 to runs).foreach { r =>
+      // rebuild per run + release after, matching Bench methodology — a
+      // released localCheckpoint cannot be re-materialized from the same frame
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[explain] $name run $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      Residency.release(spark)
     }
     spark.stop()
   }

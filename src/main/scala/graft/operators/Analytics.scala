@@ -69,9 +69,11 @@ object Analytics {
         |LIMIT 50""".stripMargin,
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
-      // both self-join sides read the distinct'ed pairs — materialize once
+      // both self-join sides consume the same distinct: ReusedExchange shares
+      // the distinct's shuffle across them (verified in the physical plan), so
+      // no eager materialization — round 2's localCheckpoint here broke the
+      // reuse AND leaked blocks past clearCache (see Residency)
       val items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint(true)
       val a = items.toDF("o", "part_a")
       val b = items.toDF("o", "part_b")
       val pa = t.part.select(col("p_partkey").as("pa_key"), col("p_name").as("part_a_name"))
@@ -141,13 +143,15 @@ object Analytics {
         |LIMIT 50""".stripMargin,
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
-      // three consumers (buyers, pair side a, pair side b) — materialize the
-      // join+distinct once; ContextCleaner frees the blocks with the frame
+      // three consumers (buyers, pair side a, pair side b) all hang off the
+      // same distinct — its exchange is shared via ReusedExchange, so the
+      // plan runs the join+distinct once without materialization (round 2's
+      // eager localCheckpoint here caused a 6.9× regression: an extra full
+      // materialization job plus blocks clearCache can't free)
       val up = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
         .distinct()
-        .localCheckpoint(true)
       val buyers = up.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
       val a = up.toDF("u", "part_a")
       val b = up.toDF("u", "part_b")
