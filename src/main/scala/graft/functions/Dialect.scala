@@ -132,15 +132,25 @@ object Dialect {
     * `dateDiff('unit', …)` → `graft_dateDiff('unit', …)`, zero-arg `count()`
     * → `count(*)`.
     *
-    * Caveat: this is a regex over the whole SQL text, so the spellings are
-    * rewritten even inside string literals (`SELECT 'count()'` becomes
-    * `'count(*)'`). Acceptable for the gateway's validated dashboard queries;
-    * a full fix needs a lexer-aware pass.
+    * String literals are masked with placeholders before the regex pass and
+    * restored after ('' escapes included), so `SELECT 'count()'` survives
+    * verbatim — the r2 whole-text regex corrupted quoted spans.
     */
-  def translate(sql: String): String =
-    sql
-      .replaceAll("(?i)\\bdateDiff\\s*\\(\\s*'", "graft_dateDiff('")
+  def translate(sql: String): String = {
+    val mark = "\u0001" // a control char never present in SQL text
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = "'(?:[^']|'')*'".r.replaceAllIn(sql, m => {
+      lits += m.matched
+      s"$mark${lits.size - 1}$mark"
+    })
+    val rewritten = masked
+      // a masked literal follows the paren ⇔ the unit was a quoted string,
+      // same condition as the pre-masking pattern `dateDiff(\s*'`
+      .replaceAll(s"(?i)\\bdateDiff\\s*\\(\\s*$mark", s"graft_dateDiff($mark")
       .replaceAll("(?i)\\bcount\\s*\\(\\s*\\)", "count(*)")
+    s"$mark(\\d+)$mark".r.replaceAllIn(rewritten,
+      m => java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+  }
 
   /** Idempotently register all aliases on a session. */
   def register(spark: SparkSession): Unit = {

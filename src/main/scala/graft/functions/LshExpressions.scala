@@ -31,6 +31,51 @@ object LshExpressions {
   def eqCount(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayLongEqCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Polynomial fold of a long array: `acc = (acc*31 + v) % 1e9+7` —
+    * the band-bucket key for banded MinHash LSH. Chosen over `xxhash64`
+    * because the identical fold is expressible in the DuckDB oracle
+    * (`list_reduce`), so band keys — and therefore candidate pairs — are
+    * bit-identical across engines.
+    */
+  def polyFold(a: Column): Column =
+    ColumnBridge.column(ArrayLongPolyFold(ColumnBridge.expression(a)))
+}
+
+case class ArrayLongPolyFold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_fold requires array<bigint>, got ${dt.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    while (i < x.numElements()) {
+      acc = (acc * 31L + (if (x.isNullAt(i)) 0L else x.getLong(i))) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (i, acc) = (ctx.freshName("i"), ctx.freshName("acc"))
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  $acc = ($acc * 31L + ($a.isNullAt($i) ? 0L : $a.getLong($i))) % 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class ArrayLongEqCount(left: Expression, right: Expression)

@@ -90,9 +90,37 @@ object CorpusPipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    // ----- pp01: full pipeline (rows-only: the near-dup stage embeds
-    // MinHash). CorpusPipelineSpec asserts the monotone-survival invariant.
-    QueryDef.rowsOnly("pp01_corpus_pipeline") { (spark, dir) =>
+    // ----- pp01: full pipeline. The near-dup stage is dd03's MinHash-LSH
+    // chain, which is now portable integer arithmetic — the oracle replays
+    // it (Dedup.minhashCtes) and composes the same stage CTEs as pp02.
+    // CorpusPipelineSpec asserts the monotone-survival invariant.
+    QueryDef.sql(
+      "pp01_corpus_pipeline",
+      s"""WITH ${Dedup.minhashCtes},
+         |dup AS (SELECT DISTINCT doc_b AS doc_id FROM mest WHERE est_jaccard >= 0.5),
+         |raw AS (
+         |  SELECT doc_id, text, lang, len(string_split(text, ' ')) AS n_words,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS ttr
+         |  FROM documents),
+         |quality AS (SELECT * FROM raw WHERE n_words >= 10 AND ttr >= 0.2),
+         |exact AS (
+         |  SELECT q.* FROM quality q
+         |  JOIN (SELECT text, MIN(doc_id) AS keeper FROM quality GROUP BY text) k
+         |    ON q.text = k.text AND q.doc_id = k.keeper),
+         |near AS (SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+         |langk AS (SELECT * FROM near WHERE lang IN ('en','de','es','fr','zh')),
+         |stats AS (
+         |  SELECT '0_raw' AS stage, COUNT(*) AS docs, COALESCE(SUM(n_words), 0) AS tokens FROM raw
+         |  UNION ALL SELECT '1_quality', COUNT(*), COALESCE(SUM(n_words), 0) FROM quality
+         |  UNION ALL SELECT '2_exact_dedup', COUNT(*), COALESCE(SUM(n_words), 0) FROM exact
+         |  UNION ALL SELECT '3_near_dedup', COUNT(*), COALESCE(SUM(n_words), 0) FROM near
+         |  UNION ALL SELECT '4_language', COUNT(*), COALESCE(SUM(n_words), 0) FROM langk
+         |  UNION ALL SELECT '5_shard_' || CAST(doc_id % 8 AS VARCHAR), COUNT(*), NULL
+         |  FROM langk GROUP BY 1)
+         |SELECT stage, CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens
+         |FROM stats ORDER BY stage""".stripMargin,
+    ) { (spark, dir) =>
       report(stages(spark, dir), shardPrefix = "5_shard_")
     },
 

@@ -25,8 +25,13 @@ object Dedup {
   private def shingleExpr(text: Column): Column =
     array_distinct(graft.functions.TextExpressions.wordShingles(text))
 
-  // MinHash machinery: h_j(s) = (a_j * H(s) + b_j) mod P over murmur3 shingle
-  // hashes, K permutations drawn from a fixed seed (deterministic across runs).
+  // MinHash machinery: h_j(s) = (a_j * H(s) + b_j) mod P over polynomial
+  // shingle hashes, K permutations drawn from a fixed seed (deterministic
+  // across runs). H(s) is the rolling 31-base hash mod 1e9+7
+  // (TextExpressions.polyHash) rather than murmur3 so the identical shingle
+  // hash — and hence the whole signature/band/candidate chain — is
+  // reconstructible in the DuckDB oracle; MinHash theory only needs H to be
+  // uniform, not any particular hash family.
   private val P = 2147483647L // 2^31 - 1: a*h + b stays < 2^62, no overflow
   private val K = 128
   private val NumBands = 32
@@ -54,7 +59,8 @@ object Dedup {
 
   private def shingleHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      transform(shingleExpr(col("text")), s => hash(s).cast("long").bitwiseAND(lit(0x7fffffffL))).as("hashes"))
+      transform(shingleExpr(col("text")),
+        s => graft.functions.TextExpressions.polyHash(s)).as("hashes"))
 
   /** Candidate near-dup pairs via banded LSH + signature-estimated Jaccard. */
   private[pipeline] def minhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
@@ -64,7 +70,8 @@ object Dedup {
     val bands = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-        xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+        graft.functions.LshExpressions.polyFold(
+          slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .toDF("doc_id", "band_id", "band_hash")
     val a = bands.toDF("doc_a", "band_id", "band_hash")
     val b = bands.toDF("doc_b", "band_id", "band_hash")
@@ -170,8 +177,16 @@ object Dedup {
 
     // ----- dd03: MinHash + banded LSH (K=128, 32 bands × 4 rows) — the
     // sublinear scale path for near-dup detection; signature build is one
-    // map-side pass, candidates come from band-bucket joins.
-    QueryDef.rowsOnly("dd03_minhash_lsh") { (spark, dir) =>
+    // map-side pass, candidates come from band-bucket joins. The oracle
+    // replays the full chain (shingles → polyhash → K permutations → band
+    // folds → candidate join → signature Jaccard) in DuckDB — every stage is
+    // portable integer arithmetic.
+    QueryDef.sql(
+      "dd03_minhash_lsh",
+      s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b, est_jaccard FROM mest WHERE est_jaccard >= 0.5
+         |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin,
+    ) { (spark, dir) =>
       minhashPairs(spark, dir, threshold = 0.5)
     },
 
@@ -217,7 +232,22 @@ object Dedup {
     // bucket occupancy (n/2^H expected per table), not n²; recall vs dd05 is
     // the LSH s-curve trade and is measured in DedupSpec. Raising L (more
     // tables) buys recall linearly in cost; lowering H fattens buckets.
-    QueryDef.rowsOnly("dd06_embedding_neardup_lsh") { (spark, dir) =>
+    QueryDef.sql(
+      "dd06_embedding_neardup_lsh",
+      s"""WITH ${Similarity.bucketCtes},
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b ON b.table_id = a.table_id AND b.bucket = a.bucket
+         |   AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |    ${Similarity.cosSql("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM cands c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+         |WHERE cosine >= 0.4
+         |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
+    ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
       val bk = Similarity.buckets(e)
       val a = bk.toDF("vec_a", "table_id", "bucket")
@@ -234,6 +264,38 @@ object Dedup {
         .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
     },
   )
+
+  /** DuckDB CTE chain reconstructing [[minhashPairs]] bit-for-bit: shingles
+    * (dd02's formula) → rolling polyhash → K=128 permutation mins → per-band
+    * poly folds → band-bucket candidate join → signature-match Jaccard.
+    * `mest` is the estimated-Jaccard pair frame; shared with pp01's near-dup
+    * stage. The 256 permutation constants are embedded as a VALUES relation.
+    */
+  // lazy: referenced from `defs` above, which initializes first
+  private[pipeline] lazy val minhashCtes: String = {
+    val permRows = (0 until K).map(j => s"($j, ${hashA(j)}, ${hashB(j)})").mkString(", ")
+    s"""mw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |msh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(words) - 2, 1)),
+       |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM mw),
+       |mhs AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i:i]) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h FROM msh),
+       |perm(j, pa, pb) AS (VALUES $permRows),
+       |msig AS (SELECT doc_id, p.j, MIN((p.pa * h + p.pb) % $P) AS m
+       |  FROM mhs, perm p GROUP BY 1, 2),
+       |msgl AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM msig GROUP BY 1),
+       |mbands AS (SELECT doc_id, gb.b AS band_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), sig[gb.b*$RowsPerBand+1 : gb.b*$RowsPerBand+$RowsPerBand]),
+       |      (acc, v) -> (acc * 31 + v) % 1000000007) AS band_hash
+       |  FROM msgl, generate_series(0, ${NumBands - 1}) gb(b)),
+       |mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM mbands a JOIN mbands b2
+       |    ON b2.band_id = a.band_id AND b2.band_hash = a.band_hash AND a.doc_id < b2.doc_id),
+       |mest AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2])) AS DOUBLE) / $K AS est_jaccard
+       |  FROM mcand c JOIN msgl sa ON sa.doc_id = c.doc_a JOIN msgl sb ON sb.doc_id = c.doc_b)""".stripMargin
+  }
 
   /** Exact dedup verdict per document (shared with the dd01 entry and tests). */
   def exactDedup(docs: DataFrame): DataFrame = {

@@ -129,17 +129,46 @@ object Multimodal {
     },
 
     // ----- mm01: full multimodal pipeline — synthesize binary media, batched
-    // feature extraction, per-kind rollup (rows-only: binary plumbing is not
-    // SQL-expressible in the oracle).
-    QueryDef.rowsOnly("mm01_media_features") { (spark, dir) =>
+    // feature extraction, per-kind rollup. The payload is the UTF-8 bytes of
+    // `text` (all-ASCII in the testdata, byte i == ascii(char i)), so the
+    // oracle recomputes the stub decode's byte statistics from the text:
+    // per-doc sums are integer-valued (exact in double, order-free); the
+    // per-kind averages go through exact DECIMAL(38,12) sums so partial-
+    // aggregation order can't leak into the last ulp.
+    QueryDef.sql(
+      "mm01_media_features",
+      """WITH bytes AS (
+        |  SELECT doc_id, t.i, CAST(ascii(text[t.i:t.i]) AS BIGINT) AS v
+        |  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+        |stats AS (
+        |  SELECT doc_id, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sv FROM bytes GROUP BY 1),
+        |deltas AS (
+        |  SELECT a.doc_id, CAST(SUM(ABS(b.v - a.v)) AS DOUBLE) AS sd
+        |  FROM bytes a JOIN bytes b ON b.doc_id = a.doc_id AND b.i = a.i + 1 GROUP BY 1),
+        |feat AS (
+        |  SELECT s.doc_id,
+        |    CASE s.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    s.n AS n_bytes,
+        |    s.sv / s.n AS byte_mean,
+        |    COALESCE(d.sd / (s.n - 1), 0) AS entropy
+        |  FROM stats s LEFT JOIN deltas d ON d.doc_id = s.doc_id)
+        |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(CAST(CAST(SUM(CAST(byte_mean AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_byte_mean,
+        |  CAST(CAST(CAST(SUM(CAST(entropy AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_entropy_proxy
+        |FROM feat GROUP BY 1 ORDER BY kind""".stripMargin,
+    ) { (spark, dir) =>
       val feats = extractFeatures(mediaTable(spark, dir))
       feats.toDF()
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n_media"),
           sum("n_bytes").as("total_bytes"),
-          avg("byte_mean").as("avg_byte_mean"),
-          avg("byte_entropy_proxy").as("avg_entropy_proxy"))
+          // exact decimal sum (order-free), then a 6-decimal rounding that
+          // absorbs the engines' 1-ulp decimal→double cast divergence
+          (sum(col("byte_mean").cast("decimal(38,12)")).cast("double") / count(lit(1)))
+            .cast("decimal(18,6)").cast("double").as("avg_byte_mean"),
+          (sum(col("byte_entropy_proxy").cast("decimal(38,12)")).cast("double") / count(lit(1)))
+            .cast("decimal(18,6)").cast("double").as("avg_entropy_proxy"))
         .orderBy("kind")
     },
 

@@ -12,18 +12,60 @@ import org.apache.spark.sql.functions._
   * vectors sharing a bucket — candidate count tracks bucket occupancy
   * (n / 2^H per table), not n. At 100 TB the bucket build is one map pass +
   * a bucket-keyed shuffle; brute force would be a full cross join.
+  *
+  * All five entries are oracle-checked: the hyperplane components are ±1
+  * sign draws from a portable integer hash (below), so the DuckDB oracle
+  * recomputes the exact buckets, candidates, and ranks — no rows-only gaps.
   */
 object Similarity {
 
   private val NumQueries = 8 // query set: vec_id < 8
 
-  // L hash tables × H hyperplanes, components from a fixed seed.
-  private val L = 6
-  private val H = 8
-  private val planes: Seq[Seq[Seq[Double]]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(L, H, 64)(rnd.nextGaussian())
-  }
+  // L hash tables × H hyperplanes. Components are Rademacher ±1 signs (sign
+  // random projection — spherically unbiased for cosine LSH, like Gaussian
+  // draws) derived from a Knuth multiplicative hash of the flat component
+  // index, so the identical plane set is reconstructible in ANSI SQL:
+  //   sign(i) = +1 iff bit 16 of ((i * 2654435761) mod 2^32) is 0.
+  private[pipeline] val L = 6
+  private[pipeline] val H = 8
+  private def planeSign(i: Long): Double =
+    if ((((i * 2654435761L) % 4294967296L) & 65536L) == 0L) 1.0 else -1.0
+  private val planes: Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(L, H, 64)((l, h, d) => planeSign(((l * H + h) * 64 + d).toLong))
+
+  /** DuckDB CTEs reconstructing the (vec_id, table_id, bucket) frame with the
+    * same plane signs and the same `acc*2 + (dot>0)` bit packing as the
+    * [[graft.functions.HyperplaneBuckets]] kernel (bit weight 2^(H-1-h)).
+    * Dot products are ±1-weighted sums of the double-cast floats; summation
+    * order is immaterial for the sign test away from |dot| ≈ 1e-15 (the
+    * values are O(1)).
+    */
+  private[pipeline] val bucketCtes =
+    s"""sgn AS (
+       |  SELECT l, h, d,
+       |    CASE WHEN (((((l*$H+h)*64+d) * 2654435761) % 4294967296) & 65536) = 0
+       |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+       |  FROM generate_series(0, ${L - 1}) tl(l),
+       |       generate_series(0, ${H - 1}) th(h),
+       |       generate_series(0, 63) td(d)),
+       |dots AS (
+       |  SELECT e.vec_id, g.l, g.h, SUM(CAST(e.embedding[g.d + 1] AS DOUBLE) * g.s) AS dp
+       |  FROM embeddings e, sgn g GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT vec_id, l AS table_id,
+       |    CAST(SUM(CASE WHEN dp > 0 THEN 1 << ($H - 1 - h) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
+
+  /** Sequential-fold cosine between two list expressions — the SQL twin of
+    * [[VectorOps.cosine]] (identical left-to-right double fold).
+    */
+  private[pipeline] def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (s1, v) -> s1 + v)
+       |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s1, v) -> s1 + v))
+       |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($b,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s1, v) -> s1 + v)))""".stripMargin
 
   /** (vec_id, table_id, bucket) — one row per vector per hash table.
     * Signature computation is the codegen'd [[graft.functions.HyperplaneBuckets]]
@@ -37,7 +79,7 @@ object Similarity {
 
   private def lshTopK(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val bk = buckets(e).localCheckpoint(true) // 2 consumers; self-freeing
+    val bk = buckets(e).localCheckpoint(true) // 2 consumers; harness releases
     val qbBase = bk.filter(col("vec_id") < NumQueries).toDF("qid", "table_id", "bucket")
     val qb =
       if (!multiProbe) qbBase
@@ -59,6 +101,64 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Oracle for ann02/ann04: bucket CTEs + (optionally multi-probe) candidate
+    * join + exact cosine re-rank — the same pipeline as [[lshTopK]].
+    */
+  private def lshOracle(multiProbe: Boolean): String = {
+    val qb =
+      if (!multiProbe)
+        "qb AS (SELECT vec_id AS qid, table_id, bucket FROM bk WHERE vec_id < 8)"
+      else
+        s"""qb AS (
+           |  SELECT b.vec_id AS qid, b.table_id,
+           |    CASE WHEN gi.i < 0 THEN b.bucket ELSE xor(b.bucket, CAST(1 AS BIGINT) << gi.i) END AS bucket
+           |  FROM bk b, generate_series(-1, ${H - 1}) gi(i)
+           |  WHERE b.vec_id < 8)""".stripMargin
+    s"""WITH $bucketCtes,
+       |$qb,
+       |cands AS (
+       |  SELECT DISTINCT qb.qid, nb.vec_id AS nid
+       |  FROM qb JOIN bk nb ON nb.table_id = qb.table_id AND nb.bucket = qb.bucket
+       |  WHERE nb.vec_id <> qb.qid),
+       |s AS (
+       |  SELECT c.qid, c.nid,
+       |    ${cosSql("eq.embedding", "en.embedding")} AS cosine
+       |  FROM cands c
+       |  JOIN embeddings eq ON eq.vec_id = c.qid
+       |  JOIN embeddings en ON en.vec_id = c.nid),
+       |r AS (SELECT qid, nid, cosine,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk FROM s)
+       |SELECT qid, rnk, nid, cosine FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Oracle for ann03/ann05: per-label mean centroids (double avg, cast to
+    * float exactly as the Spark build does), top-`probes` centroid assignment,
+    * exact cosine re-rank inside the probed partitions.
+    */
+  private def ivfOracle(probes: Int): String =
+    s"""WITH dimvals AS (
+       |  SELECT e.label, t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS c
+       |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1, 2),
+       |cent AS (SELECT label, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid FROM dimvals GROUP BY 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |aq AS (
+       |  SELECT q.qid, q.qe, c.label,
+       |    ${cosSql("q.qe", "c.centroid")} AS ccos
+       |  FROM q, cent c),
+       |assign AS (
+       |  SELECT qid, qe, label FROM (
+       |    SELECT aq.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r FROM aq)
+       |  WHERE r <= $probes),
+       |s AS (
+       |  SELECT a.qid, CAST(a.label AS BIGINT) AS probed_label, b.vec_id AS nid,
+       |    ${cosSql("a.qe", "b.embedding")} AS cosine
+       |  FROM assign a JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.qid),
+       |r AS (SELECT qid, probed_label, nid, cosine,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk FROM s)
+       |SELECT qid, rnk, nid, probed_label, cosine FROM r WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- ann01: exact top-K cosine neighbors, brute force (the correctness
@@ -68,12 +168,7 @@ object Similarity {
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
          |s AS (
          |  SELECT qid, b.vec_id AS nid,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(qe, b.embedding),
-         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (s1, v) -> s1 + v)
-         |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(qe,
-         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s1, v) -> s1 + v))
-         |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(b.embedding,
-         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s1, v) -> s1 + v))) AS cosine
+         |    ${cosSql("qe", "b.embedding")} AS cosine
          |  FROM q JOIN embeddings b ON b.vec_id <> qid),
          |r AS (SELECT qid, nid, cosine,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk FROM s)
@@ -95,7 +190,7 @@ object Similarity {
 
     // ----- ann02: LSH-bucketed ANN — candidates share a (table, bucket) key
     // with the query; exact cosine re-rank within candidates only.
-    QueryDef.rowsOnly("ann02_topk_lsh") { (spark, dir) =>
+    QueryDef.sql("ann02_topk_lsh", lshOracle(multiProbe = false)) { (spark, dir) =>
       lshTopK(spark, dir, multiProbe = false)
     },
 
@@ -103,7 +198,7 @@ object Similarity {
     // Hamming-1 neighbor bucket (one hyperplane sign flipped), recovering
     // most of the recall single-probe loses for ~(H+1)× the candidate reads —
     // still a tiny fraction of a full scan.
-    QueryDef.rowsOnly("ann04_topk_lsh_multiprobe") { (spark, dir) =>
+    QueryDef.sql("ann04_topk_lsh_multiprobe", lshOracle(multiProbe = true)) { (spark, dir) =>
       lshTopK(spark, dir, multiProbe = true)
     },
 
@@ -112,7 +207,7 @@ object Similarity {
     // mean vectors, each query probes only its nearest centroid's partition.
     // At scale: centroid build is one shuffle on (label, dim); the search scan
     // touches 1/nlist of the data (partition pruning on the inverted list).
-    QueryDef.rowsOnly("ann03_ivf_probe1") { (spark, dir) =>
+    QueryDef.sql("ann03_ivf_probe1", ivfOracle(probes = 1)) { (spark, dir) =>
       ivfTopK(spark, dir, probes = 1)
     },
 
@@ -120,7 +215,7 @@ object Similarity {
     // centroids' partitions: ~2× the scan of probe-1, recovers the recall
     // lost when a true neighbor sits just across a partition boundary
     // (the standard nprobe knob; SimilaritySpec asserts recall ≥ probe-1).
-    QueryDef.rowsOnly("ann05_ivf_probe2") { (spark, dir) =>
+    QueryDef.sql("ann05_ivf_probe2", ivfOracle(probes = 2)) { (spark, dir) =>
       ivfTopK(spark, dir, probes = 2)
     },
   )

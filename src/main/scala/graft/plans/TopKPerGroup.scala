@@ -172,8 +172,13 @@ object WindowTopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[Logica
 
   private def topKOf(w: Window, rankAlias: Alias): Option[(Seq[Attribute], Attribute, Attribute)] =
     rankAlias.child match {
+      // null orderings must be the defaults (DESC→NULLS LAST, ASC→NULLS
+      // FIRST): TopKHeaps ranks with default ordering, so an explicit
+      // `DESC NULLS FIRST` / `ASC NULLS LAST` query would be silently
+      // re-ranked if matched here
       case WindowExpression(_: RowNumber, WindowSpecDefinition(parts,
-          Seq(SortOrder(s: Attribute, Descending, _, _), SortOrder(t: Attribute, Ascending, _, _)), _))
+          Seq(SortOrder(s: Attribute, Descending, NullsLast, _),
+              SortOrder(t: Attribute, Ascending, NullsFirst, _)), _))
         if parts.nonEmpty && parts.forall(_.isInstanceOf[Attribute]) =>
         Some((parts.map(_.asInstanceOf[Attribute]), s, t))
       case _ => None
@@ -190,7 +195,14 @@ object WindowTopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[Logica
     w.windowExpressions match {
       case Seq(al: Alias) =>
         (topKOf(w, al), limitOf(cond, al.exprId)) match {
-          case (Some((groups, sortA, tieA)), Some(k)) =>
+          case (Some((groups, sortA, tieA)), Some(k))
+            // every projection reference to the rank must be a bare
+            // top-level attribute: a rank nested in an expression (`rnk+1`)
+            // could not be re-pointed at the new node's rank and would
+            // dangle — decline the rewrite instead
+            if projList.forall(_.forall(e =>
+              e.isInstanceOf[AttributeReference] ||
+                !e.references.exists(_.exprId == al.exprId))) =>
             // Spark's own InferWindowGroupLimit may already have inserted a
             // WindowGroupLimit (sort + per-group limit) under the Window —
             // our heap subsumes it, so unwrap to avoid double work

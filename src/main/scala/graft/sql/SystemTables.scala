@@ -153,7 +153,8 @@ object SystemTables {
         .filter(col("status") === "QueryFinish")
         .groupBy("fn")
         .agg(count(lit(1)).as("finished_queries"),
-          max(col("duration_ms") >= 0).as("durations_valid"))
+          // min == "every duration is non-negative" (max would be true if ANY was)
+          min(col("duration_ms") >= 0).as("durations_valid"))
         .orderBy("fn")
     },
   )

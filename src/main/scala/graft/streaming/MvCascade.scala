@@ -117,8 +117,8 @@ object MvCascade {
       mv.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$root/_ckpt/$name")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          StreamingMVs.upsertByPartition(batch, partitionCol, s"$root/$name")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          StreamingMVs.upsertByPartition(batch, partitionCol, s"$root/$name", batchId)
         }
         .trigger(Trigger.AvailableNow())
         .start()

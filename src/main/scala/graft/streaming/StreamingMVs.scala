@@ -65,11 +65,38 @@ object StreamingMVs {
     spark.table(name)
   }
 
+  // partitions written per sink path per batch id in this JVM — backs the
+  // multi-batch guard in upsertByPartition
+  private val writtenPartitions =
+    scala.collection.concurrent.TrieMap[String, Map[Long, Set[String]]]()
+
   /** foreachBatch upsert: overwrite only the key partitions present in the
     * micro-batch (dynamic partition overwrite) — idempotent under checkpoint
     * replay, and at scale each batch touches only its own partitions.
+    *
+    * Correctness guard: update mode emits only the groups touched in THIS
+    * micro-batch, so if a later batch of the same run rewrites a partition an
+    * earlier batch already wrote, groups updated only in the earlier batch
+    * would be silently dropped. That can't happen while each source is one
+    * file under AvailableNow (single batch), but rather than rely on it we
+    * fail fast when a batch id > 0 touches another batch's partition —
+    * replaying the SAME batch id (checkpoint recovery) remains legal because
+    * the overwrite is idempotent.
     */
-  def upsertByPartition(batch: DataFrame, partitionCol: String, path: String): Unit = {
+  def upsertByPartition(batch: DataFrame, partitionCol: String, path: String,
+      batchId: Long = 0L): Unit = {
+    val touched = batch.select(partitionCol).distinct().collect()
+      .map(r => String.valueOf(r.get(0))).toSet
+    val perBatch = writtenPartitions.getOrElse(path, Map.empty)
+    val fromOtherBatches = perBatch.collect { case (b, s) if b != batchId => s }.flatten.toSet
+    val overlap = touched.intersect(fromOtherBatches)
+    require(overlap.isEmpty,
+      s"upsertByPartition: batch $batchId of $path rewrites partition(s) " +
+        s"${overlap.take(3).mkString(", ")} already written by another batch of this run — " +
+        "dynamic overwrite would drop groups updated only in the earlier batch; " +
+        "compact the source to one batch or switch this sink to a merge-upsert")
+    writtenPartitions.update(path,
+      perBatch.updated(batchId, perBatch.getOrElse(batchId, Set.empty) ++ touched))
     batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch
       // one file per key partition per batch (not shuffle.partitions files):
@@ -129,8 +156,8 @@ object StreamingMVs {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       val q = agg.writeStream
         .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          upsertByPartition(batch, "event_date", outPath)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          upsertByPartition(batch, "event_date", outPath, batchId)
         }
         .trigger(Trigger.AvailableNow())
         .start()

@@ -77,4 +77,14 @@ class DialectSpec extends SparkSpec {
     assert(sql1("SELECT dateDiff('day', DATE '2024-01-01', DATE '2024-01-31')") == 30)
     assert(sql1("SELECT dateDiff('year', DATE '2023-12-31', DATE '2024-01-01')") == 1)
   }
+
+  test("translate leaves string literals untouched") {
+    // dialect spellings inside quoted literals must survive verbatim
+    assert(sql1("SELECT 'count()'") == "count()")
+    assert(sql1("SELECT 'dateDiff(''month'', a, b)'") == "dateDiff('month', a, b)")
+    // while the same spellings outside literals still rewrite, in the same query
+    assert(sql1("SELECT count() || ' ' || 'count()' FROM VALUES (1),(2) AS t(x)") == "2 count()")
+    // '' escapes don't end the masked span
+    assert(sql1("SELECT 'it''s count() here'") == "it's count() here")
+  }
 }

@@ -84,6 +84,24 @@ class TopKPerGroupSpec extends SparkSpec {
       .filter(col("rnk") <= 3)
     val p2 = TopKPerGroup.withAutoRewrite(glob).queryExecution.executedPlan.toString
     assert(!p2.contains("TopKPerGroup"), p2)
+    // non-default null ordering (DESC NULLS FIRST): the heap ranks with
+    // default ordering, so matching would silently re-rank null sort keys
+    val nf = base.withColumn("rnk", row_number().over(
+      Window.partitionBy("l_suppkey").orderBy(col("qty").desc_nulls_first, asc("l_partkey"))))
+      .filter(col("rnk") <= 3)
+    val p3 = TopKPerGroup.withAutoRewrite(nf).queryExecution.executedPlan.toString
+    assert(!p3.contains("TopKPerGroup") && p3.contains("Window"), p3)
+    // rank referenced inside a projection expression (rnk + 1): whether the
+    // rule fires (filter pushed under the projection leaves a bare-rnk match)
+    // or declines (non-bare ref in the matched projection), the result must
+    // equal the window formulation — the guard in WindowTopKRewrite.rewrite
+    // declines the non-bare case rather than emit a dangling attribute
+    val nested = base.withColumn("rnk", row_number().over(
+      Window.partitionBy("l_suppkey").orderBy(desc("qty"), asc("l_partkey"))))
+      .select(col("l_suppkey"), col("rnk"), (col("rnk") + 1).as("rank1"))
+      .filter(col("rnk") <= 3)
+    val viaHeap = TopKPerGroup.withAutoRewrite(nested).collect().map(_.toSeq.toList).toSet
+    assert(viaHeap == nested.collect().map(_.toSeq.toList).toSet && viaHeap.nonEmpty)
   }
 
   test("k larger than group size emits the whole group, ranked") {
