@@ -89,18 +89,24 @@ object Dedup {
       .orderBy(desc("est_jaccard"), asc("doc_a"), asc("doc_b"))
   }
 
-  // SimHash: 64-bit signature over 3-gram shingle hashes (shingles, not bare
+  // SimHash: 62-bit signature over 3-gram shingle hashes (shingles, not bare
   // words — on a small shared vocabulary word-sets are near-identical across
   // documents and word-level SimHash loses all discrimination). Near-dups have
   // small Hamming distance. Blocking on 4 × 16-bit chunks (a pair within
   // distance 3 must agree on ≥1 chunk — pigeonhole), so candidate generation
   // is a bucket join, never all-pairs.
+  // The shingle hash is two independent polynomial folds (mult 37 and 31)
+  // packed as hi<<31 | lo — 62 bits of spread from arithmetic the DuckDB
+  // oracle replays exactly (xxhash64 isn't portable); bits 62–63 are
+  // constant 0 on every doc, so Hamming distances are unaffected.
   // Shape note: explode + 64 codegen'd bit-sum aggregate buffers (one per
   // signature bit), not nested HOF lambdas — the interpreted form recomputed
   // the shingle hashes 64× per document and ran 155 s at sf0.1.
   private[pipeline] def simhashes(docs: DataFrame): DataFrame = {
-    val hs = docs.select(col("doc_id"),
-      explode(transform(shingleExpr(col("text")), s => xxhash64(s))).as("h"))
+    import graft.functions.TextExpressions.polyHash
+    val hs = docs.select(col("doc_id"), explode(shingleExpr(col("text"))).as("s"))
+      .select(col("doc_id"),
+        (shiftleft(polyHash(col("s"), 37), 31) + polyHash(col("s"), 31)).as("h"))
     val bitAggs = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     hs.groupBy("doc_id")
@@ -190,8 +196,41 @@ object Dedup {
       minhashPairs(spark, dir, threshold = 0.5)
     },
 
-    // ----- dd04: SimHash 64-bit + 16-bit-chunk blocking, Hamming ≤ 3.
-    QueryDef.rowsOnly("dd04_simhash") { (spark, dir) =>
+    // ----- dd04: SimHash + 16-bit-chunk blocking, Hamming ≤ 3. The oracle
+    // replays the full chain: portable shingle hash → 64 bit-majority sums →
+    // signature pack → chunk blocking → Hamming filter.
+    QueryDef.sql(
+      "dd04_simhash",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM w),
+        |hh AS (SELECT doc_id,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i:i]) AS BIGINT))),
+        |       (acc, c) -> (acc * 37 + c) % 1000000007) << 31)
+        |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i:i]) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM sh),
+        |bits AS (SELECT doc_id, gi.i,
+        |    SUM(CASE WHEN ((h >> gi.i) & 1) = 1 THEN 1 ELSE -1 END) AS bsum
+        |  FROM hh, generate_series(0, 63) gi(i) GROUP BY 1, 2),
+        |sim AS (SELECT doc_id,
+        |    SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |  FROM bits GROUP BY 1),
+        |chunks AS (SELECT doc_id, simhash, gc.c AS chunk_id,
+        |    (simhash >> (gc.c * 16)) & 65535 AS chunk
+        |  FROM sim, generate_series(0, 3) gc(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sim_a, b.simhash AS sim_b
+        |  FROM chunks a JOIN chunks b
+        |    ON b.chunk_id = a.chunk_id AND b.chunk = a.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming FROM cand)
+        |WHERE hamming <= 3
+        |ORDER BY hamming, doc_a, doc_b""".stripMargin,
+    ) { (spark, dir) =>
       simhashPairs(spark, dir, maxDist = 3)
     },
 
