@@ -46,7 +46,8 @@ object PlanAudit {
         val hits = flags.filter(plan.contains)
         if (hits.nonEmpty) println(s"[audit] ${d.name}: ${hits.mkString(", ")}")
       } catch { case e: Throwable => println(s"[audit] ${d.name}: PLAN FAILED ${e.getMessage.take(100)}") }
-      finally spark.catalog.clearCache()
+      finally Residency.release(spark) // eager checkpoints materialize during build
+
     }
     println("[audit] done")
     spark.stop()
