@@ -85,7 +85,20 @@ object Bench {
     val total = names.map(minOf).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"ingest_events_per_sec":$eps,"sf":"$sfDir"}"""
-    println(line)
+    // The driver keeps only a bounded (~2000-char) stdout tail and parses the
+    // JSON line out of it; the full-name two-map line above is ~6 KB and has
+    // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —
+    // unique short keys (prefix before the first '_'), 3-decimal values, min
+    // only — that fits the window; the full-precision line goes to the files.
+    val shortNames = names.map(n => n -> n.takeWhile(_ != '_'))
+    val compactQueries =
+      if (shortNames.map(_._2).distinct.size == names.size)
+        shortNames.map { case (n, s) => "\"" + s + "\":" + (math.round(minOf(n) * 1000) / 1000.0) }
+          .mkString("{", ",", "}")
+      else fmtMap(n => math.round(minOf(n) * 1000) / 1000.0)
+    val compactLine =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"ingest_events_per_sec":$eps,"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
+    println(compactLine)
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)
