@@ -14,9 +14,12 @@ object Catalog {
       operators.AsOfJoin.defs ++
       pipeline.Sampling.defs ++
       plans.TopKPerGroup.defs ++
+      plans.MvRouting.defs ++
       functions.Dictionaries.defs ++
       pipeline.Dedup.defs ++
+      pipeline.Decontam.defs ++
       pipeline.Similarity.defs ++
+      pipeline.Clustering.defs ++
       pipeline.TextAnalysis.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++

@@ -1,0 +1,493 @@
+package graft.plans
+
+import scala.annotation.tailrec
+import scala.collection.concurrent.TrieMap
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Transparent materialized-view routing — the projections-auto-selection
+  * analog (reference: 03-add-projections.sql:18–99 + README.md:66, where
+  * ClickHouse silently serves matching aggregations from a pre-aggregated
+  * projection instead of the base table).
+  *
+  * The rule recognizes `Aggregate` plans over the raw `events` / `lineitem`
+  * relations whose grouping keys and aggregate functions are derivable from
+  * one of the cascade MVs ([[graft.streaming.MvCascade]]) and replans them
+  * onto the MV parquet — count(*) becomes sum(mv.count), sum(measure)
+  * becomes sum(mv.partial_sum), count(DISTINCT user_id) per date becomes
+  * count(*) on the (date, user) grain. Output attribute exprIds are
+  * preserved, so parent operators re-bind unchanged.
+  *
+  * 100 TB posture: this is the difference between scanning the event log and
+  * scanning an MV that is orders of magnitude smaller (hourly grain: days ×
+  * 24 × |event_types| rows). The MVs are maintained incrementally by the
+  * streaming cascade, so the rewrite trades no freshness beyond the MV lag.
+  *
+  * Conservative-by-construction: the rewrite only fires when
+  *   - the aggregate's child flattens (through alias-inlining Projects) to
+  *     exactly the registered base relation — any Filter/Join declines;
+  *   - every grouping expression matches a canonical key form extracted from
+  *     a reference plan compiled in the same session (identical analyzer /
+  *     optimizer normalization, no hand-built expression trees);
+  *   - every aggregate function matches a canonical form the target MV can
+  *     answer; result types are restored with explicit casts.
+  * Everything else is left untouched (MvRoutingSpec pins decline cases).
+  */
+object MvRouting {
+
+  private def norm(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
+  // base data dir -> cascade root holding the MV parquet sinks
+  private val roots = TrieMap[String, String]()
+
+  /** Called by MvCascade once a cascade run has completed for `dir`. */
+  def register(dir: String, root: String): Unit = roots.put(norm(dir), root)
+
+  def rootFor(dir: String): Option[String] = roots.get(norm(dir))
+
+  /** Replan `df` with MV routing (scoped — same contract as
+    * [[TopKPerGroup.withAutoRewrite]]): the optimized plan is rewritten once,
+    * other frames in the session are untouched.
+    */
+  def route(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rewritten = MvRoutingRule(spark)(df.queryExecution.optimizedPlan)
+    ColumnBridge.ofRows(spark, rewritten)
+  }
+
+  // ---- canonical expression forms, extracted from reference plans ----
+
+  /** Key kinds an MV grain can expose. */
+  sealed trait Key
+  case object KDate extends Key
+  case object KHour extends Key
+  case object KType extends Key
+  case object KUser extends Key
+  case object KPart extends Key
+  case object KFlag extends Key
+
+  /** Aggregate kinds an MV column can answer. */
+  sealed trait Agg
+  case object ACount extends Agg
+  case object AVal extends Agg
+  case object AViews extends Agg
+  case object AClicks extends Agg
+  case object APurch extends Agg
+  case object ADistinctUser extends Agg
+  case object ARev extends Agg
+  case object AQty extends Agg
+
+  /** One MV's answering capability: parquet dir name, key -> column,
+    * agg -> column. `distinctUserAsRows` marks the (date, user) grain where
+    * count(DISTINCT user_id) is a row count.
+    */
+  final case class MvSpec(
+      name: String,
+      keys: Map[Key, String],
+      aggs: Map[Agg, String],
+      distinctUserAsRows: Boolean = false)
+
+  val eventMvs: Seq[MvSpec] = Seq(
+    // preference order: smallest grain first (hourly = days×24×|types| —
+    // metadata-sized at any SF; daily/funnel = |users|×days)
+    MvSpec("mv_hourly_events",
+      keys = Map(KDate -> "event_date", KHour -> "event_hour", KType -> "event_type"),
+      aggs = Map(ACount -> "event_count", AVal -> "val_dec")),
+    MvSpec("mv_daily_activity",
+      keys = Map(KDate -> "event_date", KUser -> "user_id"),
+      aggs = Map(ACount -> "total_events", AVal -> "val_dec"),
+      distinctUserAsRows = true),
+    MvSpec("mv_user_funnel",
+      keys = Map(KDate -> "event_date", KUser -> "user_id"),
+      aggs = Map(ACount -> "total_events", AVal -> "val_dec",
+        AViews -> "views", AClicks -> "clicks", APurch -> "purchases")))
+
+  val productMvs: Seq[MvSpec] = Seq(
+    MvSpec("mv_product_revenue",
+      keys = Map(KPart -> "product_id", KFlag -> "status"),
+      aggs = Map(ACount -> "order_count", ARev -> "rev_dec", AQty -> "qty_dec")))
+
+  /** Canonical forms over one base relation: key expressions and aggregate
+    * functions (several variants per kind where users spell the same thing
+    * differently), all referencing `relation`'s output attributes.
+    */
+  final case class Canon(
+      relation: LogicalRelation,
+      keyForms: Seq[(Key, Expression)],
+      aggForms: Seq[(Agg, AggregateFunction)])
+
+  private val canonCache = TrieMap[(String, String), Canon]()
+
+  // Re-entrancy guard: building the canon forms optimizes reference frames;
+  // with the rule installed session-wide that optimization re-enters the
+  // rule, which would re-enter canonFor for the same (dir, table) before the
+  // cache is populated — unbounded recursion. While building, the rule
+  // declines (the reference frames themselves must never be routed anyway).
+  private val building = new ThreadLocal[Boolean] { override def initialValue: Boolean = false }
+  private[plans] def isBuilding: Boolean = building.get()
+
+  /** Build the canonical forms by compiling reference aggregations through
+    * the session's own analyzer+optimizer and flattening the result — the
+    * candidate plan went through the identical pipeline, so `semanticEquals`
+    * compares like with like (no hand-modeled Cast/timezone/fold shapes).
+    */
+  private[plans] def canonFor(spark: SparkSession, dir: String, table: String): Option[Canon] =
+    canonCache.get((norm(dir), table)).orElse {
+      building.set(true)
+      try buildCanon(spark, dir, table)
+      finally building.set(false)
+    }
+
+  private def buildCanon(spark: SparkSession, dir: String, table: String): Option[Canon] = {
+      val t = Tables(spark, dir)
+      val built = table match {
+        case "events" =>
+          val e = t.events
+          val refs = Seq(
+            e.groupBy(
+              to_date(col("ts")).as("_kd"), hour(col("ts")).as("_kh"),
+              col("event_type").as("_kt"), col("user_id").as("_ku"))
+              .agg(
+                count(lit(1)).as("_c"),
+                sum(col("value").cast("decimal(18,2)")).as("_v"),
+                sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("_vwL"),
+                sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("_ckL"),
+                sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("_puL"),
+                sum(when(col("event_type") === "view", 1).otherwise(0)).as("_vwI"),
+                sum(when(col("event_type") === "click", 1).otherwise(0)).as("_ckI"),
+                sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("_puI")),
+            e.groupBy(to_date(col("ts")).as("_kd"))
+              .agg(countDistinct(col("user_id")).as("_du")))
+          extractCanon(refs, Map(
+            "_c" -> ACount, "_v" -> AVal, "_vwL" -> AViews, "_ckL" -> AClicks,
+            "_puL" -> APurch, "_vwI" -> AViews, "_ckI" -> AClicks,
+            "_puI" -> APurch, "_du" -> ADistinctUser),
+            Map("_kd" -> KDate, "_kh" -> KHour, "_kt" -> KType, "_ku" -> KUser))
+        case "lineitem" =>
+          val li = t.lineitem
+          val refs = Seq(
+            li.groupBy(col("l_partkey").as("_kp"), col("l_returnflag").as("_kf"))
+              .agg(
+                count(lit(1)).as("_c"),
+                sum(col("l_extendedprice").cast("decimal(18,2)") *
+                  (lit(1) - col("l_discount")).cast("decimal(18,2)")).as("_r1"),
+                sum(col("l_extendedprice").cast("decimal(18,2)") *
+                  (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("_r2"),
+                sum(col("l_quantity").cast("decimal(18,2)")).as("_q")))
+          extractCanon(refs, Map(
+            "_c" -> ACount, "_r1" -> ARev, "_r2" -> ARev, "_q" -> AQty),
+            Map("_kp" -> KPart, "_kf" -> KFlag))
+        case _ => None
+      }
+      built.foreach(c => canonCache.put((norm(dir), table), c))
+      built
+    }
+
+  /** Flatten each reference frame's optimized plan and pull out the key /
+    * aggregate expressions by alias name, rebased onto the FIRST frame's
+    * relation so all canon forms share one attribute space.
+    */
+  private def extractCanon(
+      refs: Seq[DataFrame],
+      aggNames: Map[String, Agg],
+      keyNames: Map[String, Key]): Option[Canon] = {
+    val flat = refs.map(r => flatten(r.queryExecution.optimizedPlan))
+    if (flat.exists(_.isEmpty)) return None
+    val frames = flat.map(_.get)
+    val baseRel = frames.head._2
+    def rebase(from: LogicalRelation, e: Expression): Expression = {
+      val m = from.output.map(_.name).zip(baseRel.output).toMap
+      e.transformUp { case a: AttributeReference => m.getOrElse(a.name, a) }
+    }
+    val keys = Seq.newBuilder[(Key, Expression)]
+    val aggs = Seq.newBuilder[(Agg, AggregateFunction)]
+    for ((entries, rel) <- frames; (name, _, expr) <- entries) {
+      keyNames.get(name).foreach(k => keys += k -> rebase(rel, expr))
+      aggNames.get(name).foreach { a =>
+        expr match {
+          case ae: AggregateExpression =>
+            aggs += a -> rebase(rel, ae.aggregateFunction).asInstanceOf[AggregateFunction]
+          case _ => return None
+        }
+      }
+    }
+    Some(Canon(baseRel, keys.result(), aggs.result()))
+  }
+
+  /** Inline any stack of Projects between an Aggregate and its relation:
+    * returns (name, exprId, substituted expr) per output plus the relation.
+    * Anything that is not Project-over-...-over-LogicalRelation declines.
+    */
+  private[plans] def flatten(plan: LogicalPlan): Option[(Seq[(String, ExprId, Expression)], LogicalRelation)] = {
+    @tailrec
+    def loop(entries: Seq[(String, ExprId, Expression)], p: LogicalPlan): Option[(Seq[(String, ExprId, Expression)], LogicalRelation)] =
+      p match {
+        case pr: Project =>
+          val subst: Map[ExprId, Expression] =
+            pr.projectList.collect { case al: Alias => al.exprId -> al.child }.toMap
+          val next = entries.map { case (n, id, e) =>
+            (n, id, e.transformUp { case a: AttributeReference => subst.getOrElse(a.exprId, a) })
+          }
+          loop(next, pr.child)
+        case rel: LogicalRelation => Some((entries, rel))
+        case _ => None
+      }
+    plan match {
+      case Aggregate(_, ae, child, _) =>
+        loop(ae.map(e => (e.name, e.exprId, stripAlias(e))), child)
+      case _ => None
+    }
+  }
+
+  private def stripAlias(e: NamedExpression): Expression = e match {
+    case al: Alias => al.child
+    case other => other
+  }
+
+  // ---- catalog entries: every oracle runs on the BASE tables, the Spark
+  // side is the ROUTED plan — a green row proves routed == base exactly ----
+
+  import graft.QueryDef
+
+  private def routed(spark: SparkSession, dir: String)(df: => DataFrame): DataFrame = {
+    graft.streaming.MvCascade.run(spark, dir) // ensure the MVs exist + registry
+    route(df)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- pr01: event-type rollup — routed onto mv_hourly_events (the
+    // metadata-sized grain), count(*) -> sum(event_count).
+    QueryDef.sql(
+      "pr01_mv_route_type_rollup",
+      """SELECT event_type, COUNT(*) AS events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    ) { (spark, dir) =>
+      routed(spark, dir) {
+        Tables(spark, dir).events
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("events"),
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").cast("double").as("total_value"))
+          .orderBy("event_type")
+      }
+    },
+
+    // ----- pr02: daily active users — count(DISTINCT user_id) answered as a
+    // ROW COUNT of mv_daily_activity's (date, user) grain; count/sum roll up.
+    QueryDef.sql(
+      "pr02_mv_route_daily_users",
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  COUNT(DISTINCT user_id) AS active_users, COUNT(*) AS events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+    ) { (spark, dir) =>
+      routed(spark, dir) {
+        Tables(spark, dir).events
+          .groupBy(to_date(col("ts")).as("event_date"))
+          .agg(countDistinct(col("user_id")).as("active_users"),
+            count(lit(1)).as("events"),
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").cast("double").as("total_value"))
+          .orderBy("event_date")
+      }
+    },
+
+    // ----- pr03: funnel rollup by date — conditional sums routed onto
+    // mv_user_funnel's pre-computed views/clicks/purchases columns.
+    QueryDef.sql(
+      "pr03_mv_route_funnel_rollup",
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  COUNT(*) AS events
+        |FROM events GROUP BY 1 ORDER BY event_date""".stripMargin,
+    ) { (spark, dir) =>
+      routed(spark, dir) {
+        Tables(spark, dir).events
+          .groupBy(to_date(col("ts")).as("event_date"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+            count(lit(1)).as("events"))
+          .orderBy("event_date")
+      }
+    },
+
+    // ----- pr04: return-flag revenue rollup over lineitem — routed onto
+    // mv_product_revenue, rolling product_id up into status.
+    QueryDef.sql(
+      "pr04_mv_route_product_rollup",
+      """SELECT l_returnflag AS status, COUNT(*) AS line_count,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY 1 ORDER BY status""".stripMargin,
+    ) { (spark, dir) =>
+      routed(spark, dir) {
+        Tables(spark, dir).lineitem
+          .groupBy(col("l_returnflag").as("status"))
+          .agg(count(lit(1)).as("line_count"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+              .cast("double").as("revenue"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("double").as("total_qty"))
+          .orderBy("status")
+      }
+    },
+  )
+}
+
+/** The rule proper. Installable session-wide ([[GraftExtensions]]) or scoped
+  * via [[MvRouting.route]]. No-op until a cascade registers a root.
+  */
+case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MvRouting._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate => tryRoute(agg).getOrElse(agg)
+  }
+
+  private def tryRoute(agg: Aggregate): Option[LogicalPlan] = {
+    if (MvRouting.isBuilding) return None
+    // flatten to (entries, relation); grouping exprs get the same inlining
+    val flatAe = flatten(agg)
+    flatAe.flatMap { case (entries, rel) =>
+      baseTableOf(rel).flatMap { case (dir, table, root) =>
+        canonFor(spark, dir, table).flatMap { canonRaw =>
+          // rebase canon forms onto THIS relation instance's attributes
+          val m = canonRaw.relation.output.map(_.name).zip(rel.output).toMap
+          def rb(e: Expression): Expression =
+            e.transformUp { case a: AttributeReference => m.getOrElse(a.name, a) }
+          val keyForms = canonRaw.keyForms.map { case (k, e) => (k, rb(e)) }
+          val aggForms = canonRaw.aggForms.map { case (k, f) =>
+            (k, rb(f).asInstanceOf[AggregateFunction]) }
+          val ge = flattenGroupExprs(agg, rel)
+          ge.flatMap { groupExprs =>
+            val mvs = if (table == "events") eventMvs else productMvs
+            mvs.view.flatMap(mv =>
+              tryMv(mv, root, groupExprs, entries, keyForms, aggForms)).headOption
+          }
+        }
+      }
+    }
+  }
+
+  /** Grouping expressions inlined through the same Project stack. */
+  private def flattenGroupExprs(agg: Aggregate, rel: LogicalRelation): Option[Seq[Expression]] = {
+    @tailrec
+    def loop(ge: Seq[Expression], p: LogicalPlan): Option[Seq[Expression]] = p match {
+      case pr: Project =>
+        val subst: Map[ExprId, Expression] =
+          pr.projectList.collect { case al: Alias => al.exprId -> al.child }.toMap
+        loop(ge.map(_.transformUp { case a: AttributeReference => subst.getOrElse(a.exprId, a) }), pr.child)
+      case r: LogicalRelation if r.eq(rel) => Some(ge)
+      case _: LogicalRelation => Some(ge)
+      case _ => None
+    }
+    loop(agg.groupingExpressions, agg.child)
+  }
+
+  /** (dir, table, cascadeRoot) when `rel` scans a registered base table. */
+  private def baseTableOf(rel: LogicalRelation): Option[(String, String, String)] =
+    rel.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.flatMap { p =>
+          val path = p.toUri.getPath
+          val (parent, file) = {
+            val i = path.lastIndexOf('/')
+            (path.substring(0, math.max(i, 0)), path.substring(i + 1))
+          }
+          val table = file.stripSuffix(".parquet")
+          if (file.endsWith(".parquet") && (table == "events" || table == "lineitem"))
+            MvRouting.rootFor(parent).map(root => (parent, table, root))
+          else None
+        }
+      case _ => None
+    }
+
+  private def tryMv(
+      mv: MvSpec,
+      root: String,
+      groupExprs: Seq[Expression],
+      entries: Seq[(String, ExprId, Expression)],
+      keyForms: Seq[(Key, Expression)],
+      aggForms: Seq[(Agg, AggregateFunction)]): Option[LogicalPlan] = {
+
+    val scan = spark.read.parquet(s"$root/${mv.name}").queryExecution.analyzed
+    val mvAttr: Map[String, Attribute] = scan.output.map(a => a.name -> a).toMap
+
+    def keyOf(e: Expression): Option[Key] =
+      keyForms.collectFirst { case (k, form) if e.semanticEquals(form) => k }
+
+    // every grouping expression must be a key this MV exposes
+    val keyed: Seq[Option[(Expression, Attribute)]] = groupExprs.map { g =>
+      keyOf(g).flatMap(k => mv.keys.get(k)).map(c => g -> mvAttr(c))
+    }
+    if (keyed.exists(_.isEmpty)) return None
+    val keyMap: Seq[(Expression, Attribute)] = keyed.flatten
+    val userGrouped = groupExprs.exists(g => keyOf(g).contains(KUser))
+
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.filter.nonEmpty) return None
+      val mapped: Option[Expression] =
+        if (ae.isDistinct) ae.aggregateFunction match {
+          // count(DISTINCT user_id) over a ⊆{date} grouping == row count of
+          // the (date, user) grain
+          case Count(Seq(u)) if mv.distinctUserAsRows && !userGrouped &&
+            keyForms.exists { case (k, f) => k == KUser && u.semanticEquals(f) } =>
+            Some(Count(Literal(1)).toAggregateExpression())
+          case _ => None
+        }
+        else ae.aggregateFunction match {
+          case Count(Seq(Literal(1, _))) =>
+            mv.aggs.get(ACount).map(c => Sum(mvAttr(c)).toAggregateExpression())
+          case f =>
+            aggForms.collectFirst {
+              case (kind, form) if f.semanticEquals(form) && mv.aggs.contains(kind) =>
+                Sum(mvAttr(mv.aggs(kind))).toAggregateExpression()
+            }
+        }
+      mapped.map(e => if (e.dataType == ae.dataType) e else Cast(e, ae.dataType))
+    }
+
+    // rewrite one output expression; None = this MV cannot answer it
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAgg(ae)
+      case _ =>
+        keyMap.find { case (g, _) => e.semanticEquals(g) } match {
+          case Some((g, attr)) =>
+            Some(if (attr.dataType == g.dataType) attr else Cast(attr, g.dataType))
+          case None => e match {
+            case _: Attribute => None // unmatched base column outside any aggregate
+            case _ if e.children.isEmpty => Some(e)
+            case _ =>
+              val kids = e.children.map(rewriteExpr)
+              if (kids.exists(_.isEmpty)) None
+              else Some(e.withNewChildren(kids.map(_.get)))
+          }
+        }
+    }
+
+    val newAe: Seq[Option[NamedExpression]] = entries.map { case (name, id, expr) =>
+      rewriteExpr(expr).map(ne => Alias(ne, name)(exprId = id))
+    }
+    if (newAe.exists(_.isEmpty)) return None
+
+    val newGe: Seq[Expression] = keyMap.map(_._2).distinct
+    Some(Aggregate(newGe, newAe.flatten, scan))
+  }
+}

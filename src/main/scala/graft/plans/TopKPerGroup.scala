@@ -363,5 +363,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => WindowTopKRewrite)
+    // transparent MV routing (no-op until a cascade registers a root)
+    e.injectOptimizerRule(session => MvRoutingRule(session))
   }
 }

@@ -144,6 +144,8 @@ object MvCascade {
       upsert(product, "status", "mv_product_revenue"),
       appendParts(hllDaily, "mv_hll_daily_users"))
     queries.foreach(_.awaitTermination())
+    // MVs complete for `dir` → eligible for transparent aggregate routing
+    graft.plans.MvRouting.register(dir, root)
     root
   }
 

@@ -1,0 +1,162 @@
+package graft.plans
+
+import graft.{Catalog, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transparent MV routing: the routed plan must actually read the MV parquet
+  * (not the base table), produce EXACTLY the base plan's rows, and decline
+  * everything outside the provable envelope.
+  */
+class MvRoutingSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("mv-routing-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** All file-scan root paths in the executed plan (through AQE). */
+  private def scanPaths(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.executedPlan
+    val top = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    top.collect { case f: FileSourceScanExec =>
+      f.relation.location.rootPaths.map(_.toUri.getPath)
+    }.flatten
+  }
+
+  private def assertRouted(df: DataFrame, mvName: String): Unit = {
+    val paths = scanPaths(df)
+    assert(paths.nonEmpty, "no file scans found")
+    assert(paths.forall(_.contains(mvName)), s"expected only $mvName scans, got $paths")
+  }
+
+  private def assertUnrouted(df: DataFrame, baseFile: String): Unit = {
+    val paths = scanPaths(df)
+    assert(paths.exists(_.endsWith(baseFile)), s"expected base $baseFile scan, got $paths")
+  }
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    val ra = a.collect().map(_.toString).sorted
+    val rb = b.collect().map(_.toString).sorted
+    assert(ra.toSeq == rb.toSeq)
+  }
+
+  private def base(name: String): DataFrame = name match {
+    case "type" =>
+      Tables(spark, dir).events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    case "daily" =>
+      Tables(spark, dir).events.groupBy(to_date(col("ts")).as("event_date"))
+        .agg(countDistinct(col("user_id")).as("active_users"), count(lit(1)).as("events"))
+    case "hourly" =>
+      Tables(spark, dir).events.groupBy(
+          to_date(col("ts")).as("event_date"), hour(col("ts")).as("event_hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+    case "global" =>
+      Tables(spark, dir).events.agg(count(lit(1)).as("total"))
+    case "product" =>
+      Tables(spark, dir).lineitem.groupBy(col("l_returnflag").as("status"))
+        .agg(count(lit(1)).as("line_count"))
+  }
+
+  test("cascade registers the dir for routing") {
+    graft.streaming.MvCascade.run(spark, dir)
+    assert(MvRouting.rootFor(dir).isDefined)
+  }
+
+  test("type rollup routes to mv_hourly_events and matches the base result") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = base("type")
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_hourly_events")
+    sameRows(r, b)
+  }
+
+  test("distinct users routes to mv_daily_activity as a row count") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = base("daily")
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_daily_activity")
+    sameRows(r, b)
+  }
+
+  test("full hourly grain routes to mv_hourly_events incl. int-hour cast-back") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = base("hourly")
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_hourly_events")
+    sameRows(r, b)
+  }
+
+  test("global count routes (empty grouping)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = base("global")
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_hourly_events")
+    sameRows(r, b)
+  }
+
+  test("lineitem status rollup routes to mv_product_revenue") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = base("product")
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_product_revenue")
+    sameRows(r, b)
+  }
+
+  test("declines: filter above the scan") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = Tables(spark, dir).events.filter(col("event_type") === "view")
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+    assertUnrouted(MvRouting.route(b), "events.parquet")
+  }
+
+  test("declines: unsupported grouping expression") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = Tables(spark, dir).events
+      .groupBy(minute(col("ts")).as("m")).agg(count(lit(1)).as("c"))
+    assertUnrouted(MvRouting.route(b), "events.parquet")
+  }
+
+  test("declines: raw double sum (not the exact decimal form)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    // sum(double) re-associates; the MV holds exact decimal partials — the
+    // rewrite must not claim bit-equality it can't prove
+    val b = Tables(spark, dir).events
+      .groupBy(col("event_type")).agg(sum(col("value")).as("v"))
+    assertUnrouted(MvRouting.route(b), "events.parquet")
+  }
+
+  test("session-wide install (post-optimizer injection) routes too") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ MvRoutingRule(spark)
+    try {
+      val b = base("type")
+      assertRouted(b, "mv_hourly_events")
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("pr catalog entries exist and build") {
+    graft.streaming.MvCascade.run(spark, dir)
+    for (n <- Seq("pr01_mv_route_type_rollup", "pr02_mv_route_daily_users",
+      "pr03_mv_route_funnel_rollup", "pr04_mv_route_product_rollup")) {
+      val d = Catalog.byName(n)
+      assert(d.oracle.isDefined)
+      assert(d.build(spark, dir).count() > 0)
+    }
+  }
+}
