@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data step that removes corpus
+  * documents overlapping an evaluation/benchmark set (n-gram-overlap
+  * decontamination, the standard pretraining-hygiene pass).
+  *
+  * The benchmark set here is carved deterministically out of `documents`
+  * (doc_id % 20 == 0 — a stand-in for an external eval suite); the corpus is
+  * everything else. A corpus document is contaminated when ≥ 30% of its
+  * 3-word shingles appear in any single benchmark document.
+  *
+  * 100 TB posture: the benchmark side of a decontamination pass is small by
+  * construction (eval suites are MBs, the corpus is TBs) — so the shingle
+  * join is a BROADCAST join: one map-side pass over the corpus, no corpus
+  * shuffle at all for candidate generation; only the (doc, bench) overlap
+  * counts (bounded by actual overlap, not corpus size) shuffle for the
+  * per-document verdict.
+  */
+object Decontam {
+
+  private def shingles(text: Column): Column =
+    array_distinct(graft.functions.TextExpressions.wordShingles(text))
+
+  /** Per-corpus-document contamination verdict against the benchmark set. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val shC = corpus.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val shB = bench.select(col("doc_id").as("bench_id"), explode(shingles(col("text"))).as("s"))
+    val nc = shC.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val overlap = shC.join(broadcast(shB), "s")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("frac"), asc("bench_id"))
+    val best = overlap.join(nc, "doc_id")
+      .select(col("doc_id"), col("bench_id"),
+        (col("c").cast("double") / col("ns")).as("frac"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    corpus.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bench_id").cast("long"), lit(-1L)).as("bench_id"),
+        coalesce(col("frac"), lit(0.0)).as("overlap_frac"),
+        when(coalesce(col("frac"), lit(0.0)) >= 0.3, 1L).otherwise(0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "dc01_decontamination",
+      """WITH wc AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 20 <> 0),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM wc),
+        |wb AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 20 = 0),
+        |shb AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM wb),
+        |nc AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY 1),
+        |ov AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS c
+        |  FROM shc c JOIN shb b ON c.s = b.s GROUP BY 1, 2),
+        |best AS (SELECT doc_id, bench_id, frac FROM (
+        |    SELECT o.doc_id, o.bench_id, CAST(o.c AS DOUBLE) / n.ns AS frac,
+        |      ROW_NUMBER() OVER (PARTITION BY o.doc_id
+        |        ORDER BY CAST(o.c AS DOUBLE) / n.ns DESC, o.bench_id) AS rn
+        |    FROM ov o JOIN nc n ON o.doc_id = n.doc_id) WHERE rn = 1)
+        |SELECT d.doc_id, CAST(COALESCE(b.bench_id, -1) AS BIGINT) AS bench_id,
+        |  COALESCE(b.frac, 0.0) AS overlap_frac,
+        |  CAST(CASE WHEN COALESCE(b.frac, 0.0) >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN best b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    ) { (spark, dir) => contamination(spark, dir) },
+  )
+}
