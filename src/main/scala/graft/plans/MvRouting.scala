@@ -204,14 +204,14 @@ object MvRouting {
     val flat = refs.map(r => flatten(r.queryExecution.optimizedPlan))
     if (flat.exists(_.isEmpty)) return None
     val frames = flat.map(_.get)
-    val baseRel = frames.head._2
+    val baseRel = frames.head._3
     def rebase(from: LogicalRelation, e: Expression): Expression = {
       val m = from.output.map(_.name).zip(baseRel.output).toMap
       e.transformUp { case a: AttributeReference => m.getOrElse(a.name, a) }
     }
     val keys = Seq.newBuilder[(Key, Expression)]
     val aggs = Seq.newBuilder[(Agg, AggregateFunction)]
-    for ((entries, rel) <- frames; (name, _, expr) <- entries) {
+    for ((entries, _, rel) <- frames; (name, _, expr) <- entries) {
       keyNames.get(name).foreach(k => keys += k -> rebase(rel, expr))
       aggNames.get(name).foreach { a =>
         expr match {
@@ -224,29 +224,40 @@ object MvRouting {
     Some(Canon(baseRel, keys.result(), aggs.result()))
   }
 
-  /** Inline any stack of Projects between an Aggregate and its relation:
-    * returns (name, exprId, substituted expr) per output plus the relation.
-    * Anything that is not Project-over-...-over-LogicalRelation declines.
+  /** Inline any stack of Projects (and collect Filter conjuncts) between an
+    * Aggregate and its relation: returns (name, exprId, substituted expr) per
+    * output, the filter conjuncts (substituted down to relation attributes),
+    * and the relation. Any other node declines.
     */
-  private[plans] def flatten(plan: LogicalPlan): Option[(Seq[(String, ExprId, Expression)], LogicalRelation)] = {
+  private[plans] def flatten(plan: LogicalPlan): Option[(Seq[(String, ExprId, Expression)], Seq[Expression], LogicalRelation)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
     @tailrec
-    def loop(entries: Seq[(String, ExprId, Expression)], p: LogicalPlan): Option[(Seq[(String, ExprId, Expression)], LogicalRelation)] =
+    def loop(
+        entries: Seq[(String, ExprId, Expression)],
+        conds: Seq[Expression],
+        p: LogicalPlan): Option[(Seq[(String, ExprId, Expression)], Seq[Expression], LogicalRelation)] =
       p match {
         case pr: Project =>
           val subst: Map[ExprId, Expression] =
             pr.projectList.collect { case al: Alias => al.exprId -> al.child }.toMap
-          val next = entries.map { case (n, id, e) =>
-            (n, id, e.transformUp { case a: AttributeReference => subst.getOrElse(a.exprId, a) })
-          }
-          loop(next, pr.child)
-        case rel: LogicalRelation => Some((entries, rel))
+          def sub(e: Expression): Expression =
+            e.transformUp { case a: AttributeReference => subst.getOrElse(a.exprId, a) }
+          loop(entries.map { case (n, id, e) => (n, id, sub(e)) }, conds.map(sub), pr.child)
+        case f: Filter =>
+          loop(entries, conds ++ splitConjuncts(f.condition), f.child)
+        case rel: LogicalRelation => Some((entries, conds, rel))
         case _ => None
       }
     plan match {
       case Aggregate(_, ae, child, _) =>
-        loop(ae.map(e => (e.name, e.exprId, stripAlias(e))), child)
+        loop(ae.map(e => (e.name, e.exprId, stripAlias(e))), Nil, child)
       case _ => None
     }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   private def stripAlias(e: NamedExpression): Expression = e match {
@@ -327,6 +338,30 @@ object MvRouting {
       }
     },
 
+    // ----- pr05: FILTERED rollup — key-only predicates route too; the date
+    // predicate lands on the MV's partition column (partition-pruned scan),
+    // the type predicate on a rolled-up key column. MvRoutingSpec asserts the
+    // pruning; the oracle proves filtered-routed == filtered-base.
+    QueryDef.sql(
+      "pr05_mv_route_filtered",
+      """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS purchases,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(ts AS DATE) >= DATE '2024-01-15'
+        |GROUP BY 1 ORDER BY event_date""".stripMargin,
+    ) { (spark, dir) =>
+      routed(spark, dir) {
+        Tables(spark, dir).events
+          .filter(col("event_type") === "purchase" &&
+            to_date(col("ts")) >= lit(java.sql.Date.valueOf("2024-01-15")))
+          .groupBy(to_date(col("ts")).as("event_date"))
+          .agg(count(lit(1)).as("purchases"),
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").cast("double").as("total_value"))
+          .orderBy("event_date")
+      }
+    },
+
     // ----- pr04: return-flag revenue rollup over lineitem — routed onto
     // mv_product_revenue, rolling product_id up into status.
     QueryDef.sql(
@@ -365,7 +400,7 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (MvRouting.isBuilding) return None
     // flatten to (entries, relation); grouping exprs get the same inlining
     val flatAe = flatten(agg)
-    flatAe.flatMap { case (entries, rel) =>
+    flatAe.flatMap { case (entries, conds, rel) =>
       baseTableOf(rel).flatMap { case (dir, table, root) =>
         canonFor(spark, dir, table).flatMap { canonRaw =>
           // rebase canon forms onto THIS relation instance's attributes
@@ -379,21 +414,23 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
           ge.flatMap { groupExprs =>
             val mvs = if (table == "events") eventMvs else productMvs
             mvs.view.flatMap(mv =>
-              tryMv(mv, root, groupExprs, entries, keyForms, aggForms)).headOption
+              tryMv(mv, root, groupExprs, conds, entries, keyForms, aggForms)).headOption
           }
         }
       }
     }
   }
 
-  /** Grouping expressions inlined through the same Project stack. */
+  /** Grouping expressions inlined through the same Project/Filter stack. */
   private def flattenGroupExprs(agg: Aggregate, rel: LogicalRelation): Option[Seq[Expression]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
     @tailrec
     def loop(ge: Seq[Expression], p: LogicalPlan): Option[Seq[Expression]] = p match {
       case pr: Project =>
         val subst: Map[ExprId, Expression] =
           pr.projectList.collect { case al: Alias => al.exprId -> al.child }.toMap
         loop(ge.map(_.transformUp { case a: AttributeReference => subst.getOrElse(a.exprId, a) }), pr.child)
+      case f: Filter => loop(ge, f.child)
       case r: LogicalRelation if r.eq(rel) => Some(ge)
       case _: LogicalRelation => Some(ge)
       case _ => None
@@ -423,6 +460,7 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       mv: MvSpec,
       root: String,
       groupExprs: Seq[Expression],
+      conds: Seq[Expression],
       entries: Seq[(String, ExprId, Expression)],
       keyForms: Seq[(Key, Expression)],
       aggForms: Seq[(Agg, AggregateFunction)]): Option[LogicalPlan] = {
@@ -440,6 +478,61 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (keyed.exists(_.isEmpty)) return None
     val keyMap: Seq[(Expression, Attribute)] = keyed.flatten
     val userGrouped = groupExprs.exists(g => keyOf(g).contains(KUser))
+
+    // ALL keys this MV exposes (not just the grouped ones) — filters may
+    // constrain a key that is rolled up, e.g. event_type='purchase' grouped
+    // by date only: MV groups are key-homogeneous, so filtering MV rows on
+    // the key column is exactly filtering base rows on the key expression
+    val mvKeyMap: Seq[(Expression, Attribute)] =
+      keyForms.flatMap { case (k, form) => mv.keys.get(k).map(c => form -> mvAttr(c)) }
+
+    // the timestamp conversion feeding the date key (Spark's cast-unwrapping
+    // rewrites `to_date(ts) >= d` into `ts_conv >= timestamp(d 00:00)`),
+    // and the date key's MV attribute
+    val dateInput: Option[Expression] = keyForms.collectFirst {
+      case (KDate, Cast(c, org.apache.spark.sql.types.DateType, _, _)) => c
+    }
+    val dateAttr: Option[Attribute] = mv.keys.get(KDate).map(mvAttr)
+    val MicrosPerDay = 86400000000L
+    def onDateInput(t: Expression): Boolean = dateInput.exists(t.semanticEquals)
+    def dayLit(us: Long): Expression =
+      Literal((us / MicrosPerDay).toInt, org.apache.spark.sql.types.DateType)
+
+    // filter conjuncts must be expressible purely over MV keys
+    def rewriteCond(e: Expression): Option[Expression] = e match {
+      case _: AggregateExpression => None
+      // midnight-aligned timestamp bounds on the date key's input are exact
+      // at date grain; anything finer-grained than a day declines
+      case GreaterThanOrEqual(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
+        if onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
+        dateAttr.map(a => GreaterThanOrEqual(a, dayLit(us)))
+      case LessThan(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
+        if onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
+        dateAttr.map(a => LessThan(a, dayLit(us)))
+      // the optimizer infers isnotnull(raw) from null-intolerant key
+      // predicates (e.g. to_date(ts) >= d infers isnotnull(ts)); every key
+      // form here is null-preserving in its single input (to_date/hour/
+      // identity), so isnotnull(raw) == isnotnull(key column)
+      case IsNotNull(a: AttributeReference)
+        if mvKeyMap.exists(_._1.references.contains(a)) =>
+        mvKeyMap.collectFirst {
+          case (form, attr) if form.references.contains(a) => IsNotNull(attr)
+        }
+      case _ =>
+        mvKeyMap.find { case (g, _) => e.semanticEquals(g) } match {
+          case Some((g, attr)) =>
+            Some(if (attr.dataType == g.dataType) attr else Cast(attr, g.dataType))
+          case None => e match {
+            case _: Attribute => None // non-key base column in the filter
+            case _ if e.children.isEmpty => Some(e)
+            case _ =>
+              val kids = e.children.map(rewriteCond)
+              if (kids.exists(_.isEmpty)) None else Some(e.withNewChildren(kids.map(_.get)))
+          }
+        }
+    }
+    val newConds = conds.map(rewriteCond)
+    if (newConds.exists(_.isEmpty)) return None
 
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.filter.nonEmpty) return None
@@ -488,6 +581,10 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (newAe.exists(_.isEmpty)) return None
 
     val newGe: Seq[Expression] = keyMap.map(_._2).distinct
-    Some(Aggregate(newGe, newAe.flatten, scan))
+    val source =
+      if (newConds.isEmpty) scan
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        newConds.flatten.reduce(And), scan)
+    Some(Aggregate(newGe, newAe.flatten, source))
   }
 }

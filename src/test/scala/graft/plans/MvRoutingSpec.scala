@@ -23,17 +23,19 @@ class MvRoutingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** All file-scan root paths in the executed plan (through AQE). */
-  private def scanPaths(df: DataFrame): Seq[String] = {
-    val plan = df.queryExecution.executedPlan
-    val top = plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    top.collect { case f: FileSourceScanExec =>
-      f.relation.location.rootPaths.map(_.toUri.getPath)
-    }.flatten
+  /** All file scans in the executed plan — recursing through AQE query
+    * stages (QueryStageExec is a leaf whose wrapped plan `collect` skips).
+    */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
   }
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    allScans(df.queryExecution.executedPlan)
+      .flatMap(_.relation.location.rootPaths.map(_.toUri.getPath))
 
   private def assertRouted(df: DataFrame, mvName: String): Unit = {
     val paths = scanPaths(df)
@@ -117,9 +119,34 @@ class MvRoutingSpec extends AnyFunSuite {
     sameRows(r, b)
   }
 
-  test("declines: filter above the scan") {
+  test("key-only filter routes, rolled-up key constrained on the MV column") {
     graft.streaming.MvCascade.run(spark, dir)
     val b = Tables(spark, dir).events.filter(col("event_type") === "view")
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_hourly_events")
+    sameRows(r, b)
+  }
+
+  test("date filter routes AND partition-prunes the MV scan") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase" &&
+        to_date(col("ts")) >= lit(java.sql.Date.valueOf("2024-01-15")))
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("purchases"))
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_hourly_events")
+    sameRows(r, b)
+    // the MV is partitioned by event_date — the routed date predicate must
+    // reach the scan as a partition filter (the 100 TB reason to route)
+    val pf = allScans(r.queryExecution.executedPlan).flatMap(_.partitionFilters)
+    assert(pf.nonEmpty, "expected partition filters on the routed MV scan")
+  }
+
+  test("declines: non-key filter above the scan") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = Tables(spark, dir).events.filter(col("value") > 10)
       .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
     assertUnrouted(MvRouting.route(b), "events.parquet")
   }
