@@ -25,6 +25,11 @@ import org.apache.spark.sql.SparkSession
   *     (vector math, stopword counts, shingles, LSH signatures, rolling
   *     hashes, signature compares) runs codegen kernels (graft.functions.*,
   *     equivalence-tested in KernelEquivalenceSpec).
+  *
+  * Round-4 audit: unchanged flag set plus km01 (BroadcastNestedLoopJoin —
+  * the k=8 broadcast-centroid cross join, same accounted class as
+  * ann03/ann05). pr01–pr05, sq07, dc01 are clean: routed MV aggregates and
+  * the broadcast shingle join introduce no flagged shapes.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -185,6 +185,24 @@ object SqlGateway {
           |LIMIT 50""".stripMargin)
     },
 
+    // ----- sq07: the full reference UX — a ClickHouse-dialect query typed
+    // against the BASE events table, transparently served from the
+    // pre-aggregated MV by MvRouting (projection auto-selection end-to-end:
+    // dialect translate → parse → analyze → route → MV scan). The oracle
+    // recomputes from raw events, proving the routed gateway result exact.
+    QueryDef.sql(
+      "sq07_gateway_mv_routing",
+      """SELECT event_type, COUNT(*) AS events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (spark, dir) =>
+      graft.streaming.MvCascade.run(spark, dir) // MVs + routing registry
+      graft.plans.MvRouting.route(execute(spark, dir,
+        """SELECT event_type, count() AS events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+    },
+
     // ----- sq01: a ClickHouse-dialect query through the gateway — toYYYYMM /
     // countIf / sumIf / toDate resolve via the injected aliases; the oracle is
     // the ANSI equivalent.

@@ -177,6 +177,12 @@ class MvRoutingSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("gateway dialect SQL routes to the MV (sq07 end-to-end)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val df = graft.Catalog.byName("sq07_gateway_mv_routing").build(spark, dir)
+    assertRouted(df, "mv_hourly_events")
+  }
+
   test("pr catalog entries exist and build") {
     graft.streaming.MvCascade.run(spark, dir)
     for (n <- Seq("pr01_mv_route_type_rollup", "pr02_mv_route_daily_users",
