@@ -184,6 +184,38 @@ object TextAnalysis {
         .limit(30)
     },
 
+    // ----- tx07: intra-document repetition — share of the most frequent
+    // 3-word shingle (non-distinct shingles; a high share marks boilerplate /
+    // degenerate generations, a standard pretraining quality filter). Pure
+    // map-side shingle kernel + two-level aggregate.
+    QueryDef.sql(
+      "tx07_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
+        |pc AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_shingles,
+        |  CAST(MAX(c) AS BIGINT) AS top_count,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS repetition_ratio,
+        |  CAST(CASE WHEN CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) >= 0.04
+        |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val sh = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.wordShingles(col("text"))).as("s"))
+      val ratio = col("top_count").cast("double") / col("total_shingles")
+      sh.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("total_shingles"),
+          max("c").cast("long").as("top_count"))
+        .select(col("doc_id"), col("total_shingles"), col("top_count"),
+          ratio.as("repetition_ratio"),
+          when(ratio >= 0.04, 1L).otherwise(0L).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
     // ----- tx04: document fingerprinting — polynomial rolling hash over the
     // character stream, exact BIGINT arithmetic mod 1e9+7 (bit-identical in
     // any engine; groups exact duplicates without comparing full texts).
