@@ -75,6 +75,7 @@ object MvRouting {
   case object KUser extends Key
   case object KPart extends Key
   case object KFlag extends Key
+  case object KCountry extends Key
 
   /** Aggregate kinds an MV column can answer. */
   sealed trait Agg
@@ -116,6 +117,15 @@ object MvRouting {
     MvSpec("mv_product_revenue",
       keys = Map(KPart -> "product_id", KFlag -> "status"),
       aggs = Map(ACount -> "order_count", ARev -> "rev_dec", AQty -> "qty_dec")))
+
+  /** The denormalized join MV: events ⋈ customer ⋈ nation pre-aggregated by
+    * (country, date, type) — routing onto it is the reference's "eliminate
+    * JOINs at query time" property.
+    */
+  val countryMv: MvSpec =
+    MvSpec("mv_country_stats",
+      keys = Map(KCountry -> "country", KDate -> "event_date", KType -> "event_type"),
+      aggs = Map(ACount -> "event_count", AVal -> "val_dec"))
 
   /** Canonical forms over one base relation: key expressions and aggregate
     * functions (several variants per kind where users spell the same thing
@@ -255,12 +265,12 @@ object MvRouting {
     }
   }
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+  private[plans] def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
   }
 
-  private def stripAlias(e: NamedExpression): Expression = e match {
+  private[plans] def stripAlias(e: NamedExpression): Expression = e match {
     case al: Alias => al.child
     case other => other
   }
@@ -362,6 +372,32 @@ object MvRouting {
       }
     },
 
+    // ----- pr06: aggregate over events ⋈ customer ⋈ nation — routed onto
+    // the DENORMALIZED mv_country_stats, eliminating both query-time joins
+    // (the reference's headline MV property). Oracle recomputes the joins
+    // from the raw tables.
+    QueryDef.sql(
+      "pr06_mv_route_country_join",
+      """SELECT n_name AS country, COUNT(*) AS events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY country""".stripMargin,
+    ) { (spark, dir) =>
+      routed(spark, dir) {
+        val t = Tables(spark, dir)
+        t.events
+          .join(t.customer, col("user_id") === col("c_custkey"))
+          .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("country"))
+          .agg(count(lit(1)).as("events"),
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").cast("double").as("total_value"))
+          .orderBy("country")
+      }
+    },
+
     // ----- pr04: return-flag revenue rollup over lineitem — routed onto
     // mv_product_revenue, rolling product_id up into status.
     QueryDef.sql(
@@ -393,7 +429,121 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import MvRouting._
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate => tryRoute(agg).getOrElse(agg)
+    case agg: Aggregate =>
+      tryRoute(agg).orElse(tryCountryRoute(agg)).getOrElse(agg)
+  }
+
+  /** Route an aggregate over `events ⋈ customer ⋈ nation` (left-deep inner
+    * joins on user_id=c_custkey, c_nationkey=n_nationkey) onto the
+    * denormalized mv_country_stats — the query-time-join elimination the
+    * reference gets from denormalized MV columns. Dimension columns other
+    * than n_name (exposed as the country key), non-inner joins, extra join
+    * conditions, and dimension-side filters beyond the join-implied
+    * isnotnull(join key) all decline.
+    */
+  private def tryCountryRoute(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Inner
+    if (MvRouting.isBuilding) return None
+
+    // strip Project/Filter stacks, accumulating alias substitutions and
+    // filter conjuncts (substitution applied to fixpoint at the end)
+    def strip(p: LogicalPlan): (LogicalPlan, Map[ExprId, Expression], Seq[Expression]) = {
+      @tailrec
+      def loop(p: LogicalPlan, subst: Map[ExprId, Expression], fs: Seq[Expression]): (LogicalPlan, Map[ExprId, Expression], Seq[Expression]) =
+        p match {
+          case pr: Project =>
+            loop(pr.child, subst ++ pr.projectList.collect { case al: Alias => al.exprId -> al.child }, fs)
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            loop(f.child, subst, fs ++ splitConjuncts(f.condition))
+          case other => (other, subst, fs)
+        }
+      loop(p, Map.empty, Nil)
+    }
+
+    def relOf(p: LogicalPlan, table: String): Option[(LogicalRelation, String)] = p match {
+      case rel: LogicalRelation => tableOf(rel).collect { case (dir, t) if t == table => (rel, dir) }
+      case _ => None
+    }
+
+    val (core, s0, f0) = strip(agg.child)
+    core match {
+      case Join(l1, r1, Inner, Some(outerCond), _) =>
+        val (lc, ls, lf) = strip(l1)
+        val (rc, rs, rf) = strip(r1)
+        // nation on one side, Join(events, customer) on the other
+        val natSide = relOf(lc, "nation").map(n => (n, rc, rf)).orElse(
+          relOf(rc, "nation").map(n => (n, lc, lf)))
+        natSide.flatMap { case ((natRel, natDir), innerCore, innerFs) =>
+          innerCore match {
+            case Join(l2, r2, Inner, Some(innerCond), _) =>
+              val (lc2, ls2, lf2) = strip(l2)
+              val (rc2, rs2, rf2) = strip(r2)
+              val evCust = relOf(lc2, "events").flatMap(e =>
+                relOf(rc2, "customer").map(c => (e, c))).orElse(
+                relOf(rc2, "events").flatMap(e =>
+                  relOf(lc2, "customer").map(c => (e, c))))
+              evCust.flatMap { case ((evRel, evDir), (custRel, custDir)) =>
+                if (evDir != natDir || evDir != custDir) return None
+                MvRouting.rootFor(evDir).flatMap { root =>
+                  canonFor(spark, evDir, "events").flatMap { canonRaw =>
+                    val allSubst = s0 ++ ls ++ rs ++ ls2 ++ rs2
+                    def sub(e: Expression): Expression = {
+                      var cur = e
+                      var i = 0
+                      while (i < 4 && cur.exists { case a: AttributeReference => allSubst.contains(a.exprId); case _ => false }) {
+                        cur = cur.transformUp { case a: AttributeReference => allSubst.getOrElse(a.exprId, a) }
+                        i += 1
+                      }
+                      cur
+                    }
+                    def attr(rel: LogicalRelation, n: String): Option[Attribute] =
+                      rel.output.find(_.name == n)
+                    (attr(evRel, "user_id"), attr(custRel, "c_custkey"),
+                      attr(custRel, "c_nationkey"), attr(natRel, "n_nationkey"),
+                      attr(natRel, "n_name")) match {
+                      case (Some(userId), Some(cCust), Some(cNat), Some(nNat), Some(nName))
+                        if isEq(sub(innerCond), userId, cCust) &&
+                          isEq(sub(outerCond), cNat, nNat) =>
+                        // dimension-side / inferred filters: the join-implied
+                        // isnotnull(join key) is a no-op (the MV's inner join
+                        // already dropped those rows); anything else must
+                        // survive key rewriting or decline in tryMv
+                        val joinKeyIds: Set[ExprId] =
+                          Set(userId, cCust, cNat, nNat).map(_.exprId)
+                        val conds = (f0 ++ lf ++ rf ++ lf2 ++ rf2).map(sub).filterNot {
+                          case IsNotNull(a: AttributeReference) => joinKeyIds.contains(a.exprId)
+                          case _ => false
+                        }
+                        // rebase the events canon onto THIS events relation
+                        val m = canonRaw.relation.output.map(_.name).zip(evRel.output).toMap
+                        def rb(e: Expression): Expression =
+                          e.transformUp { case a: AttributeReference => m.getOrElse(a.name, a) }
+                        val keyForms = canonRaw.keyForms.map { case (k, e) => (k, rb(e)) } :+
+                          (KCountry -> (nName: Expression))
+                        val aggForms = canonRaw.aggForms.map { case (k, f) =>
+                          (k, rb(f).asInstanceOf[AggregateFunction]) }
+                        val entries = agg.aggregateExpressions.map(e =>
+                          (e.name, e.exprId, sub(stripAlias(e))))
+                        val ge = agg.groupingExpressions.map(sub)
+                        tryMv(countryMv, root, ge, conds, entries, keyForms, aggForms)
+                      case _ => None
+                    }
+                  }
+                }
+              }
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
+  private def isEq(cond: Expression, a: Attribute, b: Attribute): Boolean = cond match {
+    case EqualTo(x: AttributeReference, y: AttributeReference) =>
+      (x.exprId == a.exprId && y.exprId == b.exprId) ||
+        (x.exprId == b.exprId && y.exprId == a.exprId)
+    case _ => false
   }
 
   private def tryRoute(agg: Aggregate): Option[LogicalPlan] = {
@@ -438,22 +588,26 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     loop(agg.groupingExpressions, agg.child)
   }
 
-  /** (dir, table, cascadeRoot) when `rel` scans a registered base table. */
-  private def baseTableOf(rel: LogicalRelation): Option[(String, String, String)] =
+  /** (dir, table) for any single-parquet-file relation. */
+  private def tableOf(rel: LogicalRelation): Option[(String, String)] =
     rel.relation match {
       case h: HadoopFsRelation =>
         h.location.rootPaths.headOption.flatMap { p =>
           val path = p.toUri.getPath
-          val (parent, file) = {
-            val i = path.lastIndexOf('/')
-            (path.substring(0, math.max(i, 0)), path.substring(i + 1))
-          }
-          val table = file.stripSuffix(".parquet")
-          if (file.endsWith(".parquet") && (table == "events" || table == "lineitem"))
-            MvRouting.rootFor(parent).map(root => (parent, table, root))
+          val i = path.lastIndexOf('/')
+          val (parent, file) = (path.substring(0, math.max(i, 0)), path.substring(i + 1))
+          if (file.endsWith(".parquet")) Some((parent, file.stripSuffix(".parquet")))
           else None
         }
       case _ => None
+    }
+
+  /** (dir, table, cascadeRoot) when `rel` scans a registered base table. */
+  private def baseTableOf(rel: LogicalRelation): Option[(String, String, String)] =
+    tableOf(rel).flatMap { case (parent, table) =>
+      if (table == "events" || table == "lineitem")
+        MvRouting.rootFor(parent).map(root => (parent, table, root))
+      else None
     }
 
   private def tryMv(

@@ -177,6 +177,29 @@ class MvRoutingSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("country join aggregate routes to the denormalized MV (joins eliminated)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val t = Tables(spark, dir)
+    val b = t.events
+      .join(t.customer, col("user_id") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("country"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("events"))
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_country_stats")
+    sameRows(r, b)
+  }
+
+  test("declines: join aggregate using a dimension column the MV lacks") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val t = Tables(spark, dir)
+    val b = t.events
+      .join(t.customer, col("user_id") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("c"))
+    assertUnrouted(MvRouting.route(b), "events.parquet")
+  }
+
   test("gateway dialect SQL routes to the MV (sq07 end-to-end)") {
     graft.streaming.MvCascade.run(spark, dir)
     val df = graft.Catalog.byName("sq07_gateway_mv_routing").build(spark, dir)
