@@ -47,13 +47,41 @@ object MvRouting {
   private def norm(dir: String): String =
     java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
 
-  // base data dir -> cascade root holding the MV parquet sinks
-  private val roots = TrieMap[String, String]()
+  /** Registration carries a freshness fingerprint (size + mtime of each base
+    * table file at cascade time): routing must serve the MV only while the
+    * MV provably reflects the base table — if the base file has changed
+    * since the cascade ran, the rewrite silently declines rather than
+    * returning stale aggregates (re-running the cascade re-registers).
+    */
+  private final case class Registration(root: String, fingerprints: Map[String, (Long, Long)])
+
+  // base data dir -> cascade root + base-table fingerprints
+  private val roots = TrieMap[String, Registration]()
+
+  private def fingerprint(dir: String, table: String): Option[(Long, Long)] = {
+    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+    if (java.nio.file.Files.exists(p))
+      Some((java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis))
+    else None
+  }
 
   /** Called by MvCascade once a cascade run has completed for `dir`. */
-  def register(dir: String, root: String): Unit = roots.put(norm(dir), root)
+  def register(dir: String, root: String): Unit = {
+    val fps = Seq("events", "lineitem", "customer", "nation")
+      .flatMap(t => fingerprint(dir, t).map(t -> _)).toMap
+    roots.put(norm(dir), Registration(root, fps))
+  }
 
-  def rootFor(dir: String): Option[String] = roots.get(norm(dir))
+  def rootFor(dir: String): Option[String] = roots.get(norm(dir)).map(_.root)
+
+  /** The cascade root, only while `table` (and, for the join MV, its
+    * dimension inputs) are bit-unchanged since registration.
+    */
+  def freshRootFor(dir: String, tables: Seq[String]): Option[String] =
+    roots.get(norm(dir)).filter { reg =>
+      tables.forall(t => reg.fingerprints.get(t).exists(fp => fingerprint(dir, t).contains(fp)))
+    }.map(_.root)
 
   /** Replan `df` with MV routing (scoped — same contract as
     * [[TopKPerGroup.withAutoRewrite]]): the optimized plan is rewritten once,
@@ -485,7 +513,8 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   relOf(lc2, "customer").map(c => (e, c))))
               evCust.flatMap { case ((evRel, evDir), (custRel, custDir)) =>
                 if (evDir != natDir || evDir != custDir) return None
-                MvRouting.rootFor(evDir).flatMap { root =>
+                // the join MV depends on the dimension tables too
+                MvRouting.freshRootFor(evDir, Seq("events", "customer", "nation")).flatMap { root =>
                   canonFor(spark, evDir, "events").flatMap { canonRaw =>
                     val allSubst = s0 ++ ls ++ rs ++ ls2 ++ rs2
                     def sub(e: Expression): Expression = {
@@ -602,11 +631,13 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** (dir, table, cascadeRoot) when `rel` scans a registered base table. */
+  /** (dir, table, cascadeRoot) when `rel` scans a registered, still-fresh
+    * base table.
+    */
   private def baseTableOf(rel: LogicalRelation): Option[(String, String, String)] =
     tableOf(rel).flatMap { case (parent, table) =>
       if (table == "events" || table == "lineitem")
-        MvRouting.rootFor(parent).map(root => (parent, table, root))
+        MvRouting.freshRootFor(parent, Seq(table)).map(root => (parent, table, root))
       else None
     }
 

@@ -206,6 +206,30 @@ class MvRoutingSpec extends AnyFunSuite {
     assertRouted(df, "mv_hourly_events")
   }
 
+  test("unregistered dir never routes") {
+    val b = Tables(spark, "/root/testdata/sf0.01").events
+      .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    // no cascade has run for sf0.01 in THIS JVM — must stay on the base scan
+    if (MvRouting.rootFor("/root/testdata/sf0.01").isEmpty)
+      assertUnrouted(MvRouting.route(b), "events.parquet")
+  }
+
+  test("stale base table declines routing (freshness fingerprint)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_fresh_").toString
+    for (t <- Seq("events", "lineitem", "customer", "nation"))
+      Files.copy(Paths.get(dir, s"$t.parquet"), Paths.get(tmp, s"$t.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    graft.streaming.MvCascade.run(spark, tmp)
+    def q = Tables(spark, tmp).events
+      .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    assertRouted(MvRouting.route(q), "mv_hourly_events")
+    // simulate new data landing in the base table after the cascade ran
+    Files.setLastModifiedTime(Paths.get(tmp, "events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    assertUnrouted(MvRouting.route(q), "events.parquet")
+  }
+
   test("pr catalog entries exist and build") {
     graft.streaming.MvCascade.run(spark, dir)
     for (n <- Seq("pr01_mv_route_type_rollup", "pr02_mv_route_daily_users",
