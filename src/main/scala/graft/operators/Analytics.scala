@@ -147,7 +147,11 @@ object Analytics {
       // same distinct — its exchange is shared via ReusedExchange, so the
       // plan runs the join+distinct once without materialization (round 2's
       // eager localCheckpoint here caused a 6.9× regression: an extra full
-      // materialization job plus blocks clearCache can't free)
+      // materialization job plus blocks clearCache can't free).
+      // Measured alternative (round 4): collect_list per-user baskets +
+      // posexplode×slice pair generation is ~1.8× SLOWER at sf0.1 (6.3 s vs
+      // 3.6 s) — the first explode carries a copy of the whole basket array
+      // on every output row. The self-join with shared exchange stays.
       val up = t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
