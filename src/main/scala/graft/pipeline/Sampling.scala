@@ -75,6 +75,34 @@ object Sampling {
         .orderBy("lang", "rnk")
     },
 
+    // ----- ck01: sliding-window document chunking — split each document into
+    // 30-word chunks with 10-word overlap (stride 20), the
+    // context-window-preparation step between curation and packing. One
+    // codegen'd Generate per document (sequence + explode), chunk text via
+    // slice — map-side only, no shuffle except the final ORDER BY; chunk
+    // count and boundaries are pure integer arithmetic on both engines.
+    QueryDef.sql(
+      "ck01_doc_chunking",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, words, len(words) AS n,
+        |    UNNEST(generate_series(0, (len(words) + 19) // 20 - 1)) AS i
+        |  FROM w)
+        |SELECT doc_id, CAST(i + 1 AS BIGINT) AS chunk_id,
+        |  CAST(least(30, n - i * 20) AS BIGINT) AS chunk_words,
+        |  array_to_string(words[i * 20 + 1 : i * 20 + 30], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id"), col("words"), size(col("words")).as("n"),
+          explode(sequence(lit(0), expr("(size(words) + 19) div 20") .cast("int") - 1)).as("i"))
+        .select(col("doc_id"),
+          (col("i") + 1).cast("long").as("chunk_id"),
+          least(lit(30), col("n") - col("i") * 20).cast("long").as("chunk_words"),
+          concat_ws(" ", slice(col("words"), col("i") * 20 + 1, lit(30))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ----- pk01: token-budget sequence packing — assign documents (in
     // deterministic doc_id order) to consecutive shards of ≤ 4096 tokens:
     // shard = floor(tokens_before_this_doc / 4096). The running sum is
