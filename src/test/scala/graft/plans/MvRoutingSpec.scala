@@ -144,6 +144,16 @@ class MvRoutingSpec extends AnyFunSuite {
     assert(pf.nonEmpty, "expected partition filters on the routed MV scan")
   }
 
+  test("date EQUALITY filter routes (Spark unwraps it to a midnight range)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = Tables(spark, dir).events
+      .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-10")))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_hourly_events")
+    sameRows(r, b)
+  }
+
   test("declines: non-key filter above the scan") {
     graft.streaming.MvCascade.run(spark, dir)
     val b = Tables(spark, dir).events.filter(col("value") > 10)
