@@ -276,6 +276,33 @@ object ScalarsAndSets {
         .orderBy("rflag", "lstatus")
     },
 
+    // ----- q47: explicit GROUPING SETS — two DISJOINT dimension totals
+    // (daily + by-type) in one scan/aggregate pass, the case neither ROLLUP
+    // (q38) nor CUBE (q41) expresses. Spark 4's Dataset.groupingSets; the
+    // q41 COALESCE-sentinel pattern keeps the ORDER BY engine-neutral.
+    QueryDef.sql(
+      "q47_grouping_sets",
+      """SELECT COALESCE(CAST(ts AS DATE), DATE '1900-01-01') AS event_date,
+        |  COALESCE(event_type, 'ALL') AS etype,
+        |  COUNT(*) AS events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type))
+        |ORDER BY event_date, etype""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(to_date(col("ts")).as("d"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupingSets(Seq(Seq(col("d")), Seq(col("event_type"))),
+          col("d"), col("event_type"))
+        .agg(count(lit(1)).as("events"), sum("v").cast("double").as("total_value"))
+        .select(
+          coalesce(col("d"), lit(java.sql.Date.valueOf("1900-01-01"))).as("event_date"),
+          coalesce(col("event_type"), lit("ALL")).as("etype"),
+          col("events"), col("total_value"))
+        .orderBy("event_date", "etype")
+    },
+
     // ----- q42: first_value / last_value with explicit frames — per customer,
     // first and latest order value (offset-window family completion).
     QueryDef.sql(

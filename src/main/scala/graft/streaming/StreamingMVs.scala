@@ -240,6 +240,36 @@ object StreamingMVs {
         .orderBy("purchase_id", "click_id")
     },
 
+    // ----- st11: streaming dedup-on-ingest — the ReplacingMergeTree
+    // semantics (01-create-tables.sql ReplacingMergeTree; q18 covers the
+    // batch snapshot) applied at the stream: two copies of the event stream
+    // unioned (every event arrives twice), watermark-bounded
+    // dropDuplicatesWithinWatermark keeps exactly one. State is evicted past
+    // the watermark (ST7 posture) — at 100 TB the dedup state holds one key
+    // per event inside the lateness window, not the full history. Oracle:
+    // the deduped stream must equal the batch distinct — same
+    // incremental-equals-batch property as st01.
+    QueryDef.sql(
+      "st11_streaming_dedup",
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    ) { (spark, dir) =>
+      def src = eventsStream(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val doubled = src.union(src) // every event ingested twice
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("event_id")
+      val name = s"st11_out_${math.abs(dir.hashCode)}"
+      val q = doubled.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy("event_id")
+    },
+
     // ----- st03: gap-based sessionization via session_window (ST6 — the
     // true-session extension of the reference's fixed 30-min buckets; oracle
     // mirrors it with lag + running-sum island detection).
