@@ -66,11 +66,25 @@ object MvRouting {
     else None
   }
 
-  /** Called by MvCascade once a cascade run has completed for `dir`. */
-  def register(dir: String, root: String): Unit = {
-    val fps = Seq("events", "lineitem", "customer", "nation")
-      .flatMap(t => fingerprint(dir, t).map(t -> _)).toMap
-    roots.put(norm(dir), Registration(root, fps))
+  private val fingerprintTables = Seq("events", "lineitem", "customer", "nation")
+
+  /** Snapshot the base-table fingerprints — taken by MvCascade BEFORE the
+    * cascade starts reading, so a base overwrite landing mid-cascade is
+    * caught at registration time instead of being fingerprinted as fresh.
+    */
+  def fingerprintNow(dir: String): Map[String, (Long, Long)] =
+    fingerprintTables.flatMap(t => fingerprint(dir, t).map(t -> _)).toMap
+
+  /** Called by MvCascade once a cascade run has completed for `dir`.
+    * `pre` is the fingerprint snapshot taken before the cascade started; if
+    * any base file changed while the cascade ran, the MVs reflect an unknown
+    * mix of old and new data — registration is declined (and any stale prior
+    * registration for the dir is dropped).
+    */
+  def register(dir: String, root: String, pre: Map[String, (Long, Long)]): Unit = {
+    val now = fingerprintNow(dir)
+    if (now == pre) roots.put(norm(dir), Registration(root, pre))
+    else roots.remove(norm(dir))
   }
 
   def rootFor(dir: String): Option[String] = roots.get(norm(dir)).map(_.root)
@@ -663,6 +677,7 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (keyed.exists(_.isEmpty)) return None
     val keyMap: Seq[(Expression, Attribute)] = keyed.flatten
     val userGrouped = groupExprs.exists(g => keyOf(g).contains(KUser))
+    val dateGrouped = groupExprs.exists(g => keyOf(g).contains(KDate))
 
     // ALL keys this MV exposes (not just the grouped ones) — filters may
     // constrain a key that is rolled up, e.g. event_type='purchase' grouped
@@ -679,20 +694,26 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val dateAttr: Option[Attribute] = mv.keys.get(KDate).map(mvAttr)
     val MicrosPerDay = 86400000000L
+    // the midnight-alignment test below (us % MicrosPerDay == 0 → date
+    // literal) is only valid when the session day boundary IS the UTC day
+    // boundary; in any other zone decline rather than misroute
+    val utcSession = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
     def onDateInput(t: Expression): Boolean = dateInput.exists(t.semanticEquals)
     def dayLit(us: Long): Expression =
       Literal((us / MicrosPerDay).toInt, org.apache.spark.sql.types.DateType)
 
-    // filter conjuncts must be expressible purely over MV keys
-    def rewriteCond(e: Expression): Option[Expression] = e match {
+    // filter conjuncts must be expressible purely over MV keys; relocating a
+    // non-deterministic predicate from base rows to pre-aggregated MV rows
+    // would sample groups instead of events — decline those outright
+    def rewriteCond(e: Expression): Option[Expression] = if (!e.deterministic) None else e match {
       case _: AggregateExpression => None
       // midnight-aligned timestamp bounds on the date key's input are exact
       // at date grain; anything finer-grained than a day declines
       case GreaterThanOrEqual(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
-        if onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
+        if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
         dateAttr.map(a => GreaterThanOrEqual(a, dayLit(us)))
       case LessThan(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
-        if onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
+        if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
         dateAttr.map(a => LessThan(a, dayLit(us)))
       // the optimizer infers isnotnull(raw) from null-intolerant key
       // predicates (e.g. to_date(ts) >= d infers isnotnull(ts)); every key
@@ -723,16 +744,23 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (ae.filter.nonEmpty) return None
       val mapped: Option[Expression] =
         if (ae.isDistinct) ae.aggregateFunction match {
-          // count(DISTINCT user_id) over a ⊆{date} grouping == row count of
-          // the (date, user) grain
-          case Count(Seq(u)) if mv.distinctUserAsRows && !userGrouped &&
+          // count(DISTINCT user_id) grouped EXACTLY by the date key == row
+          // count of the (date, user) grain. The grouping must include the
+          // date key: with an empty grouping the row count is the SUM of
+          // daily actives, which over-counts every user active on >1 date.
+          case Count(Seq(u)) if mv.distinctUserAsRows && !userGrouped && dateGrouped &&
             keyForms.exists { case (k, f) => k == KUser && u.semanticEquals(f) } =>
             Some(Count(Literal(1)).toAggregateExpression())
           case _ => None
         }
         else ae.aggregateFunction match {
           case Count(Seq(Literal(1, _))) =>
-            mv.aggs.get(ACount).map(c => Sum(mvAttr(c)).toAggregateExpression())
+            // global (no GROUP BY) count: Sum over zero MV rows is NULL where
+            // Count over zero base rows is 0 — coalesce restores the identity
+            mv.aggs.get(ACount).map { c =>
+              val s: Expression = Sum(mvAttr(c)).toAggregateExpression()
+              if (groupExprs.isEmpty) Coalesce(Seq(s, Literal(0L))) else s
+            }
           case f =>
             aggForms.collectFirst {
               case (kind, form) if f.semanticEquals(form) && mv.aggs.contains(kind) =>
@@ -743,7 +771,9 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // rewrite one output expression; None = this MV cannot answer it
-    def rewriteExpr(e: Expression): Option[Expression] = e match {
+    // (same determinism rule as rewriteCond: a non-deterministic output
+    // evaluated per MV row instead of per base row changes the draw count)
+    def rewriteExpr(e: Expression): Option[Expression] = if (!e.deterministic) None else e match {
       case ae: AggregateExpression => mapAgg(ae)
       case _ =>
         keyMap.find { case (g, _) => e.semanticEquals(g) } match {

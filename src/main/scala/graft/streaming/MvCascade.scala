@@ -66,6 +66,9 @@ object MvCascade {
     * and changes nothing (MvCascadeSpec asserts this exactly-once property).
     */
   private[streaming] def executeAt(spark: SparkSession, dir: String, root: String): String = {
+    // fingerprint the base tables BEFORE any stream reads them: if a base
+    // overwrite lands mid-cascade, register() sees the mismatch and declines
+    val preFingerprints = graft.plans.MvRouting.fingerprintNow(dir)
     val events = StreamingMVs.eventsStream(spark, dir)
       .withWatermark("ts", "1 day") // bound state at scale (ST7 posture)
     val valDec = col("value").cast("decimal(18,2)")
@@ -145,7 +148,7 @@ object MvCascade {
       appendParts(hllDaily, "mv_hll_daily_users"))
     queries.foreach(_.awaitTermination())
     // MVs complete for `dir` → eligible for transparent aggregate routing
-    graft.plans.MvRouting.register(dir, root)
+    graft.plans.MvRouting.register(dir, root, preFingerprints)
     root
   }
 

@@ -240,6 +240,66 @@ class MvRoutingSpec extends AnyFunSuite {
     assertUnrouted(MvRouting.route(q), "events.parquet")
   }
 
+  test("declines: GLOBAL count(DISTINCT user_id) (would over-count via the daily grain)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    // sum of daily actives ≠ distinct users: only a grouping that includes
+    // the date key makes the row-count identity hold
+    val b = Tables(spark, dir).events.agg(countDistinct(col("user_id")).as("users"))
+    val r = MvRouting.route(b)
+    assertUnrouted(r, "events.parquet")
+    sameRows(r, b)
+  }
+
+  test("global count over an empty key-filter routes and returns 0 (not NULL)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    // 'refund' is not an event type in the testdata: Sum over zero MV rows
+    // is NULL where Count over zero base rows is 0 — the routed plan must
+    // coalesce back to the Count identity
+    val b = Tables(spark, dir).events.filter(col("event_type") === "refund")
+      .agg(count(lit(1)).as("total"))
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_hourly_events")
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    sameRows(r, b)
+  }
+
+  test("declines: non-deterministic filter (sampling groups ≠ sampling events)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = Tables(spark, dir).events.filter(rand(7) > 0.5)
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+    assertUnrouted(MvRouting.route(b), "events.parquet")
+  }
+
+  test("declines: non-UTC session (midnight alignment is zone-dependent)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val est = spark.newSession()
+    est.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val b = graft.Tables(est, dir).events
+      .filter(to_date(col("ts")) >= lit(java.sql.Date.valueOf("2024-01-15")))
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+    assertUnrouted(MvRouting.route(b), "events.parquet")
+  }
+
+  test("base overwrite landing mid-cascade declines registration") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_midrace_").toString
+    for (t <- Seq("events", "lineitem", "customer", "nation"))
+      Files.copy(Paths.get(dir, s"$t.parquet"), Paths.get(tmp, s"$t.parquet"),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    // fingerprint taken before the (simulated) cascade starts…
+    val pre = MvRouting.fingerprintNow(tmp)
+    // …base table changes while the cascade runs…
+    Files.setLastModifiedTime(Paths.get(tmp, "events.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+    // …so registration must decline: the MVs reflect an unknown mix
+    MvRouting.register(tmp, "/tmp/graft_nonexistent_root", pre)
+    assert(MvRouting.rootFor(tmp).isEmpty)
+    // and with an honest (unchanged) snapshot it registers
+    val pre2 = MvRouting.fingerprintNow(tmp)
+    MvRouting.register(tmp, "/tmp/graft_nonexistent_root", pre2)
+    assert(MvRouting.rootFor(tmp).isDefined)
+  }
+
   test("pr catalog entries exist and build") {
     graft.streaming.MvCascade.run(spark, dir)
     for (n <- Seq("pr01_mv_route_type_rollup", "pr02_mv_route_daily_users",
