@@ -23,6 +23,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Trace-proof stdout: BENCH_r04's captured tail opened mid-stack-trace —
+    // something (log4j console appender or an uncaught streaming-thread
+    // handler) printed to stdout around teardown, and one longer trace would
+    // push the JSON line out of the driver's ~2000-char capture window.
+    // Redirect System.out to stderr BEFORE Spark initializes (log4j binds its
+    // console stream at first use, i.e. after this), keep the real fd, and
+    // print the one JSON line to it as the very last action after stop().
+    val realOut = System.out
+    System.setOut(System.err)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -105,7 +114,6 @@ object Bench {
       else fmtMap(n => math.round(minOf(n) * 1000) / 1000.0)
     val compactLine =
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"ingest_events_per_sec":$eps,"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
-    println(compactLine)
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)
@@ -118,7 +126,10 @@ object Bench {
         java.nio.file.Files.writeString(out, line + "\n")
       }
     } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
-    spark.stop()
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
+    realOut.println(compactLine)
+    realOut.flush()
   }
 
   /** Streaming ingest→MV throughput: drive the synthetic generator through

@@ -256,6 +256,7 @@ object Dedup {
         |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
     ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
+      ExactBaseline.guard(spark, e.count(), "dd05_embedding_neardup", "dd06_embedding_neardup_lsh")
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       val cosine = VectorOps.cosine(col("ea"), col("eb"))

@@ -176,6 +176,8 @@ object Similarity {
          |ORDER BY qid, rnk""".stripMargin,
     ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
+      ExactBaseline.guard(spark, e.count(), "ann01_topk_bruteforce",
+        "ann02_topk_lsh / ann04_topk_lsh_multiprobe (or ann03/ann05 IVF)")
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val b = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))

@@ -440,6 +440,32 @@ object MvRouting {
       }
     },
 
+    // ----- pr07: HOUR-grain filtered rollup — hour-aligned timestamp bounds
+    // route onto mv_hourly_events as (event_date, event_hour) range
+    // predicates (date > D OR (date = D AND hour >= H)), keeping the scan
+    // partition-pruned on event_date. Reference analog: projections serving
+    // hour-bucketed dashboards (01-create-tables.sql:136–152).
+    QueryDef.sql(
+      "pr07_mv_route_hour_grain",
+      """SELECT CAST(ts AS DATE) AS event_date, CAST(HOUR(ts) AS INT) AS event_hour,
+        |  COUNT(*) AS events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 06:00:00' AND ts < TIMESTAMP '2024-01-20 18:00:00'
+        |GROUP BY 1, 2 ORDER BY event_date, event_hour""".stripMargin,
+    ) { (spark, dir) =>
+      routed(spark, dir) {
+        Tables(spark, dir).events
+          .filter(col("ts") >= lit("2024-01-10 06:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-20 18:00:00").cast("timestamp"))
+          .groupBy(to_date(col("ts")).as("event_date"), hour(col("ts")).as("event_hour"))
+          .agg(count(lit(1)).as("events"),
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").cast("double").as("total_value"))
+          .orderBy("event_date", "event_hour")
+      }
+    },
+
     // ----- pr04: return-flag revenue rollup over lineitem — routed onto
     // mv_product_revenue, rolling product_id up into status.
     QueryDef.sql(
@@ -693,7 +719,9 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case (KDate, Cast(c, org.apache.spark.sql.types.DateType, _, _)) => c
     }
     val dateAttr: Option[Attribute] = mv.keys.get(KDate).map(mvAttr)
+    val hourAttr: Option[Attribute] = mv.keys.get(KHour).map(mvAttr)
     val MicrosPerDay = 86400000000L
+    val MicrosPerHour = 3600000000L
     // the midnight-alignment test below (us % MicrosPerDay == 0 → date
     // literal) is only valid when the session day boundary IS the UTC day
     // boundary; in any other zone decline rather than misroute
@@ -715,6 +743,27 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case LessThan(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
         if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
         dateAttr.map(a => LessThan(a, dayLit(us)))
+      // HOUR-aligned bounds route onto MVs exposing an hour key (the hourly
+      // grain): ts >= D H:00 ⟺ date > D OR (date = D AND hour >= H). Every
+      // hourly MV row sits entirely inside or outside an hour-aligned bound,
+      // so membership is exact. The redundant date-range conjunct keeps the
+      // predicate partition-prunable on the MV's event_date partitioning.
+      case GreaterThanOrEqual(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
+        if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerHour == 0 =>
+        for { da <- dateAttr; ha <- hourAttr } yield {
+          val d = dayLit(us)
+          val h = Literal(((us % MicrosPerDay) / MicrosPerHour).toInt)
+          And(GreaterThanOrEqual(da, d),
+            Or(GreaterThan(da, d), And(EqualTo(da, d), GreaterThanOrEqual(ha, h))))
+        }
+      case LessThan(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
+        if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerHour == 0 =>
+        for { da <- dateAttr; ha <- hourAttr } yield {
+          val d = dayLit(us)
+          val h = Literal(((us % MicrosPerDay) / MicrosPerHour).toInt)
+          And(LessThanOrEqual(da, d),
+            Or(LessThan(da, d), And(EqualTo(da, d), LessThan(ha, h))))
+        }
       // the optimizer infers isnotnull(raw) from null-intolerant key
       // predicates (e.g. to_date(ts) >= d infers isnotnull(ts)); every key
       // form here is null-preserving in its single input (to_date/hour/

@@ -70,7 +70,14 @@ object MvCascade {
     // overwrite lands mid-cascade, register() sees the mismatch and declines
     val preFingerprints = graft.plans.MvRouting.fingerprintNow(dir)
     val events = StreamingMVs.eventsStream(spark, dir)
-      .withWatermark("ts", "1 day") // bound state at scale (ST7 posture)
+      // ST7: event-time metadata does NOT propagate through to_date(), so
+      // this watermark neither drops late rows nor evicts these aggregations'
+      // state — late inserts fold into their key group unconditionally,
+      // which is exact ClickHouse MV parity (MvCascadeSpec pins both this and
+      // the window-keyed shape where Spark does drop). State is bounded by
+      // the MV grain's key cardinality, not the watermark; a window()-keyed
+      // variant is the trade to make when eviction matters more than parity.
+      .withWatermark("ts", "1 day")
     val valDec = col("value").cast("decimal(18,2)")
 
     // static dimension: user country via customer→nation (user_id ⊂ c_custkey)

@@ -57,6 +57,21 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.05, s"dd06 recall $recall collapsed (${lsh.size}/${exact.size})")
   }
 
+  test("dd05 exact baseline refuses inputs above the configured ceiling, pointing at dd06") {
+    // lower the ceiling below sf0.001's 500 embeddings so the guard fires;
+    // the session is shared across suites, so restore it in finally
+    spark.conf.set(ExactBaseline.ConfKey, "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Catalog.byName("dd05_embedding_neardup").build(spark, sf())
+      }
+      assert(e.getMessage.contains("dd06_embedding_neardup_lsh"))
+      assert(e.getMessage.contains(ExactBaseline.ConfKey))
+    } finally spark.conf.unset(ExactBaseline.ConfKey)
+    // and at the default ceiling the same build goes through
+    assert(Catalog.byName("dd05_embedding_neardup").build(spark, sf()).count() >= 0)
+  }
+
   test("minhash signature length and determinism") {
     val docs = Tables(spark, sf()).documents.limit(5)
     val hashes = docs.select(col("doc_id"),

@@ -20,6 +20,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann01 exact baseline refuses inputs above the configured ceiling, pointing at the bucketed paths") {
+    spark.conf.set(ExactBaseline.ConfKey, "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Catalog.byName("ann01_topk_bruteforce").build(spark, sf())
+      }
+      assert(e.getMessage.contains("ann02_topk_lsh"))
+      assert(e.getMessage.contains(ExactBaseline.ConfKey))
+    } finally spark.conf.unset(ExactBaseline.ConfKey)
+    assert(rows("ann01_topk_bruteforce").nonEmpty)
+  }
+
   test("LSH ANN results are a subset of true neighbors by construction quality") {
     val bf = rows("ann01_topk_bruteforce").map(r => (r.getLong(0), r.getLong(2))).toSet
     val lsh = rows("ann02_topk_lsh")

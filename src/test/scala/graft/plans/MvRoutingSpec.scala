@@ -144,6 +144,33 @@ class MvRoutingSpec extends AnyFunSuite {
     assert(pf.nonEmpty, "expected partition filters on the routed MV scan")
   }
 
+  test("hour-aligned timestamp range routes to mv_hourly_events AND prunes partitions") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = Tables(spark, dir).events
+      .filter(col("ts") >= lit("2024-01-10 06:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-20 18:00:00").cast("timestamp"))
+      .groupBy(to_date(col("ts")).as("event_date"), hour(col("ts")).as("event_hour"))
+      .agg(count(lit(1)).as("events"))
+    val r = MvRouting.route(b)
+    assertRouted(r, "mv_hourly_events")
+    sameRows(r, b)
+    // the hour bound rewrites to (date > D OR (date = D AND hour >= H)) plus
+    // a redundant date-range conjunct — the latter must reach the scan as a
+    // partition filter on the MV's event_date partitioning
+    val pf = allScans(r.queryExecution.executedPlan).flatMap(_.partitionFilters)
+    assert(pf.nonEmpty, "expected partition filters on the routed MV scan")
+  }
+
+  test("declines: sub-hour timestamp bound (finer than the hourly grain)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val b = Tables(spark, dir).events
+      .filter(col("ts") >= lit("2024-01-10 06:30:00").cast("timestamp"))
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+    val r = MvRouting.route(b)
+    assertUnrouted(r, "events.parquet")
+    sameRows(r, b)
+  }
+
   test("date EQUALITY filter routes (Spark unwraps it to a midnight range)") {
     graft.streaming.MvCascade.run(spark, dir)
     val b = Tables(spark, dir).events

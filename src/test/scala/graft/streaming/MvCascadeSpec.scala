@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 class MvCascadeSpec extends SparkSpec {
@@ -71,6 +72,72 @@ class MvCascadeSpec extends SparkSpec {
     // committed; a correct exactly-once sink must not duplicate or grow
     MvCascade.executeAt(spark, sf(), root)
     assert(snapshot() == first, "cascade replay mutated the sinks")
+  }
+
+  test("ST7: the cascade's to_date-keyed shape folds even beyond-watermark rows (full ClickHouse parity)") {
+    // Pins a subtle fact the round-4 docs had WRONG: withWatermark("ts","1d")
+    // + groupBy(to_date(ts)) does NOT drop beyond-watermark rows. Event-time
+    // metadata does not propagate through to_date(), so the aggregation has
+    // no event-time key and Spark applies no late-row filter — every late
+    // insert folds into its key group, exactly ClickHouse MV semantics.
+    // (The flip side: the watermark also cannot evict this aggregation's
+    // state — see the windowed twin below for the bounded-state shape.)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "1 day")
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("events"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("st7_fold").start()
+    try {
+      stream.addData(Ev(1, java.sql.Timestamp.valueOf("2024-01-10 10:00:00"), 1, "view", 1.0))
+      q.processAllAvailable() // watermark now Jan 9 10:00 (max event time − 1 day)
+      stream.addData(
+        Ev(2, java.sql.Timestamp.valueOf("2024-01-09 12:00:00"), 1, "view", 1.0), // inside
+        Ev(3, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1, "view", 1.0)) // beyond
+      q.processAllAvailable()
+      val emitted = spark.table("st7_fold").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      assert(emitted.get("2024-01-09").contains(1L), s"within-watermark row should fold, got $emitted")
+      assert(emitted.get("2024-01-05").contains(1L),
+        s"beyond-watermark row still folds on the to_date-keyed shape, got $emitted")
+      val dropped = q.lastProgress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 0, s"no watermark drops expected on the to_date-keyed shape, got $dropped")
+    } finally q.stop()
+  }
+
+  test("ST7 divergence boundary: window-keyed aggregation DROPS beyond-watermark rows") {
+    // The divergence from ClickHouse exists exactly when the aggregation key
+    // is an event-time window: the watermark then both evicts state AND
+    // filters rows whose window closed before it. A ClickHouse MV would fold
+    // the 2024-01-05 insert; Spark's bounded-state shape drops it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("events"))
+      .select(to_date(col("w.start")).as("event_date"), col("events"))
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("st7_drop").start()
+    try {
+      stream.addData(Ev(1, java.sql.Timestamp.valueOf("2024-01-10 10:00:00"), 1, "view", 1.0))
+      q.processAllAvailable() // watermark now Jan 9 10:00
+      stream.addData(
+        Ev(2, java.sql.Timestamp.valueOf("2024-01-09 12:00:00"), 1, "view", 1.0), // window end Jan 10 > wm
+        Ev(3, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1, "view", 1.0)) // window end Jan 6 < wm
+      q.processAllAvailable()
+      val emitted = spark.table("st7_drop").collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      assert(emitted.get("2024-01-09").contains(1L), s"open-window late row should fold, got $emitted")
+      assert(!emitted.contains("2024-01-05"),
+        s"closed-window row should be dropped (the documented ClickHouse divergence), got $emitted")
+      val dropped = q.lastProgress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1, s"expected exactly the closed-window row dropped, got $dropped")
+    } finally q.stop()
   }
 
   test("HLL-state parts merge to the exact distinct within sketch error") {
