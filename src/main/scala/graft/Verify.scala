@@ -40,9 +40,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SFDIR__ placeholder: oracle SQL is static text, but a few entries
+    // (sys02's parquet_metadata footer check) need the data directory path —
+    // substitute it here, at dump time, for the same dir the results ran on.
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFDIR__", sfDir))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -132,9 +132,32 @@ object SystemTables {
       tables(spark, dir).select("table_name", "total_rows").orderBy("table_name")
     },
 
-    // ----- sys02: part-level storage stats (rows-only: byte sizes depend on
-    // writer/compressor versions).
-    QueryDef.rowsOnly("sys02_system_parts") { (spark, dir) =>
+    // ----- sys02: part-level storage stats — FULLY oracle-checked: both
+    // engines read the same parquet footers, so every field (row counts,
+    // row-group counts, compressed/uncompressed byte totals) is comparable
+    // value-for-value against DuckDB's parquet_metadata(). The __SFDIR__
+    // placeholder is substituted by Verify at dump time.
+    QueryDef.sql(
+      "sys02_system_parts", {
+        val files = tableNames.sorted
+          .map(t => s"'__SFDIR__/$t.parquet'").mkString("[", ", ", "]")
+        s"""WITH rg AS (
+           |  SELECT file_name, row_group_id,
+           |    any_value(row_group_num_rows) AS rg_rows,
+           |    sum(total_compressed_size) AS comp,
+           |    sum(total_uncompressed_size) AS uncomp
+           |  FROM parquet_metadata($files)
+           |  GROUP BY 1, 2)
+           |SELECT parse_filename(file_name, true) AS table_name,
+           |  parse_filename(file_name) AS part_file,
+           |  CAST(sum(rg_rows) AS BIGINT) AS rows,
+           |  CAST(sum(comp) AS BIGINT) AS compressed_bytes,
+           |  CAST(sum(uncomp) AS BIGINT) AS uncompressed_bytes,
+           |  CAST(count(*) AS BIGINT) AS row_groups
+           |FROM rg GROUP BY 1, 2
+           |ORDER BY table_name, part_file""".stripMargin
+      },
+    ) { (spark, dir) =>
       parts(spark, dir)
         .select(col("table_name"), col("part_file"), col("rows"),
           col("compressed_bytes"), col("uncompressed_bytes"), col("row_groups"))
