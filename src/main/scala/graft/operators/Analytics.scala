@@ -15,6 +15,37 @@ object Analytics {
   private def decSum(c: Column): Column = sum(dec(c)).cast("double")
   private def decSumSql(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Basket caps for the pair self-joins (q15/q17) — the one plan family that
+    * goes QUADRATIC on a hot key: a user (q17) or order (q15) with n distinct
+    * items contributes n·(n−1)/2 pairs, so one 10⁶-item power-law user at
+    * 100 TB would put 5·10¹¹ pairs on a single reducer. Standard
+    * market-basket practice caps the basket: keep the cap-smallest item ids
+    * per key (deterministic, expressible in the oracle as
+    * `row_number() OVER (PARTITION BY key ORDER BY item) <= cap`), bounding
+    * pairs per key at cap²/2. The cap is enforced by [[graft.plans.TopKPerGroup]],
+    * whose MAP-SIDE partial heap also bounds what a hot key ships into the
+    * exchange (≤ cap rows per input partition) — a window row_number would
+    * still shuffle and sort the full hot group first.
+    *
+    * Values sit far above the data's observed maxima (105 parts/user and 17
+    * parts/order at sf0.1; replication-scaled sf1 keeps per-key baskets
+    * unchanged), so at test scale the capped results are identical to the
+    * uncapped rounds 1–5 — the cap is pure scale armor. Constants, not confs:
+    * the oracle SQL bakes the same number in, and a runtime-tunable cap would
+    * silently fork the two definitions.
+    */
+  val BasketCapPerUser = 256
+  val PairCapPerOrder = 64
+
+  /** Keep the `cap` smallest `itemCol` values per `keyCol` via the bounded-heap
+    * operator (rank DESC on the negated item = ascending item order).
+    */
+  private[operators] def capBasket(df: org.apache.spark.sql.DataFrame, keyCol: String, itemCol: String, cap: Int) =
+    graft.plans.TopKPerGroup.topK(
+      df.withColumn("__neg_item", -col(itemCol)),
+      Seq(keyCol), "__neg_item", itemCol, cap)
+      .drop("__neg_item", "rnk")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- q14: date-spine LEFT JOIN gap filling (J5/S6 — sample_queries.sql:370–383).
@@ -53,27 +84,37 @@ object Analytics {
 
     // ----- q15: market-basket pairs — self-join with equi + theta residual
     // (J6/J7 — 05:181–184: p1.user = p2.user AND p1.product < p2.product).
+    // Baskets capped at PairCapPerOrder items (see the cap scaladoc above):
+    // identical results at test scale, bounded pairs-per-order at any scale.
     QueryDef.sql(
       "q15_market_basket",
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-        |  pa.p_name AS part_a_name, pb.p_name AS part_b_name,
-        |  COUNT(*) AS co_count
-        |FROM items a
-        |JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |JOIN part pa ON a.l_partkey = pa.p_partkey
-        |JOIN part pb ON b.l_partkey = pb.p_partkey
-        |GROUP BY 1, 2, 3, 4
-        |HAVING COUNT(*) >= 2
-        |ORDER BY co_count DESC, part_a, part_b
-        |LIMIT 50""".stripMargin,
+      s"""WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |items AS (
+         |  SELECT l_orderkey, l_partkey FROM (
+         |    SELECT l_orderkey, l_partkey,
+         |      row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+         |    FROM items0) capped
+         |  WHERE rn <= $PairCapPerOrder)
+         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |  pa.p_name AS part_a_name, pb.p_name AS part_b_name,
+         |  COUNT(*) AS co_count
+         |FROM items a
+         |JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |JOIN part pa ON a.l_partkey = pa.p_partkey
+         |JOIN part pb ON b.l_partkey = pb.p_partkey
+         |GROUP BY 1, 2, 3, 4
+         |HAVING COUNT(*) >= 2
+         |ORDER BY co_count DESC, part_a, part_b
+         |LIMIT 50""".stripMargin,
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
-      // both self-join sides consume the same distinct: ReusedExchange shares
-      // the distinct's shuffle across them (verified in the physical plan), so
-      // no eager materialization — round 2's localCheckpoint here broke the
-      // reuse AND leaked blocks past clearCache (see Residency)
-      val items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+      // both self-join sides consume the same capped distinct: ReusedExchange
+      // shares the cap's exchange across them (verified in the physical
+      // plan), so no eager materialization — round 2's localCheckpoint here
+      // broke the reuse AND leaked blocks past clearCache (see Residency)
+      val items = capBasket(
+        t.lineitem.select("l_orderkey", "l_partkey").distinct(),
+        "l_orderkey", "l_partkey", PairCapPerOrder)
       val a = items.toDF("o", "part_a")
       val b = items.toDF("o", "part_b")
       val pa = t.part.select(col("p_partkey").as("pa_key"), col("p_name").as("part_a_name"))
@@ -125,37 +166,50 @@ object Analytics {
 
     // ----- q17: product affinity — correlated scalar subquery decorrelated by
     // hand (J10 — 05:176–180: pair count / per-product buyer count).
+    // Baskets capped at BasketCapPerUser items (see the cap scaladoc above):
+    // identical results at test scale, bounded pairs-per-user at any scale;
+    // buyer_count is computed over the SAME capped set so both legs of the
+    // affinity ratio share one definition.
     QueryDef.sql(
       "q17_product_affinity",
-      """WITH up AS (
-        |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS part_id
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |buyers AS (SELECT part_id, COUNT(*) AS buyer_count FROM up GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.part_id AS part_a, b.part_id AS part_b, COUNT(*) AS both_count
-        |  FROM up a JOIN up b ON a.user_id = b.user_id AND a.part_id < b.part_id
-        |  GROUP BY 1, 2)
-        |SELECT p.part_a, p.part_b, p.both_count, ba.buyer_count AS part_a_buyers,
-        |  CAST(p.both_count AS DOUBLE) / ba.buyer_count AS affinity
-        |FROM pairs p JOIN buyers ba ON p.part_a = ba.part_id
-        |WHERE p.both_count >= 3
-        |ORDER BY affinity DESC, part_a, part_b
-        |LIMIT 50""".stripMargin,
+      s"""WITH up0 AS (
+         |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS part_id
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |up AS (
+         |  SELECT user_id, part_id FROM (
+         |    SELECT user_id, part_id,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY part_id) AS rn
+         |    FROM up0) capped
+         |  WHERE rn <= $BasketCapPerUser),
+         |buyers AS (SELECT part_id, COUNT(*) AS buyer_count FROM up GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.part_id AS part_a, b.part_id AS part_b, COUNT(*) AS both_count
+         |  FROM up a JOIN up b ON a.user_id = b.user_id AND a.part_id < b.part_id
+         |  GROUP BY 1, 2)
+         |SELECT p.part_a, p.part_b, p.both_count, ba.buyer_count AS part_a_buyers,
+         |  CAST(p.both_count AS DOUBLE) / ba.buyer_count AS affinity
+         |FROM pairs p JOIN buyers ba ON p.part_a = ba.part_id
+         |WHERE p.both_count >= 3
+         |ORDER BY affinity DESC, part_a, part_b
+         |LIMIT 50""".stripMargin,
     ) { (spark, dir) =>
       val t = Tables(spark, dir)
       // three consumers (buyers, pair side a, pair side b) all hang off the
-      // same distinct — its exchange is shared via ReusedExchange, so the
-      // plan runs the join+distinct once without materialization (round 2's
-      // eager localCheckpoint here caused a 6.9× regression: an extra full
-      // materialization job plus blocks clearCache can't free).
+      // same capped distinct — the cap's exchange is shared via
+      // ReusedExchange, so the plan runs the join+distinct+cap once without
+      // materialization (round 2's eager localCheckpoint here caused a 6.9×
+      // regression: an extra full materialization job plus blocks clearCache
+      // can't free).
       // Measured alternative (round 4): collect_list per-user baskets +
       // posexplode×slice pair generation is ~1.8× SLOWER at sf0.1 (6.3 s vs
       // 3.6 s) — the first explode carries a copy of the whole basket array
       // on every output row. The self-join with shared exchange stays.
-      val up = t.lineitem
-        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
-        .distinct()
+      val up = capBasket(
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
+          .distinct(),
+        "user_id", "part_id", BasketCapPerUser)
       val buyers = up.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
       val a = up.toDF("u", "part_a")
       val b = up.toDF("u", "part_b")
