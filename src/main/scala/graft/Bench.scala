@@ -32,6 +32,13 @@ object Bench {
     // print the one JSON line to it as the very last action after stop().
     val realOut = System.out
     System.setOut(System.err)
+    // Route ALL log4j output to a file (target/bench_spark.log) and nothing
+    // to the console: BENCH_r05's captured tail carried `ERROR
+    // DataWritingSparkTask: Aborted commit` lines that crowded the bounded
+    // stdout window, and the aborted job/stage context was lost with the
+    // scroll — the file keeps the full ERROR record for diagnosis while the
+    // console stays clean for the one JSON line.
+    redirectLogsToFile("target/bench_spark.log")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -41,6 +48,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // all-pairs exact-baseline ceiling (dd05/ann01): default guards at 10 k
+      // rows; a scale run that deliberately wants the exact baselines (e.g.
+      // sf1's 20 k embeddings) raises it via env — visible in the command
+      // line rather than a silent in-code bump (ADVICE r5)
+      .config(graft.pipeline.ExactBaseline.ConfKey,
+        sys.env.getOrElse("SPARK_GRAFT_EXACT_MAXROWS",
+          graft.pipeline.ExactBaseline.DefaultMaxRows.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -74,8 +88,14 @@ object Bench {
       val secs =
         try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
               (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains(graft.pipeline.ExactBaseline.ConfKey) =>
+            System.err.println(s"[bench] $name SKIPPED by exact-baseline guard " +
+              s"(deliberate at this scale; raise SPARK_GRAFT_EXACT_MAXROWS to run it): ${e.getMessage}")
+            -1.0
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       Residency.release(spark)
       val left = Residency.residentRddCount(spark)
@@ -132,6 +152,31 @@ object Bench {
     realOut.flush()
   }
 
+  /** Replace the log4j2 configuration with one that writes everything at
+    * ERROR+ to `path` and NOTHING to the console. Runs before Spark
+    * initializes; Spark's Logging leaves a non-default configuration alone,
+    * so this survives session start. Failure here must never kill the bench —
+    * log noise is a reporting problem, not a correctness one.
+    */
+  private def redirectLogsToFile(path: String): Unit =
+    try {
+      val cfg = java.nio.file.Paths.get("target/bench-log4j2.properties")
+      java.nio.file.Files.createDirectories(cfg.getParent)
+      java.nio.file.Files.writeString(cfg,
+        s"""rootLogger.level = error
+           |rootLogger.appenderRef.file.ref = BenchFile
+           |appender.file.type = File
+           |appender.file.name = BenchFile
+           |appender.file.fileName = $path
+           |appender.file.append = false
+           |appender.file.layout.type = PatternLayout
+           |appender.file.layout.pattern = %d{HH:mm:ss.SSS} %p %c: %m%n%ex
+           |""".stripMargin)
+      org.apache.logging.log4j.core.config.Configurator.reconfigure(cfg.toUri)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] log redirect failed (continuing): $e")
+    }
+
   /** Streaming ingest→MV throughput: drive the synthetic generator through
     * the watermarked minute-MV aggregation (graft.streaming.Ingest) for a few
     * seconds and report events/s — comparable to the reference's headline
@@ -160,18 +205,19 @@ object Bench {
       val warmDeadline = System.currentTimeMillis() + 30000
       while (totalRows.get() == 0 &&
         System.currentTimeMillis() < warmDeadline) Thread.sleep(200)
-      // two measurement windows, report the better one: a GC pause or an
-      // unlucky scheduling burst in a single window has halved this metric
-      // between otherwise-identical runs
-      val windows = (1 to 2).map { _ =>
-        val rows0 = totalRows.get()
-        val t0 = System.nanoTime()
-        Thread.sleep(6000)
-        val rows = totalRows.get() - rows0
-        rows / ((System.nanoTime() - t0) / 1e9)
-      }
+      // One fixed 30 s measured window. The previous best-of-two-6 s-windows
+      // methodology was variance-dominated: r4→r5 swung 58,328→41,665 ev/s
+      // (−29%) with zero ingest-path code change, which means a real
+      // regression of that size would be invisible. A single long window
+      // amortizes GC pauses and scheduling bursts instead of trying to dodge
+      // them; target repeatability is ±10% between runs (VERDICT r5 item 4).
+      val rows0 = totalRows.get()
+      val t0 = System.nanoTime()
+      Thread.sleep(30000)
+      val rows = totalRows.get() - rows0
+      val eps = rows / ((System.nanoTime() - t0) / 1e9)
       q.stop()
-      math.round(windows.max * 10) / 10.0
+      math.round(eps * 10) / 10.0
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
       -1.0

@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // exact-baseline (dd05/ann01) ceiling — overridable for deliberate
+      // scale runs, same knob as Bench (ADVICE r5)
+      .config(graft.pipeline.ExactBaseline.ConfKey,
+        sys.env.getOrElse("SPARK_GRAFT_EXACT_MAXROWS",
+          graft.pipeline.ExactBaseline.DefaultMaxRows.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

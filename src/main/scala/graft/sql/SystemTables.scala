@@ -137,6 +137,13 @@ object SystemTables {
     // row-group counts, compressed/uncompressed byte totals) is comparable
     // value-for-value against DuckDB's parquet_metadata(). The __SFDIR__
     // placeholder is substituted by Verify at dump time.
+    //
+    // Layout assumption: the oracle addresses each table as the single file
+    // '<dir>/<t>.parquet' — no one DuckDB glob covers both a file and a
+    // directory-of-parts, and a glob list errors when any element matches
+    // nothing. parts() itself handles both layouts, so the build asserts the
+    // single-file layout up front: a future multi-file testdata table fails
+    // HERE with a pointed message instead of as an opaque oracle error.
     QueryDef.sql(
       "sys02_system_parts", {
         val files = tableNames.sorted
@@ -158,6 +165,15 @@ object SystemTables {
            |ORDER BY table_name, part_file""".stripMargin
       },
     ) { (spark, dir) =>
+      val conf = spark.sessionState.newHadoopConf()
+      val dirs = tableNames.filter { t =>
+        val p = new Path(s"$dir/$t.parquet")
+        !p.getFileSystem(conf).isFile(p)
+      }
+      require(dirs.isEmpty,
+        s"sys02 oracle assumes one parquet FILE per table, but these are " +
+          s"directories under $dir: ${dirs.mkString(", ")} — update the " +
+          s"sys02 oracle SQL (per-table globs) alongside any layout change")
       parts(spark, dir)
         .select(col("table_name"), col("part_file"), col("rows"),
           col("compressed_bytes"), col("uncompressed_bytes"), col("row_groups"))

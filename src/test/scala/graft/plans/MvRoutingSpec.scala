@@ -329,8 +329,11 @@ class MvRoutingSpec extends AnyFunSuite {
 
   test("pr catalog entries exist and build") {
     graft.streaming.MvCascade.run(spark, dir)
-    for (n <- Seq("pr01_mv_route_type_rollup", "pr02_mv_route_daily_users",
-      "pr03_mv_route_funnel_rollup", "pr04_mv_route_product_rollup")) {
+    // derived from MvRouting.defs so a newly added pr entry is covered
+    // automatically (the hand-kept list had drifted: stopped at pr04)
+    val names = MvRouting.defs.map(_.name)
+    assert(names.nonEmpty && names.forall(_.startsWith("pr")))
+    for (n <- names) {
       val d = Catalog.byName(n)
       assert(d.oracle.isDefined)
       assert(d.build(spark, dir).count() > 0)
