@@ -28,10 +28,19 @@ final case class Tables(spark: SparkSession, dir: String) {
     * vectorized reader rejects. The values are µs-grain (verified: ns%1000==0
     * at every sf), so read nanos as long and rebuild a microsecond timestamp —
     * lossless, and identical to what DuckDB's TIMESTAMP_NS sees.
+    *
+    * GenScale-produced directories store `ts` as TIMESTAMP(MICROS) instead
+    * (Spark cannot write the NANOS physical type), which the reader surfaces
+    * as TimestampType directly — detect by schema and skip the rebuild.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator: builds `sfN×factor` testdata from an
+  * existing driver-generated sf directory by replicating every table
+  * `factor`× with consistent key offsets — the standard replication scale-up
+  * used when the original generator is not available (the driver generates
+  * /root/testdata externally; TESTDATA.md documents no tool for it).
+  *
+  * Usage: `sbt "runMain graft.tools.GenScale <srcDir> <dstDir> <factor>"`
+  * e.g.   `sbt "runMain graft.tools.GenScale /root/testdata/sf0.1 target/testdata/sf1 10"`
+  *
+  * Replication contract (what makes the copy faithful for scale testing):
+  *   - every key domain is offset by `replica × stride` where stride =
+  *     max(key)+1 in the source, and every FK uses its parent's stride — so
+  *     join selectivities, group cardinalities per replica, and per-key
+  *     basket sizes are IDENTICAL to the source; global cardinalities scale
+  *     exactly ×factor. events.user_id uses the CUSTOMER stride (user_id ⊂
+  *     c_custkey — MvCascade.scala:83).
+  *   - region/nation are fixed enums (5/25 rows) and are copied verbatim,
+  *     like TPC-H at every scale factor.
+  *   - documents.text gets a per-replica Caesar rotation (letters only, via
+  *     `translate` — codegen'd, length-preserving): within a replica all
+  *     shingle/fingerprint structure is preserved injectively, so planted
+  *     near-dup groups replicate exactly ×factor, while cross-replica
+  *     similarity collapses to ~0 — replication does NOT manufacture
+  *     near-dup cliques that would inflate dd02/dd03 output superlinearly.
+  *   - embeddings get a per-replica deterministic SIGN FLIP per dimension
+  *     (an orthogonal transform): within-replica inner products are exactly
+  *     preserved (planted neighbor structure intact), cross-replica cosines
+  *     collapse toward 0. Same reasoning as the Caesar rotation, in vector
+  *     space.
+  *   - timestamps/dates/measures are left untouched: the time range stays
+  *     fixed while per-day volume scales ×factor (the "same period, more
+  *     traffic" reading of scale).
+  *
+  * Output layout matches the driver's: ONE parquet FILE per table at
+  * `<dstDir>/<table>.parquet` (sys02's oracle and Layout assume it). Note
+  * events.ts is written as TIMESTAMP(MICROS) — Spark cannot produce the
+  * source's TIMESTAMP(NANOS) physical type — and Tables.events handles both.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "target/testdata/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-genscale")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    val t = graft.Tables(spark, src)
+
+    def strideOf(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+
+    val custStride = strideOf(t.customer, "c_custkey")
+    val suppStride = strideOf(t.supplier, "s_suppkey")
+    val partStride = strideOf(t.part, "p_partkey")
+    val orderStride = strideOf(t.orders, "o_orderkey")
+    val eventStride = strideOf(t.events, "event_id")
+    val docStride = strideOf(t.documents, "doc_id")
+    val vecStride = strideOf(t.embeddings, "vec_id")
+
+    /** Cross-join with the replica spine and offset the named keys. */
+    def replicate(df: DataFrame, offsets: Map[String, Long]): DataFrame = {
+      val spine = spark.range(factor).select(col("id").as("__r"))
+      val rep = df.crossJoin(broadcast(spine))
+      offsets.foldLeft(rep) { case (d, (k, stride)) =>
+        d.withColumn(k, col(k) + col("__r") * lit(stride))
+      }
+    }
+
+    def write(df: DataFrame, table: String): Unit = {
+      val tmp = s"$dst/__tmp_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // single-file layout, like the driver's testdata
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val target = new org.apache.hadoop.fs.Path(s"$dst/$table.parquet")
+      fs.delete(target, false)
+      fs.rename(part, target)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      println(s"[genscale] wrote $target")
+    }
+
+    // dimensions fixed at every sf
+    write(t.region, "region")
+    write(t.nation, "nation")
+
+    write(replicate(t.customer, Map("c_custkey" -> custStride)).drop("__r"), "customer")
+    write(replicate(t.supplier, Map("s_suppkey" -> suppStride)).drop("__r"), "supplier")
+    write(replicate(t.part, Map("p_partkey" -> partStride)).drop("__r"), "part")
+    write(replicate(t.orders,
+      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride)).drop("__r"), "orders")
+    write(replicate(t.lineitem,
+      Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride)).drop("__r"), "lineitem")
+    // user_id ⊂ c_custkey: offset with the CUSTOMER stride so the subset
+    // relation (and the user→country dimension join) survives replication
+    write(replicate(t.events,
+      Map("event_id" -> eventStride, "user_id" -> custStride)).drop("__r"), "events")
+
+    // documents: per-replica Caesar rotation of letters (see scaladoc)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+    val docRep = replicate(t.documents, Map("doc_id" -> docStride))
+    val caesared = (1 until factor).foldLeft(when(col("__r") === 0, col("text"))) {
+      (acc, i) =>
+        acc.when(col("__r") === i,
+          translate(col("text"),
+            alpha + alpha.toUpperCase,
+            rot(alpha, i) + rot(alpha.toUpperCase, i)))
+    }
+    write(docRep.withColumn("text", caesared)
+      .select("doc_id", "text", "lang", "source", "n_chars"), "documents")
+
+    // embeddings: per-replica deterministic sign flip per dimension (see
+    // scaladoc); replica 0 is the source verbatim
+    val vecRep = replicate(t.embeddings, Map("vec_id" -> vecStride))
+    write(vecRep.withColumn("embedding",
+      expr("""transform(embedding, (x, p) ->
+             |  CASE WHEN __r = 0 THEN x
+             |       ELSE CAST(x * (CAST(pmod(xxhash64(__r, p), 2) AS INT) * 2 - 1) AS FLOAT)
+             |  END)""".stripMargin))
+      .select("vec_id", "embedding", "label"), "embeddings")
+  }
+}
