@@ -39,6 +39,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // GenScale layout: naive micros; session tz is UTC so this cast is
+        // an exact instant-preserving retype to the TimestampType the
+        // catalog expects
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

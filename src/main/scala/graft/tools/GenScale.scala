@@ -112,9 +112,15 @@ object GenScale {
       Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
         "l_suppkey" -> suppStride)).drop("__r"), "lineitem")
     // user_id ⊂ c_custkey: offset with the CUSTOMER stride so the subset
-    // relation (and the user→country dimension join) survives replication
+    // relation (and the user→country dimension join) survives replication.
+    // ts is cast to TIMESTAMP_NTZ before writing: the source stores naive
+    // TIMESTAMP(NANOS) and a plain TimestampType write would come out as
+    // isAdjustedToUTC=true (TIMESTAMPTZ to DuckDB), changing the oracle's
+    // column type; NTZ keeps both engines on naive timestamps. Session tz is
+    // UTC, so the wall-clock values are byte-identical instants.
     write(replicate(t.events,
-      Map("event_id" -> eventStride, "user_id" -> custStride)).drop("__r"), "events")
+      Map("event_id" -> eventStride, "user_id" -> custStride))
+      .withColumn("ts", col("ts").cast("timestamp_ntz")).drop("__r"), "events")
 
     // documents: per-replica Caesar rotation of letters (see scaladoc)
     val alpha = "abcdefghijklmnopqrstuvwxyz"
