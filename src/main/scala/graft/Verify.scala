@@ -48,8 +48,10 @@ object Verify {
     // __SFDIR__ placeholder: oracle SQL is static text, but a few entries
     // (sys02's parquet_metadata footer check) need the data directory path —
     // substitute it here, at dump time, for the same dir the results ran on.
+    // always the COMPLETE oracle map, even under a dev-only name filter: the
+    // dump is free, and a filtered dump overwrites the full one — a later
+    // tools/check.py run on a different subset would find nothing to check
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFDIR__", sfDir))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -34,14 +34,33 @@ object StreamingMVs {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over the events table of a testdata dir. */
+  /** File-source stream over the events table of a testdata dir.
+    *
+    * The ts physical type differs by layout (driver testdata: INT64 nanos;
+    * GenScale output: TIMESTAMP_NTZ micros — see Tables.events), and a
+    * streaming source trusts the schema it is GIVEN rather than the footer:
+    * reading micros with the nanos-long schema silently divides every
+    * timestamp by 1000 and collapses all dates to 1970 (caught by the sf1
+    * scale run: every cascade MV built here shrank to one date). Probe the
+    * footer through the batch reader first and stream with the layout's
+    * actual schema.
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val actualTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(eventsRawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = actualTs)
+      case f => f
+    })
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    actualTs match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** The daily-activity MV as a streaming aggregation (01:87–98 shape). */

@@ -27,18 +27,26 @@ def canon(v):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # optional 3rd arg: comma-separated name prefixes — check just those
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only is not None and not any(name.startswith(p) for p in only):
+            continue
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        # fresh connection per query: one long-lived connection accumulates
+        # allocator state across queries, and after a huge oracle (dd05's
+        # all-pairs at sf1) every later query died with spurious tiny-block
+        # OOMs — per-query connections make each oracle independent
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
         try:
             got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
             got_cols = [d[0] for d in con.description]
@@ -47,7 +55,9 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
+            con.close()
             continue
+        con.close()
         # sort columns by name (driver behavior)
         gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         eperm = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
