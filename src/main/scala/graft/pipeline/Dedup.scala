@@ -267,11 +267,13 @@ object Dedup {
     },
 
     // ----- dd06: the scale path for embedding near-dup — candidates share a
-    // hyperplane-LSH bucket (Similarity's L=6 tables × H=8 bits), exact
-    // cosine + the same 0.4 threshold within buckets only. Work is bounded by
-    // bucket occupancy (n/2^H expected per table), not n²; recall vs dd05 is
+    // hyperplane-LSH bucket (Similarity's L=6 tables × ADAPTIVE-width
+    // signatures: the leading h bits where 2^h·8 ≥ n, so expected occupancy
+    // stays ≤8 at any corpus size and candidates grow linearly — the r6 sf1
+    // run caught the fixed-width variant scaling 29× on 10× rows), exact
+    // cosine + the same 0.4 threshold within buckets only. Recall vs dd05 is
     // the LSH s-curve trade and is measured in DedupSpec. Raising L (more
-    // tables) buys recall linearly in cost; lowering H fattens buckets.
+    // tables) buys recall linearly in cost; TargetOcc fattens buckets.
     QueryDef.sql(
       "dd06_embedding_neardup_lsh",
       s"""WITH ${Similarity.bucketCtes},
@@ -289,7 +291,7 @@ object Dedup {
          |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
     ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
-      val bk = Similarity.buckets(e)
+      val bk = Similarity.buckets(e, Similarity.adaptiveBits(e.count()))
       val a = bk.toDF("vec_a", "table_id", "bucket")
       val b = bk.toDF("vec_b", "table_id", "bucket")
       val cands = a.join(b, Seq("table_id", "bucket"))

@@ -74,6 +74,90 @@ object Multimodal {
       }
   }
 
+  final case class PngRow(media_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  final case class DecodedStats(
+      media_id: Long, width: Int, height: Int, n_pixels: Long,
+      mean_luma: Double, resized_mean: Double)
+
+  /** REAL media table for the image path: payload is an actual PNG encoded
+    * with the JDK's ImageIO codec. Pixels are deterministic — gray value
+    * `(media_id*7 + x*3 + y*5) mod 256` at (x,y) — so a SQL oracle can
+    * recompute any pixel statistic from the formula alone, while the Spark
+    * side must round-trip the bytes through a real encoder+decoder to get
+    * them. Dimensions are kept small (≤79×62) so encode cost stays linear in
+    * row count, not in document length.
+    */
+  def pngMediaTable(spark: SparkSession, dir: String): Dataset[PngRow] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0) // the "image" kind, as in mediaTable
+      .select(
+        col("doc_id").as("media_id"),
+        (col("n_chars") % 64 + 16).cast("int").as("width"),
+        (col("n_chars") % 48 + 15).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+        rows.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 7 + x * 3 + y * 5) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          PngRow(id, w, h, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL decode: ImageIO parses the PNG payload back into pixels (no stub —
+    * PNG is lossless, so the decoded raster is bit-identical to what the
+    * encoder was handed, which is what makes a value oracle possible).
+    * Emits the decoded mean gray level and the mean of a deterministic 8×6
+    * nearest-neighbor resample taken FROM THE DECODED RASTER — i.e. the
+    * resample arithmetic runs on real codec output, not on metadata.
+    */
+  def decodeImageFeatures(media: Dataset[PngRow]): Dataset[DecodedStats] = {
+    import media.sparkSession.implicits._
+    val (outW, outH) = (8, 6)
+    media
+      .repartition(col("media_id")) // spread decode work evenly by key
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 } // gray ⇒ blue channel
+            y += 1
+          }
+          var rSum = 0L
+          var oy = 0
+          while (oy < outH) {
+            var ox = 0
+            while (ox < outW) {
+              rSum += img.getRGB(ox * w / outW, oy * h / outH) & 0xff
+              ox += 1
+            }
+            oy += 1
+          }
+          val n = w.toLong * h
+          DecodedStats(r.media_id, w, h, n, sum.toDouble / n, rSum.toDouble / (outW * outH))
+        }
+      }
+  }
+
   final case class ResizedRow(
       media_id: Long, width: Int, height: Int,
       out_w: Int, out_h: Int, payload: Array[Byte])
@@ -170,6 +254,51 @@ object Multimodal {
           (sum(col("byte_entropy_proxy").cast("decimal(38,12)")).cast("double") / count(lit(1)))
             .cast("decimal(18,6)").cast("double").as("avg_entropy_proxy"))
         .orderBy("kind")
+    },
+
+    // ----- mm04: REAL image decode — payload is an actual ImageIO-encoded
+    // PNG; the query decodes it with the real codec and reports pixel stats
+    // plus an 8×6 nearest-neighbor resample computed from the decoded raster.
+    // The oracle replays the deterministic pixel formula
+    // (media_id*7 + x*3 + y*5) mod 256 in pure SQL — it can only match if the
+    // encode→decode round trip through the codec is lossless and correct.
+    QueryDef.sql(
+      "mm04_real_image_decode",
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 15 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT i.media_id, i.w, i.h,
+        |    SUM((i.media_id * 7 + x.x * 3 + y.y * 5) % 256) AS luma_sum
+        |  FROM imgs i,
+        |    UNNEST(generate_series(0, i.w - 1)) AS x(x),
+        |    UNNEST(generate_series(0, i.h - 1)) AS y(y)
+        |  GROUP BY 1, 2, 3),
+        |rs AS (
+        |  SELECT i.media_id,
+        |    SUM((i.media_id * 7 + ((ox.ox * i.w) // 8) * 3 + ((oy.oy * i.h) // 6) * 5) % 256) AS r_sum
+        |  FROM imgs i,
+        |    UNNEST(generate_series(0, 7)) AS ox(ox),
+        |    UNNEST(generate_series(0, 5)) AS oy(oy)
+        |  GROUP BY 1)
+        |SELECT p.media_id, p.w AS width, p.h AS height,
+        |  p.w * p.h AS n_pixels,
+        |  CAST(p.luma_sum AS DOUBLE) / (p.w * p.h) AS mean_luma,
+        |  CAST(r.r_sum AS DOUBLE) / 48 AS resized_mean
+        |FROM px p JOIN rs r ON r.media_id = p.media_id
+        |ORDER BY p.media_id""".stripMargin,
+    ) { (spark, dir) =>
+      decodeImageFeatures(pngMediaTable(spark, dir))
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_pixels"),
+          col("mean_luma"),
+          col("resized_mean"))
+        .orderBy("media_id")
     },
 
     // ----- mm02: frame sampling — explode video metadata into per-frame rows

@@ -21,40 +21,66 @@ object Similarity {
 
   private val NumQueries = 8 // query set: vec_id < 8
 
-  // L hash tables × H hyperplanes. Components are Rademacher ±1 signs (sign
-  // random projection — spherically unbiased for cosine LSH, like Gaussian
-  // draws) derived from a Knuth multiplicative hash of the flat component
-  // index, so the identical plane set is reconstructible in ANSI SQL:
-  //   sign(i) = +1 iff bit 16 of ((i * 2654435761) mod 2^32) is 0.
+  // L hash tables × up-to-HMax hyperplanes. Components are Rademacher ±1
+  // signs (sign random projection — spherically unbiased for cosine LSH, like
+  // Gaussian draws) derived from a Knuth multiplicative hash of the flat
+  // component index, so the identical plane set is reconstructible in ANSI
+  // SQL:   sign(i) = +1 iff bit 16 of ((i * 2654435761) mod 2^32) is 0.
+  //
+  // ADAPTIVE BUCKET WIDTH (r6): a fixed signature width makes the bucket join
+  // Θ(n²/2^H) — the sf1 run measured dd06 scaling 29× on 10× rows because
+  // expected occupancy grew from ~8 to ~78 per bucket. Standard LSH sizing
+  // instead holds occupancy constant: every vector gets the full HMax-bit
+  // signature, and a query uses the leading `h` bits where h is the smallest
+  // value in [HMin, HMax] with 2^h · TargetOcc ≥ n. Candidates then grow
+  // LINEARLY in n (n/2 · occ · L), and recall is traded via L/multi-probe as
+  // usual. Both sides derive h from COUNT(*) with the same integer
+  // thresholds, so the DuckDB oracle replays the identical bucketing at any
+  // scale. HMax=20 covers ~8 M vectors at occupancy 8; beyond that, widen
+  // HMax (compile-time knob — planes tensor and oracle CTE scale with it).
   private[pipeline] val L = 6
-  private[pipeline] val H = 8
+  private[pipeline] val HMin = 8
+  private[pipeline] val HMax = 20
+  private[pipeline] val TargetOcc = 8
+  private[pipeline] def adaptiveBits(n: Long): Int = {
+    var h = HMin
+    while (h < HMax && (1L << h) * TargetOcc < n) h += 1
+    h
+  }
   private def planeSign(i: Long): Double =
     if ((((i * 2654435761L) % 4294967296L) & 65536L) == 0L) 1.0 else -1.0
   private val planes: Seq[Seq[Seq[Double]]] =
-    Seq.tabulate(L, H, 64)((l, h, d) => planeSign(((l * H + h) * 64 + d).toLong))
+    Seq.tabulate(L, HMax, 64)((l, h, d) => planeSign(((l * HMax + h) * 64 + d).toLong))
 
   /** DuckDB CTEs reconstructing the (vec_id, table_id, bucket) frame with the
     * same plane signs and the same `acc*2 + (dot>0)` bit packing as the
-    * [[graft.functions.HyperplaneBuckets]] kernel (bit weight 2^(H-1-h)).
-    * Dot products are ±1-weighted sums of the double-cast floats; summation
-    * order is immaterial for the sign test away from |dot| ≈ 1e-15 (the
-    * values are O(1)).
+    * [[graft.functions.HyperplaneBuckets]] kernel (bit weight 2^(HMax-1-h)),
+    * truncated to the adaptive leading `hh.h` bits exactly as
+    * [[buckets]] does. Dot products are ±1-weighted sums of the double-cast
+    * floats; summation order is immaterial for the sign test away from
+    * |dot| ≈ 1e-15 (the values are O(1)).
     */
-  private[pipeline] val bucketCtes =
-    s"""sgn AS (
+  private[pipeline] val bucketCtes = {
+    val hCases = (HMin until HMax)
+      .map(h => s"WHEN COUNT(*) <= ${(1L << h) * TargetOcc} THEN $h").mkString(" ")
+    s"""hh AS (SELECT CASE $hCases ELSE $HMax END AS h FROM embeddings),
+       |sgn AS (
        |  SELECT l, h, d,
-       |    CASE WHEN (((((l*$H+h)*64+d) * 2654435761) % 4294967296) & 65536) = 0
+       |    CASE WHEN (((((l*$HMax+h)*64+d) * 2654435761) % 4294967296) & 65536) = 0
        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
        |  FROM generate_series(0, ${L - 1}) tl(l),
-       |       generate_series(0, ${H - 1}) th(h),
+       |       generate_series(0, ${HMax - 1}) th(h),
        |       generate_series(0, 63) td(d)),
        |dots AS (
        |  SELECT e.vec_id, g.l, g.h, SUM(CAST(e.embedding[g.d + 1] AS DOUBLE) * g.s) AS dp
        |  FROM embeddings e, sgn g GROUP BY 1, 2, 3),
-       |bk AS (
+       |sig AS (
        |  SELECT vec_id, l AS table_id,
-       |    CAST(SUM(CASE WHEN dp > 0 THEN 1 << ($H - 1 - h) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM dots GROUP BY 1, 2)""".stripMargin
+       |    CAST(SUM(CASE WHEN dp > 0 THEN 1 << ($HMax - 1 - h) ELSE 0 END) AS BIGINT) AS sg
+       |  FROM dots GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT vec_id, table_id, sg >> ($HMax - hh.h) AS bucket FROM sig, hh)""".stripMargin
+  }
 
   /** Sequential-fold cosine between two list expressions — the SQL twin of
     * [[VectorOps.cosine]] (identical left-to-right double fold).
@@ -67,25 +93,30 @@ object Similarity {
        |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($b,
        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s1, v) -> s1 + v)))""".stripMargin
 
-  /** (vec_id, table_id, bucket) — one row per vector per hash table.
-    * Signature computation is the codegen'd [[graft.functions.HyperplaneBuckets]]
-    * kernel; the r1 nested-HOF formulation evaluated ~L×H×dim interpreted
-    * lambdas per row and dominated every LSH entry's runtime.
+  /** (vec_id, table_id, bucket) — one row per vector per hash table; bucket
+    * is the leading `h` bits of the HMax-bit signature (see the adaptive
+    * sizing note above). Signature computation is the codegen'd
+    * [[graft.functions.HyperplaneBuckets]] kernel; the r1 nested-HOF
+    * formulation evaluated ~L×H×dim interpreted lambdas per row and dominated
+    * every LSH entry's runtime.
     */
-  private[pipeline] def buckets(e: DataFrame): DataFrame =
+  private[pipeline] def buckets(e: DataFrame, h: Int): DataFrame =
     e.select(col("vec_id"),
       posexplode(graft.functions.LshExpressions.hyperplaneBuckets(col("embedding"), planes)))
-      .toDF("vec_id", "table_id", "bucket")
+      .toDF("vec_id", "table_id", "sig")
+      .select(col("vec_id"), col("table_id"),
+        shiftrightunsigned(col("sig"), HMax - h).as("bucket"))
 
   private def lshTopK(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val bk = buckets(e).localCheckpoint(true) // 2 consumers; harness releases
+    val h = adaptiveBits(e.count())
+    val bk = buckets(e, h).localCheckpoint(true) // 2 consumers; harness releases
     val qbBase = bk.filter(col("vec_id") < NumQueries).toDF("qid", "table_id", "bucket")
     val qb =
       if (!multiProbe) qbBase
       else qbBase.select(col("qid"), col("table_id"),
         explode(expr(
-          s"transform(sequence(-1, ${H - 1}), i -> if(i < 0, bucket, bucket ^ shiftleft(1L, i)))"))
+          s"transform(sequence(-1, ${h - 1}), i -> if(i < 0, bucket, bucket ^ shiftleft(1L, i)))"))
           .as("bucket"))
     val cands = qb.join(bk.toDF("nid", "table_id", "bucket"), Seq("table_id", "bucket"))
       .filter(col("nid") =!= col("qid"))
@@ -112,8 +143,8 @@ object Similarity {
         s"""qb AS (
            |  SELECT b.vec_id AS qid, b.table_id,
            |    CASE WHEN gi.i < 0 THEN b.bucket ELSE xor(b.bucket, CAST(1 AS BIGINT) << gi.i) END AS bucket
-           |  FROM bk b, generate_series(-1, ${H - 1}) gi(i)
-           |  WHERE b.vec_id < 8)""".stripMargin
+           |  FROM bk b, generate_series(-1, ${HMax - 1}) gi(i), hh
+           |  WHERE b.vec_id < 8 AND gi.i < hh.h)""".stripMargin
     s"""WITH $bucketCtes,
        |$qb,
        |cands AS (
