@@ -19,11 +19,19 @@ import org.apache.spark.sql.types._
   * double fold of (double)emb[j] * plane[j], so bucket keys are unchanged.
   */
 object LshExpressions {
-  /** Bucket keys per table: array<long> of length `planes.length`. */
-  def hyperplaneBuckets(embedding: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+  /** Bucket keys per table: array<long> of length `planes.length`. Bit i of
+    * table t is sign(embedding · plane_{t,i} − thresholds(t)(i)); a nonzero
+    * threshold mean-centers the projection (dp_centered = dp − plane·μ), which
+    * is what keeps sign-random-projection buckets balanced on uncentered
+    * embedding distributions — without it every vector in a positive-mean
+    * corpus agrees on most bits and collapses into a few giant buckets.
+    */
+  def hyperplaneBuckets(embedding: Column, planes: Seq[Seq[Seq[Double]]],
+      thresholds: Array[Array[Double]]): Column =
     ColumnBridge.column(HyperplaneBuckets(
       ColumnBridge.expression(embedding),
-      planes.map(_.map(_.toArray).toArray).toArray))
+      planes.map(_.map(_.toArray).toArray).toArray,
+      thresholds))
 
   /** Count of positions where two long arrays agree (MinHash signature
     * match count) — replaces `size(filter(zip_with(a, b, ==), x -> x))`.
@@ -120,7 +128,8 @@ case class ArrayLongEqCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]],
+    thresholds: Array[Array[Double]])
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -146,7 +155,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
         var d = 0.0
         var j = 0
         while (j < m) { d += emb.getFloat(j).toDouble * p(j); j += 1 }
-        acc = acc * 2 + (if (d > 0) 1L else 0L)
+        acc = acc * 2 + (if (d > thresholds(t)(i)) 1L else 0L)
         i += 1
       }
       keys(t) = acc
@@ -158,6 +167,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][][]")
+      val thrRef = ctx.addReferenceObj("lshThresholds", thresholds, "double[][]")
       val (n, keys, t, i, j, m, d, acc, p, table) =
         (ctx.freshName("n"), ctx.freshName("keys"), ctx.freshName("t"),
           ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("m"),
@@ -176,7 +186,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
          |    for (int $j = 0; $j < $m; $j++) {
          |      $d += (double) $a.getFloat($j) * $p[$j];
          |    }
-         |    $acc = $acc * 2 + ($d > 0 ? 1L : 0L);
+         |    $acc = $acc * 2 + ($d > $thrRef[$t][$i] ? 1L : 0L);
          |  }
          |  $keys[$t] = $acc;
          |}

@@ -52,6 +52,28 @@ object Similarity {
   private val planes: Seq[Seq[Seq[Double]]] =
     Seq.tabulate(L, HMax, 64)((l, h, d) => planeSign(((l * HMax + h) * 64 + d).toLong))
 
+  // MEAN-CENTERED projections (r6): sign-random-projection assumes the data
+  // is centered — on a positive-mean corpus every vector agrees with the
+  // plane's fixed sign pattern and collapses into a few giant buckets (the
+  // sf1 embeddings measured p99 occupancy ~298 vs ~5 expected). Centering is
+  // a per-plane threshold, not a data rewrite: sign((e−μ)·s) = (e·s > μ·s),
+  // so each plane compares its raw dot against the constant c = μ·s. μ is the
+  // per-dimension corpus mean — 64 doubles, a metadata-scale aggregate both
+  // engines compute from the data itself, so the oracle replays the identical
+  // thresholds at any scale.
+  private[pipeline] def dimMeans(e: DataFrame): Array[Double] =
+    e.select(posexplode(col("embedding"))).toDF("d", "v")
+      .groupBy("d").agg(avg(col("v").cast("double")).as("m"))
+      .orderBy("d").collect().map(_.getDouble(1))
+
+  private def planeThresholds(mu: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(L, HMax) { (l, h) =>
+      var s = 0.0
+      var d = 0
+      while (d < mu.length && d < 64) { s += mu(d) * planes(l)(h)(d); d += 1 }
+      s
+    }
+
   /** DuckDB CTEs reconstructing the (vec_id, table_id, bucket) frame with the
     * same plane signs and the same `acc*2 + (dot>0)` bit packing as the
     * [[graft.functions.HyperplaneBuckets]] kernel (bit weight 2^(HMax-1-h)),
@@ -71,13 +93,19 @@ object Similarity {
        |  FROM generate_series(0, ${L - 1}) tl(l),
        |       generate_series(0, ${HMax - 1}) th(h),
        |       generate_series(0, 63) td(d)),
+       |mu AS (
+       |  SELECT t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS m
+       |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1),
+       |thr AS (
+       |  SELECT g.l, g.h, SUM(mu.m * g.s) AS c
+       |  FROM sgn g JOIN mu ON mu.d = g.d + 1 GROUP BY 1, 2),
        |dots AS (
        |  SELECT e.vec_id, g.l, g.h, SUM(CAST(e.embedding[g.d + 1] AS DOUBLE) * g.s) AS dp
        |  FROM embeddings e, sgn g GROUP BY 1, 2, 3),
        |sig AS (
-       |  SELECT vec_id, l AS table_id,
-       |    CAST(SUM(CASE WHEN dp > 0 THEN 1 << ($HMax - 1 - h) ELSE 0 END) AS BIGINT) AS sg
-       |  FROM dots GROUP BY 1, 2),
+       |  SELECT dots.vec_id, dots.l AS table_id,
+       |    CAST(SUM(CASE WHEN dots.dp > t.c THEN 1 << ($HMax - 1 - dots.h) ELSE 0 END) AS BIGINT) AS sg
+       |  FROM dots JOIN thr t ON t.l = dots.l AND t.h = dots.h GROUP BY 1, 2),
        |bk AS (
        |  SELECT vec_id, table_id, sg >> ($HMax - hh.h) AS bucket FROM sig, hh)""".stripMargin
   }
@@ -102,7 +130,8 @@ object Similarity {
     */
   private[pipeline] def buckets(e: DataFrame, h: Int): DataFrame =
     e.select(col("vec_id"),
-      posexplode(graft.functions.LshExpressions.hyperplaneBuckets(col("embedding"), planes)))
+      posexplode(graft.functions.LshExpressions.hyperplaneBuckets(
+        col("embedding"), planes, planeThresholds(dimMeans(e)))))
       .toDF("vec_id", "table_id", "sig")
       .select(col("vec_id"), col("table_id"),
         shiftrightunsigned(col("sig"), HMax - h).as("bucket"))

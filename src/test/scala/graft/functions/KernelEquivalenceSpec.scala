@@ -74,17 +74,21 @@ class KernelEquivalenceSpec extends SparkSpec {
     val H = 4
     val dim = 8
     val planes = Seq.fill(L, H, dim)(rnd.nextGaussian())
+    // nonzero per-plane thresholds exercise the mean-centering compare path
+    val thr = Array.fill(L, H)(rnd.nextGaussian() * 0.1)
     val vecs = Seq.fill(100)(Seq.fill(dim)(rnd.nextFloat())).toDF("embedding")
     val planesLit = typedLit(planes)
+    val thrLit = typedLit(thr.map(_.toSeq).toSeq)
     val emb = transform(col("embedding"), x => x.cast("double"))
     val hof = transform(sequence(lit(0), lit(L - 1)), t =>
       aggregate(sequence(lit(0), lit(H - 1)), lit(0L), (acc, i) => {
         val plane = element_at(element_at(planesLit, t + 1), i + 1)
+        val c = element_at(element_at(thrLit, t + 1), i + 1)
         val d = aggregate(zip_with(emb, plane, (a, b) => a * b), lit(0.0), (s, v) => s + v)
-        acc * 2 + when(d > 0, 1L).otherwise(0L)
+        acc * 2 + when(d > c, 1L).otherwise(0L)
       }))
     assertColsEqual(vecs.select(
-      LshExpressions.hyperplaneBuckets(col("embedding"), planes).as("kernel"),
+      LshExpressions.hyperplaneBuckets(col("embedding"), planes, thr).as("kernel"),
       hof.as("hof")))
   }
 
