@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * payloads are opaque `binary` columns with typed metadata; decode /
   * feature-extract runs batched per partition.
   *
-  * The actual media decode is a STUB — the container has no image/audio
-  * libraries — replaced by a deterministic fake (byte histogram + moments).
-  * Everything Spark-side is real and tested: the schema, the binary payload
-  * column, the partitioning (repartition by `kind` so one media type's decode
-  * cost doesn't skew every partition), and the batched per-partition execution
-  * shape (the Scala analog of `mapInPandas`: one iterator per partition, rows
-  * streamed through without materializing the partition).
+  * The IMAGE path is real end-to-end: PNGs encoded and decoded with the JDK's
+  * ImageIO codec (mm04), and a decode→bilinear-resize→encode→decode round
+  * trip whose fixed-point arithmetic the SQL oracle replays exactly (mm05).
+  * Audio/video decode remains a STUB — the container has no codec libraries
+  * for those — replaced by a deterministic fake (byte histogram + moments).
+  * Everything Spark-side is real and tested either way: the schema, the
+  * binary payload column, the partitioning (repartition by `kind` so one
+  * media type's decode cost doesn't skew every partition), and the batched
+  * per-partition execution shape (the Scala analog of `mapInPandas`: one
+  * iterator per partition, rows streamed through without materializing the
+  * partition).
   */
 object Multimodal {
 
@@ -162,6 +166,92 @@ object Multimodal {
       media_id: Long, width: Int, height: Int,
       out_w: Int, out_h: Int, payload: Array[Byte])
 
+  final case class ResizedPngRow(media_id: Long, out_w: Int, out_h: Int, payload: Array[Byte])
+
+  final case class ResizedStats(
+      media_id: Long, out_w: Long, out_h: Long,
+      resized_sum: Long, checksum: Long, resized_mean: Double)
+
+  /** REAL resize: decode the PNG payload with the actual codec, bilinear-
+    * resample the decoded raster in 16.16 FIXED-POINT integer arithmetic
+    * (align-corners mapping: fx = ox·(w−1)·2^16 ÷ (outW−1), truncating), and
+    * re-encode the result as a PNG. Integer arithmetic is the point: every
+    * output gray level is an exact BIGINT expression of the source pixels, so
+    * a SQL oracle can replay the whole resample from the deterministic pixel
+    * formula — float bilinear would diverge in the last ulp across engines.
+    * All values are non-negative, so Java's `>> 32` / `& 0xffff` equal SQL's
+    * `// 4294967296` / `% 65536` exactly.
+    */
+  def realResize(media: Dataset[PngRow], targetW: Int): Dataset[ResizedPngRow] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("media_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          val (w, h) = (src.getWidth, src.getHeight)
+          val outW = targetW
+          val outH = math.max(2, h * targetW / w) // floor, aspect-preserving; ≥2 keeps (outH−1) a valid divisor
+          val out = new java.awt.image.BufferedImage(outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var oy = 0
+          while (oy < outH) {
+            val fy = oy.toLong * (h - 1) * 65536L / (outH - 1)
+            val y0 = (fy >> 16).toInt
+            val dy = fy & 0xffffL
+            val y1 = math.min(y0 + 1, h - 1)
+            var ox = 0
+            while (ox < outW) {
+              val fx = ox.toLong * (w - 1) * 65536L / (outW - 1)
+              val x0 = (fx >> 16).toInt
+              val dx = fx & 0xffffL
+              val x1 = math.min(x0 + 1, w - 1)
+              def v(x: Int, y: Int): Long = (src.getRGB(x, y) & 0xff).toLong
+              val top = v(x0, y0) * (65536L - dx) + v(x1, y0) * dx
+              val bot = v(x0, y1) * (65536L - dx) + v(x1, y1) * dx
+              val g = ((top * (65536L - dy) + bot * dy) >> 32).toInt
+              out.setRGB(ox, oy, (g << 16) | (g << 8) | g)
+              ox += 1
+            }
+            oy += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedPngRow(r.media_id, outW, outH, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Decode the RESIZED PNGs back through the codec and report position-
+    * sensitive pixel statistics — closing the decode→resize→encode→decode
+    * round trip. `checksum` weights each gray level by its raster position,
+    * so a transposed, flipped, or off-by-one resample cannot match.
+    */
+  def resizedStats(resized: Dataset[ResizedPngRow]): Dataset[ResizedStats] = {
+    import resized.sparkSession.implicits._
+    resized.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val (ow, oh) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var chk = 0L
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            val g = (img.getRGB(ox, oy) & 0xff).toLong
+            sum += g
+            chk += g * (oy.toLong * ow + ox + 1)
+            ox += 1
+          }
+          oy += 1
+        }
+        ResizedStats(r.media_id, ow.toLong, oh.toLong, sum, chk, sum.toDouble / (ow.toLong * oh))
+      }
+    }
+  }
+
   /** STUB resize: a real implementation would decode + bilinear-resample
     * here; the stub honors the *plan* exactly — output buffer is
     * out_w × out_h × 3 deterministic bytes — so the Spark-side contract
@@ -181,6 +271,191 @@ object Multimodal {
           var i = 0
           while (i < buf.length) { buf(i) = ((r.media_id * 31 + i) % 251).toByte; i += 1 }
           ResizedRow(r.media_id, r.width, r.height, outW, outH, buf)
+        }
+      }
+  }
+
+  final case class WavRow(media_id: Long, sample_rate: Int, n_samples: Int, payload: Array[Byte])
+
+  final case class AudioStats(
+      media_id: Long, n_samples: Long, sample_rate: Long,
+      sample_sum: Long, checksum: Long, sample_mean: Double)
+
+  /** REAL audio table: payload is an actual RIFF/WAVE file (8-bit unsigned
+    * PCM mono) whose samples follow the deterministic formula
+    * `(media_id*11 + i*13) mod 256` — same design as [[pngMediaTable]]: the
+    * oracle can recompute any sample statistic from the formula alone, while
+    * the Spark side must parse the container and decode the stream with the
+    * JDK's real audio codec ([[javax.sound.sampled.AudioSystem]]) to get it.
+    */
+  def wavMediaTable(spark: SparkSession, dir: String): Dataset[WavRow] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 1) // the "audio" kind, as in mediaTable
+      .select(
+        col("doc_id").as("media_id"),
+        (col("n_chars") % 400 + 100).cast("int").as("n_samples"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, n) =>
+          val rate = 8000
+          val data = new Array[Byte](n)
+          var i = 0
+          while (i < n) { data(i) = ((id * 11 + i * 13) % 256).toByte; i += 1 }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, rate, 8, 1, 1, rate, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          WavRow(id, rate, n, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL audio decode: AudioSystem parses the WAV container (RIFF chunks,
+    * fmt block) and yields the PCM stream; stats are computed from the
+    * decoded samples with a position-weighted checksum so truncated or
+    * shifted streams cannot match.
+    */
+  def decodeAudioStats(media: Dataset[WavRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+            s"unexpected decoded format for media ${r.media_id}: $fmt")
+          val buf = ais.readAllBytes()
+          var sum = 0L
+          var chk = 0L
+          var i = 0
+          while (i < buf.length) {
+            val v = (buf(i) & 0xff).toLong
+            sum += v
+            chk += v * (i + 1)
+            i += 1
+          }
+          AudioStats(r.media_id, buf.length.toLong, fmt.getSampleRate.toLong,
+            sum, chk, if (buf.isEmpty) 0.0 else sum.toDouble / buf.length)
+        }
+      }
+  }
+
+  final case class VideoRow(media_id: Long, n_frames: Int, payload: Array[Byte])
+
+  final case class VideoStats(
+      media_id: Long, n_frames: Long, luma_sum: Long, checksum: Long, mean_luma: Double)
+
+  private val FrameW = 8
+  private val FrameH = 6
+
+  /** REAL video-ish table: payload is a CONCATENATION of real PNG frames
+    * (frame f's pixel (x,y) = `(media_id*7 + f*17 + x*3 + y*5) mod 256`) —
+    * the moral equivalent of an MJPEG stream. Decoding it requires real
+    * demuxing (walking the PNG chunk grammar to find frame boundaries) plus
+    * a real codec per frame; the oracle knows only the pixel formula.
+    */
+  def videoMediaTable(spark: SparkSession, dir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 2) // the "video" kind, as in mediaTable
+      .select(
+        col("doc_id").as("media_id"),
+        (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
+      .as[(Long, Int)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, nf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(FrameW, FrameH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < FrameH) {
+              var x = 0
+              while (x < FrameW) {
+                val v = ((id * 7 + f * 17 + x * 3 + y * 5) % 256).toInt
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            javax.imageio.ImageIO.write(img, "png", bos)
+            f += 1
+          }
+          VideoRow(id, nf, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Split a concatenated-PNG payload at true frame boundaries by walking
+    * the PNG chunk grammar: 8-byte signature, then length-typed chunks
+    * (4-byte big-endian length + 4-byte type + data + CRC) until IEND.
+    * Structural parsing, not signature scanning — compressed IDAT data could
+    * contain signature-lookalike bytes.
+    */
+  def splitPngFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val frames = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < payload.length) {
+      val start = pos
+      require(payload.length - pos >= 8 && (payload(pos) & 0xff) == 0x89 && payload(pos + 1) == 'P',
+        s"not a PNG signature at offset $pos")
+      pos += 8
+      var done = false
+      while (!done) {
+        val len = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
+          ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+        val isEnd = payload(pos + 4) == 'I' && payload(pos + 5) == 'E' &&
+          payload(pos + 6) == 'N' && payload(pos + 7) == 'D'
+        pos += 12 + len // length + type + data + CRC
+        if (isEnd) done = true
+      }
+      frames += java.util.Arrays.copyOfRange(payload, start, pos)
+    }
+    frames.result()
+  }
+
+  /** REAL frame extraction: demux the payload into frames, decode EVERY
+    * frame with the real codec, and fold position-weighted stats across
+    * (frame, y, x) — so dropped, duplicated, or reordered frames cannot
+    * match the oracle.
+    */
+  def decodeVideoStats(media: Dataset[VideoRow]): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("media_id"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val frames = splitPngFrames(r.payload)
+          var sum = 0L
+          var chk = 0L
+          var f = 0
+          frames.foreach { bytes =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (img.getRGB(x, y) & 0xff).toLong
+                sum += v
+                chk += v * ((f.toLong * h + y) * w + x + 1)
+                x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          val px = frames.size.toLong * FrameW * FrameH
+          VideoStats(r.media_id, frames.size.toLong, sum, chk,
+            if (px == 0) 0.0 else sum.toDouble / px)
         }
       }
   }
@@ -298,6 +573,111 @@ object Multimodal {
           col("n_pixels"),
           col("mean_luma"),
           col("resized_mean"))
+        .orderBy("media_id")
+    },
+
+    // ----- mm05: REAL image resize — decode the real PNG, bilinear-resample
+    // the decoded raster in 16.16 fixed-point INTEGER arithmetic, re-encode
+    // as PNG, then decode THAT and report position-weighted pixel stats. The
+    // oracle replays the identical integer bilinear from the pixel formula
+    // (media_id*7 + x*3 + y*5) mod 256 — it can only match if decode, the
+    // resample arithmetic, encode, and the second decode are all correct.
+    // Align-corners mapping; all values non-negative so Java >>32 / &0xffff
+    // equal SQL //4294967296 / %65536 exactly.
+    QueryDef.sql(
+      "mm05_real_image_resize",
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 15 AS BIGINT) AS h,
+        |    CAST(16 AS BIGINT) AS ow,
+        |    greatest(2, ((n_chars % 48 + 15) * 16) // (n_chars % 64 + 16)) AS oh
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT d.media_id, d.w, d.h, d.ow, d.oh, ox.ox, oy.oy,
+        |    (ox.ox * (d.w - 1) * 65536) // (d.ow - 1) AS fx,
+        |    (oy.oy * (d.h - 1) * 65536) // (d.oh - 1) AS fy
+        |  FROM dims d,
+        |    UNNEST(generate_series(0, d.ow - 1)) AS ox(ox),
+        |    UNNEST(generate_series(0, d.oh - 1)) AS oy(oy)),
+        |bil AS (
+        |  SELECT media_id, ow, oh, ox, oy,
+        |    ((  ((media_id*7 + (fx//65536)*3                + (fy//65536)*5               ) % 256) * (65536 - fx%65536)
+        |      + ((media_id*7 + least(fx//65536+1, w-1)*3    + (fy//65536)*5               ) % 256) * (fx%65536)
+        |     ) * (65536 - fy%65536)
+        |     +
+        |     (  ((media_id*7 + (fx//65536)*3                + least(fy//65536+1, h-1)*5   ) % 256) * (65536 - fx%65536)
+        |      + ((media_id*7 + least(fx//65536+1, w-1)*3    + least(fy//65536+1, h-1)*5   ) % 256) * (fx%65536)
+        |     ) * (fy%65536)
+        |    ) // 4294967296 AS g
+        |  FROM px)
+        |SELECT media_id, MAX(ow) AS out_w, MAX(oh) AS out_h,
+        |  SUM(g) AS resized_sum,
+        |  SUM(g * (oy * ow + ox + 1)) AS checksum,
+        |  CAST(SUM(g) AS DOUBLE) / (MAX(ow) * MAX(oh)) AS resized_mean
+        |FROM bil GROUP BY 1 ORDER BY media_id""".stripMargin,
+    ) { (spark, dir) =>
+      resizedStats(realResize(pngMediaTable(spark, dir), targetW = 16))
+        .toDF()
+        .orderBy("media_id")
+    },
+
+    // ----- mm06: REAL audio decode — payload is an actual RIFF/WAVE file
+    // written by javax.sound; the query re-parses the container and decodes
+    // the 8-bit PCM stream with the real codec. The oracle replays the
+    // deterministic sample formula (media_id*11 + i*13) mod 256 — a match
+    // proves container parse + decode end-to-end (the header alone is 44
+    // bytes of structure the formula knows nothing about).
+    QueryDef.sql(
+      "mm06_real_audio_decode",
+      """WITH clips AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 400 + 100 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |samples AS (
+        |  SELECT c.media_id, c.n, i.i,
+        |    (c.media_id * 11 + i.i * 13) % 256 AS v
+        |  FROM clips c, UNNEST(generate_series(0, c.n - 1)) AS i(i))
+        |SELECT media_id, MAX(n) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  SUM(v) AS sample_sum,
+        |  SUM(v * (i + 1)) AS checksum,
+        |  CAST(SUM(v) AS DOUBLE) / MAX(n) AS sample_mean
+        |FROM samples GROUP BY 1 ORDER BY media_id""".stripMargin,
+    ) { (spark, dir) =>
+      decodeAudioStats(wavMediaTable(spark, dir))
+        .toDF()
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("sample_sum"), col("checksum"), col("sample_mean"))
+        .orderBy("media_id")
+    },
+
+    // ----- mm07: REAL frame extraction — the payload is a concatenation of
+    // real PNG frames; the query demuxes it by walking the PNG chunk grammar
+    // (not signature scanning), decodes every frame with the real codec, and
+    // folds (frame, y, x)-weighted stats. Oracle replays the per-frame pixel
+    // formula (media_id*7 + f*17 + x*3 + y*5) mod 256 over an 8×6 raster.
+    QueryDef.sql(
+      "mm07_real_frame_extract",
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, CAST(n_chars % 30 + 1 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |px AS (
+        |  SELECT v.media_id, v.nf, f.f, y.y, x.x,
+        |    (v.media_id * 7 + f.f * 17 + x.x * 3 + y.y * 5) % 256 AS val
+        |  FROM vids v,
+        |    UNNEST(generate_series(0, v.nf - 1)) AS f(f),
+        |    UNNEST(generate_series(0, 5)) AS y(y),
+        |    UNNEST(generate_series(0, 7)) AS x(x))
+        |SELECT media_id, MAX(nf) AS n_frames,
+        |  SUM(val) AS luma_sum,
+        |  SUM(val * ((f * 6 + y) * 8 + x + 1)) AS checksum,
+        |  CAST(SUM(val) AS DOUBLE) / (MAX(nf) * 48) AS mean_luma
+        |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
+    ) { (spark, dir) =>
+      decodeVideoStats(videoMediaTable(spark, dir))
+        .toDF()
+        .select(col("media_id"), col("n_frames"), col("luma_sum"),
+          col("checksum"), col("mean_luma"))
         .orderBy("media_id")
     },
 

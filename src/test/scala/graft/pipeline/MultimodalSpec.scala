@@ -59,4 +59,79 @@ class MultimodalSpec extends SparkSpec {
       yield ((s.media_id * 7 + (ox * s.width / 8) * 3 + (oy * s.height / 6) * 5) % 256).toDouble
     assert(math.abs(s.resized_mean - rvals.sum / rvals.size) < 1e-12)
   }
+
+  test("real resize round trip matches an independent fixed-point bilinear") {
+    val one = Multimodal.pngMediaTable(spark, sf()).limit(2)
+    val resized = Multimodal.realResize(one, targetW = 16).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      // output is itself a real PNG, not a raw buffer
+      assert((r.payload(0) & 0xff) == 0x89 && r.payload(1) == 'P')
+    }
+    val stats = Multimodal.resizedStats(Multimodal.realResize(one, targetW = 16))
+      .collect().map(s => s.media_id -> s).toMap
+    one.collect().foreach { src =>
+      val (w, h) = (src.width, src.height)
+      val ow = 16
+      val oh = math.max(2, h * ow / w)
+      def pix(x: Long, y: Long): Long = (src.media_id * 7 + x * 3 + y * 5) % 256
+      var sum = 0L; var chk = 0L
+      for (oy <- 0 until oh; ox <- 0 until ow) {
+        val fx = ox.toLong * (w - 1) * 65536L / (ow - 1)
+        val fy = oy.toLong * (h - 1) * 65536L / (oh - 1)
+        val (x0, dx) = (fx / 65536, fx % 65536)
+        val (y0, dy) = (fy / 65536, fy % 65536)
+        val (x1, y1) = (math.min(x0 + 1, w - 1L), math.min(y0 + 1, h - 1L))
+        val top = pix(x0, y0) * (65536 - dx) + pix(x1, y0) * dx
+        val bot = pix(x0, y1) * (65536 - dx) + pix(x1, y1) * dx
+        val g = (top * (65536 - dy) + bot * dy) / 4294967296L
+        sum += g
+        chk += g * (oy.toLong * ow + ox + 1)
+      }
+      val s = stats(src.media_id)
+      assert(s.out_w == ow && s.out_h == oh, s"dims of media ${src.media_id}")
+      assert(s.resized_sum == sum, s"sum of media ${src.media_id}")
+      assert(s.checksum == chk, s"checksum of media ${src.media_id}")
+    }
+  }
+
+  test("wav payloads are real RIFF/WAVE files and the codec decodes the formula") {
+    val rows = Multimodal.wavMediaTable(spark, sf()).limit(3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // RIFF....WAVE magic proves a real container writer ran
+      assert(new String(r.payload, 0, 4, "US-ASCII") == "RIFF")
+      assert(new String(r.payload, 8, 4, "US-ASCII") == "WAVE")
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(fmt.getFormat.getSampleRate == 8000f)
+      assert(fmt.getFormat.getSampleSizeInBits == 8)
+    }
+    val stats = Multimodal.decodeAudioStats(
+      Multimodal.wavMediaTable(spark, sf()).limit(3))
+      .collect().map(s => s.media_id -> s).toMap
+    rows.foreach { r =>
+      val s = stats(r.media_id)
+      assert(s.n_samples == r.n_samples)
+      val expSum = (0 until r.n_samples).map(i => (r.media_id * 11 + i * 13) % 256).sum
+      assert(s.sample_sum == expSum, s"sample sum of media ${r.media_id}")
+    }
+  }
+
+  test("video payload demuxes at true PNG boundaries and every frame decodes") {
+    val one = Multimodal.videoMediaTable(spark, sf()).limit(2).collect()
+    assert(one.nonEmpty)
+    one.foreach { v =>
+      val frames = Multimodal.splitPngFrames(v.payload)
+      assert(frames.size == v.n_frames, s"frame count of media ${v.media_id}")
+      // reassembling the split frames must reproduce the payload byte-exactly
+      assert(java.util.Arrays.equals(frames.flatMap(_.toSeq).toArray, v.payload))
+      frames.zipWithIndex.foreach { case (bytes, f) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(img.getWidth == 8 && img.getHeight == 6)
+        val expect = ((v.media_id * 7 + f * 17) % 256).toInt // pixel (0,0)
+        assert((img.getRGB(0, 0) & 0xff) == expect, s"frame $f of media ${v.media_id}")
+      }
+    }
+  }
 }
