@@ -25,6 +25,21 @@ object Dedup {
   private def shingleExpr(text: Column): Column =
     array_distinct(graft.functions.TextExpressions.wordShingles(text))
 
+  /** Document-frequency cap for blocking shingles (SCALE §4's named control):
+    * a shingle present in more than this many documents is boilerplate —
+    * template headers, license blurbs — and is dropped from the shingle
+    * UNIVERSE before pair generation, bounding the blocked join's
+    * per-shingle fan-out at df²/2 ≤ cap²/2 instead of n². The cap sits far
+    * above the measured maxima (max df 25 at sf1 — SCALE §4), so results are
+    * unchanged at every tested scale; the capped definition is mirrored in
+    * the dd02 oracle SQL, so a corpus where the cap DOES bite stays
+    * oracle-consistent. Jaccard then reads "Jaccard over discriminative
+    * shingles": the common count AND the per-doc sizes both use the kept
+    * universe, keeping the score self-consistent. Same design as the
+    * q15/q17 basket caps (13f28f0).
+    */
+  private[pipeline] val ShingleDfCap = 4096
+
   // MinHash machinery: h_j(s) = (a_j * H(s) + b_j) mod P over polynomial
   // shingle hashes, K permutations drawn from a fixed seed (deterministic
   // across runs). H(s) is the rolling 31-base hash mod 1e9+7
@@ -55,6 +70,36 @@ object Dedup {
     exploded.groupBy("doc_id")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until K).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** dd02's body, parameterized so the spec can prove the df cap fires.
+    * Exact n-gram Jaccard over the df-capped shingle universe: candidates
+    * share ≥1 kept shingle (no quadratic blow-up on diverse corpora), and
+    * the cap bounds fan-out even on boilerplate-dense ones.
+    */
+  private[pipeline] def ngramJaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+    val shAll = docs.select(col("doc_id"), explode(shingleExpr(col("text"))).as("s"))
+    // df cap: drop boilerplate shingles BEFORE pair generation. The extra
+    // aggregate shares the candidate join's shuffle key (s), and at scale a
+    // hot shingle's rows are exactly what this prunes — an aggregate+join
+    // streams through AQE where a count-window would buffer the hot key.
+    val kept = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("s")
+    // sh feeds three consumers (per-doc counts, join side a, join side b) —
+    // materialize the capped explode once
+    val sh = shAll.join(kept, "s").select("doc_id", "s").localCheckpoint(true)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val a = sh.toDF("doc_a", "s")
+    val b = sh.toDF("doc_b", "s")
+    val common = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val na = n.toDF("doc_a", "na")
+    val nb = n.toDF("doc_b", "nb")
+    common.join(na, "doc_a").join(nb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
   }
 
   private def shingleHashes(docs: DataFrame): DataFrame =
@@ -146,13 +191,17 @@ object Dedup {
     ) { (spark, dir) => exactDedup(Tables(spark, dir).documents) },
 
     // ----- dd02: exact n-gram Jaccard near-dup with shingle blocking —
-    // candidates share ≥1 shingle, so no quadratic blow-up on diverse corpora.
+    // candidates share ≥1 KEPT shingle (df ≤ ShingleDfCap), so no quadratic
+    // blow-up on diverse corpora AND bounded fan-out on boilerplate-dense
+    // ones; the cap is mirrored here so both engines score the same universe.
     QueryDef.sql(
       "dd02_ngram_jaccard",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, greatest(len(words) - 2, 1)),
         |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM w),
+        |keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $ShingleDfCap),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
         |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -162,23 +211,7 @@ object Dedup {
         |WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5
         |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
     ) { (spark, dir) =>
-      // sh feeds three consumers (per-doc counts, join side a, join side b) —
-      // materialize the explode once
-      val sh = Tables(spark, dir).documents
-        .select(col("doc_id"), explode(shingleExpr(col("text"))).as("s"))
-        .localCheckpoint(true)
-      val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      val a = sh.toDF("doc_a", "s")
-      val b = sh.toDF("doc_b", "s")
-      val common = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-      val na = n.toDF("doc_a", "na")
-      val nb = n.toDF("doc_b", "nb")
-      common.join(na, "doc_a").join(nb, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+      ngramJaccardPairs(Tables(spark, dir).documents, threshold = 0.5, dfCap = ShingleDfCap)
     },
 
     // ----- dd03: MinHash + banded LSH (K=128, 32 bands × 4 rows) — the

@@ -72,6 +72,23 @@ class DedupSpec extends SparkSpec {
     assert(Catalog.byName("dd05_embedding_neardup").build(spark, sf()).count() >= 0)
   }
 
+  test("shingle df cap: inert at the default, provably fires when lowered") {
+    val docs = Tables(spark, sf()).documents
+    // default cap (4096) sits far above the corpus's max shingle df —
+    // results are identical to the uncapped definition
+    val capped = Dedup.ngramJaccardPairs(docs, threshold = 0.5, dfCap = Dedup.ShingleDfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = Dedup.ngramJaccardPairs(docs, threshold = 0.5, dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == uncapped, "default cap must not change results on the testdata")
+    assert(capped.nonEmpty, "testdata should contain planted near-dup pairs")
+    // cap 1 keeps only single-document shingles — no pair can share one, so
+    // the candidate set (and the result) must collapse to empty: the control
+    // demonstrably reaches the pair-generation join
+    val strangled = Dedup.ngramJaccardPairs(docs, threshold = 0.5, dfCap = 1).count()
+    assert(strangled == 0L, "df cap 1 must strangle the candidate join")
+  }
+
   test("minhash signature length and determinism") {
     val docs = Tables(spark, sf()).documents.limit(5)
     val hashes = docs.select(col("doc_id"),
