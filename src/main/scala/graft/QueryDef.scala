@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - Money/measure doubles are aggregated through exact `DECIMAL(18,2)`
   *     casts on BOTH sides, then cast to DOUBLE — bit-identical results.
   *   - Integer outputs are cast to BIGINT on both sides (DuckDB `count` et al
-  *     are int64; Spark `hour`/`year` are int32 — unify).
+  *     are int64; Spark `hour`/`year` are int32 — unify). This includes every
+  *     integer SUM in the ORACLE: DuckDB types `SUM(BIGINT)` as HUGEINT
+  *     (int128) and the driver's hash gate is type-sensitive — identical
+  *     values still hash-mismatch (r6's mm05–mm07). README §correctness has
+  *     the full canonical-type rule; tools/check.py enforces it via DESCRIBE.
   *   - Deterministic ORDER BY with a unique tiebreaker, never on a nullable
   *     column (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST).
   *   - `now()`/`today()` are anchored on in-plan `max(ts)` scalar aggregates.

@@ -37,11 +37,15 @@ object Analytics {
   val BasketCapPerUser = 256
   val PairCapPerOrder = 64
 
-  /** Keep the `cap` smallest `itemCol` values per `keyCol` via the bounded-heap
-    * operator (rank DESC on the negated item = ascending item order).
+  /** Keep the `cap` smallest DISTINCT `itemCol` values per `keyCol` via the
+    * bounded-heap operator's dedup mode (rank DESC on the negated item =
+    * ascending item order; ordering-equal rows kept once). Callers feed the
+    * RAW (non-distinct) relation: the distinct rides the heap passes, so one
+    * exchange on `keyCol` replaces the old distinct-(key,item) exchange PLUS
+    * the top-K exchange — the r6→r7 fix for the basket caps' sf0.1 cost.
     */
   private[operators] def capBasket(df: org.apache.spark.sql.DataFrame, keyCol: String, itemCol: String, cap: Int) =
-    graft.plans.TopKPerGroup.topK(
+    graft.plans.TopKPerGroup.topKDistinct(
       df.withColumn("__neg_item", -col(itemCol)),
       Seq(keyCol), "__neg_item", itemCol, cap)
       .drop("__neg_item", "rnk")
@@ -111,9 +115,10 @@ object Analytics {
       // both self-join sides consume the same capped distinct: ReusedExchange
       // shares the cap's exchange across them (verified in the physical
       // plan), so no eager materialization — round 2's localCheckpoint here
-      // broke the reuse AND leaked blocks past clearCache (see Residency)
+      // broke the reuse AND leaked blocks past clearCache (see Residency).
+      // No .distinct() — capBasket's dedup heap folds it into its one exchange
       val items = capBasket(
-        t.lineitem.select("l_orderkey", "l_partkey").distinct(),
+        t.lineitem.select("l_orderkey", "l_partkey"),
         "l_orderkey", "l_partkey", PairCapPerOrder)
       val a = items.toDF("o", "part_a")
       val b = items.toDF("o", "part_b")
@@ -204,11 +209,11 @@ object Analytics {
       // posexplode×slice pair generation is ~1.8× SLOWER at sf0.1 (6.3 s vs
       // 3.6 s) — the first explode carries a copy of the whole basket array
       // on every output row. The self-join with shared exchange stays.
+      // No .distinct() — capBasket's dedup heap folds it into its one exchange
       val up = capBasket(
         t.lineitem
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
-          .distinct(),
+          .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id")),
         "user_id", "part_id", BasketCapPerUser)
       val buyers = up.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
       val a = up.toDF("u", "part_a")

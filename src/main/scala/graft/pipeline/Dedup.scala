@@ -86,7 +86,11 @@ object Dedup {
     val kept = shAll.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
     // sh feeds three consumers (per-doc counts, join side a, join side b) —
-    // materialize the capped explode once
+    // materialize the POST-cap join result once. The uncapped explode shAll
+    // is deliberately NOT checkpointed and runs twice (df aggregate + join
+    // input): it is cheap codegen map work, while materializing it would
+    // pin the full pre-cap explode — the largest intermediate here — in
+    // block storage for no downstream reuse beyond these two.
     val sh = shAll.join(kept, "s").select("doc_id", "s").localCheckpoint(true)
     val n = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val a = sh.toDF("doc_a", "s")
@@ -184,7 +188,7 @@ object Dedup {
       "dd01_exact_dedup",
       """WITH keep AS (SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS copies FROM documents GROUP BY text)
         |SELECT d.doc_id,
-        |  CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper,
+        |  CAST(CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS BIGINT) AS is_keeper,
         |  CAST(k.copies AS BIGINT) AS copies
         |FROM documents d JOIN keep k ON d.text = k.text
         |ORDER BY d.doc_id""".stripMargin,
@@ -289,7 +293,8 @@ object Dedup {
         |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
     ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
-      ExactBaseline.guard(spark, e.count(), "dd05_embedding_neardup", "dd06_embedding_neardup_lsh")
+      ExactBaseline.guard(spark, CorpusMeta.embeddingCount(spark, dir),
+        "dd05_embedding_neardup", "dd06_embedding_neardup_lsh")
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       val cosine = VectorOps.cosine(col("ea"), col("eb"))
@@ -324,7 +329,9 @@ object Dedup {
          |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
     ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
-      val bk = Similarity.buckets(e, Similarity.adaptiveBits(e.count()))
+      val bk = Similarity.buckets(e,
+        Similarity.adaptiveBits(CorpusMeta.embeddingCount(spark, dir)),
+        CorpusMeta.embeddingMeans(spark, dir))
       val a = bk.toDF("vec_a", "table_id", "bucket")
       val b = bk.toDF("vec_b", "table_id", "bucket")
       val cands = a.join(b, Seq("table_id", "bucket"))
@@ -378,7 +385,7 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"))
     docs.join(keep, "text")
       .select(col("doc_id"),
-        when(col("doc_id") === col("keeper"), 1).otherwise(0).as("is_keeper"),
+        when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("is_keeper"),
         col("copies").cast("long").as("copies"))
       .orderBy("doc_id")
   }

@@ -181,6 +181,12 @@ object Multimodal {
     * formula — float bilinear would diverge in the last ulp across engines.
     * All values are non-negative, so Java's `>> 32` / `& 0xffff` equal SQL's
     * `// 4294967296` / `% 65536` exactly.
+    *
+    * GRAYSCALE-ONLY contract: the resample reads a single channel
+    * (`getRGB & 0xff`, the low/blue byte) and re-encodes it as gray — correct
+    * for this corpus, whose PNGs are gray by construction, but a chromatic
+    * input would silently collapse to its blue channel. A general RGB resize
+    * would run the same fixed-point kernel per channel.
     */
   def realResize(media: Dataset[PngRow], targetW: Int): Dataset[ResizedPngRow] = {
     import media.sparkSession.implicits._
@@ -328,7 +334,10 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
           val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          // encoding matters too: signed 8-bit PCM would pass a size/channel
+          // check and `& 0xff` would then misread every sample by 128
+          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
             s"unexpected decoded format for media ${r.media_id}: $fmt")
           val buf = ais.readAllBytes()
           var sum = 0L
@@ -409,15 +418,24 @@ object Multimodal {
       pos += 8
       var done = false
       while (!done) {
+        require(payload.length - pos >= 8,
+          s"truncated PNG chunk header at offset $pos (payload ${payload.length} bytes)")
         val len = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
           ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
         val isEnd = payload(pos + 4) == 'I' && payload(pos + 5) == 'E' &&
           payload(pos + 6) == 'N' && payload(pos + 7) == 'D'
+        // a corrupt length would otherwise run past the array and copyOfRange
+        // would silently zero-pad the final frame instead of failing
+        require(len >= 0 && pos.toLong + 12L + len <= payload.length,
+          s"PNG chunk at offset $pos claims $len data bytes but only " +
+            s"${payload.length - pos - 12} remain")
         pos += 12 + len // length + type + data + CRC
         if (isEnd) done = true
       }
       frames += java.util.Arrays.copyOfRange(payload, start, pos)
     }
+    require(pos == payload.length,
+      s"PNG stream ended at $pos but payload has ${payload.length} bytes")
     frames.result()
   }
 
@@ -612,8 +630,8 @@ object Multimodal {
         |    ) // 4294967296 AS g
         |  FROM px)
         |SELECT media_id, MAX(ow) AS out_w, MAX(oh) AS out_h,
-        |  SUM(g) AS resized_sum,
-        |  SUM(g * (oy * ow + ox + 1)) AS checksum,
+        |  CAST(SUM(g) AS BIGINT) AS resized_sum,
+        |  CAST(SUM(g * (oy * ow + ox + 1)) AS BIGINT) AS checksum,
         |  CAST(SUM(g) AS DOUBLE) / (MAX(ow) * MAX(oh)) AS resized_mean
         |FROM bil GROUP BY 1 ORDER BY media_id""".stripMargin,
     ) { (spark, dir) =>
@@ -639,8 +657,8 @@ object Multimodal {
         |    (c.media_id * 11 + i.i * 13) % 256 AS v
         |  FROM clips c, UNNEST(generate_series(0, c.n - 1)) AS i(i))
         |SELECT media_id, MAX(n) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
-        |  SUM(v) AS sample_sum,
-        |  SUM(v * (i + 1)) AS checksum,
+        |  CAST(SUM(v) AS BIGINT) AS sample_sum,
+        |  CAST(SUM(v * (i + 1)) AS BIGINT) AS checksum,
         |  CAST(SUM(v) AS DOUBLE) / MAX(n) AS sample_mean
         |FROM samples GROUP BY 1 ORDER BY media_id""".stripMargin,
     ) { (spark, dir) =>
@@ -669,8 +687,8 @@ object Multimodal {
         |    UNNEST(generate_series(0, 5)) AS y(y),
         |    UNNEST(generate_series(0, 7)) AS x(x))
         |SELECT media_id, MAX(nf) AS n_frames,
-        |  SUM(val) AS luma_sum,
-        |  SUM(val * ((f * 6 + y) * 8 + x + 1)) AS checksum,
+        |  CAST(SUM(val) AS BIGINT) AS luma_sum,
+        |  CAST(SUM(val * ((f * 6 + y) * 8 + x + 1)) AS BIGINT) AS checksum,
         |  CAST(SUM(val) AS DOUBLE) / (MAX(nf) * 48) AS mean_luma
         |FROM px GROUP BY 1 ORDER BY media_id""".stripMargin,
     ) { (spark, dir) =>

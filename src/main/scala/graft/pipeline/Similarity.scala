@@ -128,18 +128,19 @@ object Similarity {
     * formulation evaluated ~L×H×dim interpreted lambdas per row and dominated
     * every LSH entry's runtime.
     */
-  private[pipeline] def buckets(e: DataFrame, h: Int): DataFrame =
+  private[pipeline] def buckets(e: DataFrame, h: Int, mu: Array[Double]): DataFrame =
     e.select(col("vec_id"),
       posexplode(graft.functions.LshExpressions.hyperplaneBuckets(
-        col("embedding"), planes, planeThresholds(dimMeans(e)))))
+        col("embedding"), planes, planeThresholds(mu))))
       .toDF("vec_id", "table_id", "sig")
       .select(col("vec_id"), col("table_id"),
         shiftrightunsigned(col("sig"), HMax - h).as("bucket"))
 
   private def lshTopK(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val h = adaptiveBits(e.count())
-    val bk = buckets(e, h).localCheckpoint(true) // 2 consumers; harness releases
+    val h = adaptiveBits(CorpusMeta.embeddingCount(spark, dir))
+    val bk = buckets(e, h, CorpusMeta.embeddingMeans(spark, dir))
+      .localCheckpoint(true) // 2 consumers; harness releases
     val qbBase = bk.filter(col("vec_id") < NumQueries).toDF("qid", "table_id", "bucket")
     val qb =
       if (!multiProbe) qbBase
@@ -236,7 +237,7 @@ object Similarity {
          |ORDER BY qid, rnk""".stripMargin,
     ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
-      ExactBaseline.guard(spark, e.count(), "ann01_topk_bruteforce",
+      ExactBaseline.guard(spark, CorpusMeta.embeddingCount(spark, dir), "ann01_topk_bruteforce",
         "ann02_topk_lsh / ann04_topk_lsh_multiprobe (or ann03/ann05 IVF)")
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))

@@ -447,7 +447,7 @@ object MvRouting {
     // hour-bucketed dashboards (01-create-tables.sql:136–152).
     QueryDef.sql(
       "pr07_mv_route_hour_grain",
-      """SELECT CAST(ts AS DATE) AS event_date, CAST(HOUR(ts) AS INT) AS event_hour,
+      """SELECT CAST(ts AS DATE) AS event_date, CAST(HOUR(ts) AS BIGINT) AS event_hour,
         |  COUNT(*) AS events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
         |FROM events
@@ -462,6 +462,10 @@ object MvRouting {
           .agg(count(lit(1)).as("events"),
             sum(col("value").cast("decimal(18,2)"))
               .cast("decimal(18,2)").cast("double").as("total_value"))
+          // canonical-type rule: hour() is INT — widen AFTER the aggregate so
+          // the routing rule still sees the canonical int-typed _kh grouping key
+          .select(col("event_date"), col("event_hour").cast("long").as("event_hour"),
+            col("events"), col("total_value"))
           .orderBy("event_date", "event_hour")
       }
     },

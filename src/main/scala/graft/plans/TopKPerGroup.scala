@@ -33,12 +33,27 @@ import org.apache.spark.sql.SparkSessionExtensions
 object TopKPerGroup {
 
   /** Public API: top `k` rows per `groupCols` by `sortCol` desc / `tieCol` asc. */
-  def topK(df: DataFrame, groupCols: Seq[String], sortCol: String, tieCol: String, k: Int): DataFrame = {
+  def topK(df: DataFrame, groupCols: Seq[String], sortCol: String, tieCol: String, k: Int): DataFrame =
+    plan(df, groupCols, sortCol, tieCol, k, dedup = false)
+
+  /** Like [[topK]], but rows EQUAL under the per-group ordering
+    * (`sortCol`,`tieCol`) are kept once — `distinct`-then-top-K folded into
+    * the heap passes. One exchange (on the group key) replaces the distinct's
+    * (group,item) exchange PLUS the top-K exchange, and map-side state stays
+    * bounded at k rows per group. Only sound when (group, sort, tie)
+    * functionally determine the whole row (true for basket caps, where the
+    * row IS (key, item, -item)); rows differing in other columns would be
+    * deduped arbitrarily.
+    */
+  def topKDistinct(df: DataFrame, groupCols: Seq[String], sortCol: String, tieCol: String, k: Int): DataFrame =
+    plan(df, groupCols, sortCol, tieCol, k, dedup = true)
+
+  private def plan(df: DataFrame, groupCols: Seq[String], sortCol: String, tieCol: String, k: Int, dedup: Boolean): DataFrame = {
     install(df.sparkSession)
     val child = df.queryExecution.analyzed
     def attr(n: String): Attribute = child.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"column $n not in ${child.output.map(_.name)}"))
-    val node = TopKPerGroupNode(k, groupCols.map(attr), attr(sortCol), attr(tieCol), child)
+    val node = TopKPerGroupNode(k, groupCols.map(attr), attr(sortCol), attr(tieCol), child, dedup)
     ColumnBridge.ofRows(df.sparkSession, node)
   }
 
@@ -141,6 +156,8 @@ case class TopKPerGroupNode(
     sortExpr: Attribute,
     tieExpr: Attribute,
     child: LogicalPlan,
+    // dedup: rows equal under (sortExpr, tieExpr) within a group kept once
+    dedup: Boolean = false,
     // constructor param (NOT a body val): plan transforms call copy(), and a
     // body val would mint a fresh exprId each time — parents bound to the
     // original rnk#N would then fail with ATTRIBUTE_NOT_FOUND at runtime
@@ -243,7 +260,7 @@ object TopKStrategy extends SparkStrategy {
       // partition — the top-K analog of partial aggregation
       TopKPerGroupExec(n.k, n.groupExprs, n.sortExpr, n.tieExpr, n.rankAttr,
         TopKPerGroupPartialExec(n.k, n.groupExprs, n.sortExpr, n.tieExpr,
-          planLater(n.child))) :: Nil
+          planLater(n.child), n.dedup), n.dedup) :: Nil
     case _ => Nil
   }
 }
@@ -261,13 +278,14 @@ private[plans] object TopKHeaps {
       sortExpr: Attribute,
       tieExpr: Attribute,
       k: Int,
-  ): (java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]],
+      dedup: Boolean,
+  ): (java.util.HashMap[UnsafeRow, java.util.Collection[InternalRow]],
       java.util.Comparator[InternalRow]) = {
     val groupProj = UnsafeProjection.create(groupExprs, childOutput)
     val sortOrd = SortOrder(sortExpr, Descending) ::
       SortOrder(tieExpr, Ascending) :: Nil
     val cmp = RowOrdering.create(sortOrd, childOutput)
-    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    val heaps = new java.util.HashMap[UnsafeRow, java.util.Collection[InternalRow]]()
     val heapCmp = new java.util.Comparator[InternalRow] {
       // PriorityQueue keeps the SMALLEST first — "smallest" = worst row =
       // largest under cmp (cmp sorts best-first), so reverse
@@ -278,13 +296,24 @@ private[plans] object TopKHeaps {
       val key = groupProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k + 1, heapCmp)
+        heap =
+          if (dedup) new java.util.TreeSet[InternalRow](cmp) // ordering equality dedups
+          else new java.util.PriorityQueue[InternalRow](k + 1, heapCmp)
         heaps.put(key.copy(), heap)
       }
-      if (heap.size < k) heap.add(row.copy())
-      else if (cmp.compare(row, heap.peek()) < 0) { // row ranks better than current worst
-        heap.poll()
-        heap.add(row.copy())
+      if (dedup) {
+        // TreeSet.add is a no-op on an ordering-equal row (the distinct);
+        // bound at k by evicting the worst (last under best-first cmp)
+        val set = heap.asInstanceOf[java.util.TreeSet[InternalRow]]
+        if (set.size < k) set.add(row.copy())
+        else if (cmp.compare(row, set.last()) < 0 && set.add(row.copy())) set.pollLast()
+      } else {
+        val pq = heap.asInstanceOf[java.util.PriorityQueue[InternalRow]]
+        if (pq.size < k) pq.add(row.copy())
+        else if (cmp.compare(row, pq.peek()) < 0) { // row ranks better than current worst
+          pq.poll()
+          pq.add(row.copy())
+        }
       }
     }
     (heaps, cmp)
@@ -300,14 +329,15 @@ case class TopKPerGroupPartialExec(
     groupExprs: Seq[Attribute],
     sortExpr: Attribute,
     tieExpr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    dedup: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (childOutput, kL, gL, sL, tL) = (child.output, k, groupExprs, sortExpr, tieExpr)
+    val (childOutput, kL, gL, sL, tL, dL) = (child.output, k, groupExprs, sortExpr, tieExpr, dedup)
     child.execute().mapPartitions({ iter =>
-      val (heaps, _) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL)
+      val (heaps, _) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL)
       import scala.jdk.CollectionConverters._
       heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
@@ -323,7 +353,8 @@ case class TopKPerGroupExec(
     sortExpr: Attribute,
     tieExpr: Attribute,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    dedup: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -333,9 +364,9 @@ case class TopKPerGroupExec(
     ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (childOutput, kL, gL, sL, tL) = (child.output, k, groupExprs, sortExpr, tieExpr)
+    val (childOutput, kL, gL, sL, tL, dL) = (child.output, k, groupExprs, sortExpr, tieExpr, dedup)
     child.execute().mapPartitions({ iter =>
-      val (heaps, cmp) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL)
+      val (heaps, cmp) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
       val rankRow = new SpecificInternalRow(Seq(LongType))

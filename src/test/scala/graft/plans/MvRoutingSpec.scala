@@ -336,7 +336,13 @@ class MvRoutingSpec extends AnyFunSuite {
     for (n <- names) {
       val d = Catalog.byName(n)
       assert(d.oracle.isDefined)
-      assert(d.build(spark, dir).count() > 0)
+      val df = d.build(spark, dir)
+      assert(df.count() > 0)
+      // every pr entry must actually ROUTE: the executed plan may scan MV
+      // parquet and dimension tables, but never the base fact tables
+      val facts = scanPaths(df).filter(p =>
+        p.endsWith("events.parquet") || p.endsWith("lineitem.parquet"))
+      assert(facts.isEmpty, s"$n scans base fact table(s): $facts")
     }
   }
 }

@@ -112,4 +112,27 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
   }
+
+  test("topKDistinct == distinct + row_number cap on a duplicate-heavy relation") {
+    // the basket-cap shape: raw (key, item) with duplicates, keep the cap
+    // smallest DISTINCT items per key — dedup folded into the heap passes
+    val t = Tables(spark, sf())
+    val raw = t.lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("item"))
+      .withColumn("__neg", -col("item"))
+    val viaHeap = TopKPerGroup.topKDistinct(raw, Seq("k"), "__neg", "item", 3)
+      .drop("__neg", "rnk")
+      .collect().map(_.toSeq.toList).toSet
+    import org.apache.spark.sql.expressions.Window
+    val oracle = raw.drop("__neg").distinct()
+      .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy(asc("item"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq.toList).toSet
+    assert(viaHeap == oracle && viaHeap.nonEmpty)
+    // duplicates never survive, even duplicated across input partitions
+    val dup = raw.union(raw).repartition(7)
+    val out = TopKPerGroup.topKDistinct(dup, Seq("k"), "__neg", "item", 3)
+      .drop("__neg", "rnk").collect().map(_.toSeq.toList)
+    assert(out.length == out.toSet.size)
+    assert(out.toSet == viaHeap)
+  }
 }

@@ -15,10 +15,57 @@ all-pairs at sf1) even a fresh duckdb.connect() in the same process
 died with tiny-block OOMs while the machine had >100 GB free.
 Process isolation makes every oracle independent.
 """
-import sys, json, math, glob, subprocess
+import sys, json, math, glob, re, subprocess
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# The driver's hash gate is type-sensitive in ways value comparison is not:
+# DuckDB types SUM(BIGINT) as HUGEINT (int128), which pandas/arrow fetch as
+# float64/object and the driver hashes differently from Spark's BIGINT —
+# values compare equal here while the driver reds the entry (r6: mm05-07).
+# So every output column must (a) have the SAME type on both sides and
+# (b) use only canonical leaf types. See QueryDef.scala's parity rules.
+CANON_LEAVES = {"BIGINT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN"}
+
+
+def norm_type(t):
+    t = t.strip().upper()
+    # Spark parquet timestamps read back as TIMESTAMP WITH TIME ZONE; the
+    # oracle side says TIMESTAMP. Same wall-instant values — driver-equivalent.
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return t
+
+
+def bad_leaves(t):
+    """Non-canonical scalar leaf tokens inside a (possibly nested) type."""
+    toks = re.findall(r"[A-Z_]+(?:\(\d+(?:,\d+)?\))?", norm_type(t))
+    bad = []
+    for tok in toks:
+        base = tok.split("(")[0]
+        if base in ("STRUCT", "MAP", "LIST", "ARRAY", "NOT", "NULL"):
+            continue
+        if base not in CANON_LEAVES:
+            bad.append(tok)
+    return bad
+
+
+def check_types(name, got_t, exp_t):
+    """Compare DESCRIBE types of both sides; return list of problems."""
+    problems = []
+    for c in sorted(set(got_t) | set(exp_t)):
+        g, e = got_t.get(c), exp_t.get(c)
+        if g is None or e is None:
+            continue  # column-name mismatch is reported separately
+        if norm_type(g) != norm_type(e):
+            problems.append(f"col {c}: spark={g} oracle={e}")
+            continue
+        for side, t in (("spark", g), ("oracle", e)):
+            bl = bad_leaves(t)
+            if bl:
+                problems.append(f"col {c}: non-canonical {side} type {t} ({','.join(bl)})")
+    return problems
 
 
 def canon(v):
@@ -44,11 +91,20 @@ def check_one(sfdir, outdir, name, sql):
         got_cols = [d[0] for d in con.description]
         exp = con.execute(sql).fetchall()
         exp_cols = [d[0] for d in con.description]
+        got_t = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()}
+        exp_t = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
     except Exception as e:
         print(f"FAIL {name}: exec error: {e}")
         return False
     finally:
         con.close()
+    type_problems = check_types(name, got_t, exp_t)
+    if type_problems:
+        print(f"FAIL {name}: type mismatch (driver hash gate is type-sensitive):")
+        for p in type_problems:
+            print(f"  {p}")
+        return False
     # sort columns by name (driver behavior)
     gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
     eperm = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
