@@ -103,8 +103,16 @@ object MvRouting {
     */
   def route(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val rewritten = MvRoutingRule(spark)(df.queryExecution.optimizedPlan)
-    ColumnBridge.ofRows(spark, rewritten)
+    val rule = MvRoutingRule(spark)
+    // Session-grain pre-pass on the ANALYZED plan — see sessionCanonFor's
+    // scaladoc: after the optimizer, predicate pushdown has smeared session
+    // filters onto raw events and the session subplan no longer exists.
+    val analyzed = df.queryExecution.analyzed
+    val pre = analyzed.transformUp {
+      case agg: Aggregate => rule.trySessionRoute(agg).getOrElse(agg)
+    }
+    if (!pre.fastEquals(analyzed)) ColumnBridge.ofRows(spark, pre)
+    else ColumnBridge.ofRows(spark, rule(df.queryExecution.optimizedPlan))
   }
 
   // ---- canonical expression forms, extracted from reference plans ----
@@ -199,6 +207,34 @@ object MvRouting {
       try buildCanon(spark, dir, table)
       finally building.set(false)
     }
+
+  /** Canonical gap-session plan per data dir: the EXACT aggregate the
+    * mv_sessions sink materializes (session_window 30 min × user → count +
+    * decimal value sum). User subplans are matched against it WHOLE via
+    * `sameResult` — the CacheManager idiom — because session assignment is
+    * not expressible as Project/Filter over the base relation, so the
+    * key/agg-form extraction the flat MVs use cannot apply.
+    *
+    * ANALYZED, not optimized: session routing must run before the optimizer,
+    * because predicate pushdown rewrites a session-level filter
+    * (`to_date(session_window.start) >= d`) into a per-EVENT `ts` filter —
+    * NOT semantics-preserving for sessionization (a session straddling the
+    * bound gets re-formed from only its in-range events), and it destroys
+    * the matchable subplan anyway. [[MvRouting.route]] runs the session
+    * pre-pass on the analyzed plan for exactly this reason.
+    */
+  private val sessionCanonCache = TrieMap[String, LogicalPlan]()
+
+  private[plans] def sessionCanonFor(spark: SparkSession, dir: String): LogicalPlan =
+    sessionCanonCache.getOrElseUpdate(norm(dir), {
+      building.set(true)
+      try Tables(spark, dir).events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("session_events"),
+          sum(col("value").cast("decimal(18,2)")).as("val_dec"))
+        .queryExecution.analyzed
+      finally building.set(false)
+    })
 
   private def buildCanon(spark: SparkSession, dir: String, table: String): Option[Canon] = {
       val t = Tables(spark, dir)
@@ -470,6 +506,56 @@ object MvRouting {
       }
     },
 
+    // ----- pr08: GAP-SESSION aggregate — the streaming session MV completes
+    // the MV story: session assignment (30-min gaps, the reference
+    // generator's construction — stream_data_realtime.py:137) is maintained
+    // by the cascade's session_window stream, and this daily rollup over the
+    // session relation routes onto the row-per-session mv_sessions with the
+    // date bound pruning its session_date partitions (MvRoutingSpec asserts
+    // both). Oracle replays the gap construction from raw events (st03's
+    // lag/cumsum idiom) — a hash match proves streaming sessionization +
+    // routing == batch sessions exactly.
+    QueryDef.sql(
+      "pr08_mv_route_gap_sessions",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM y GROUP BY user_id, sess_no)
+        |SELECT CAST(session_start AS DATE) AS session_date,
+        |  COUNT(*) AS sessions,
+        |  COUNT(DISTINCT user_id) AS session_users,
+        |  CAST(SUM(n) AS BIGINT) AS session_events,
+        |  CAST(CAST(SUM(v) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
+        |FROM sess
+        |WHERE CAST(session_start AS DATE) >= DATE '2024-01-15'
+        |GROUP BY 1 ORDER BY session_date""".stripMargin,
+    ) { (spark, dir) =>
+      routed(spark, dir) {
+        Tables(spark, dir).events
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("v"))
+          .filter(to_date(col("session_window.start")) >=
+            lit(java.sql.Date.valueOf("2024-01-15")))
+          .groupBy(to_date(col("session_window.start")).as("session_date"))
+          .agg(count(lit(1)).as("sessions"),
+            countDistinct(col("user_id")).as("session_users"),
+            sum(col("n")).as("session_events"),
+            sum(col("v")).cast("decimal(18,2)").cast("double").as("session_value"))
+          .orderBy("session_date")
+      }
+    },
+
     // ----- pr04: return-flag revenue rollup over lineitem — routed onto
     // mv_product_revenue, rolling product_id up into status.
     QueryDef.sql(
@@ -502,7 +588,107 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
-      tryRoute(agg).orElse(tryCountryRoute(agg)).getOrElse(agg)
+      tryRoute(agg).orElse(tryCountryRoute(agg)).orElse(trySessionRoute(agg)).getOrElse(agg)
+  }
+
+  /** Route an aggregate over the gap-session relation (events sessionized by
+    * `session_window(ts, '30 minutes') × user_id`) onto the row-per-session
+    * mv_sessions parquet. Runs on ANALYZED plans (via [[MvRouting.route]]'s
+    * pre-pass — see sessionCanonFor's scaladoc for why pre-optimizer). The
+    * session subplan is matched WHOLE against the canonical analyzed plan
+    * via `sameResult`. Because the MV is row-identical to the session
+    * relation (one row per session, no pre-aggregation), ANY deterministic
+    * expression over its four outputs maps 1:1 — including DISTINCT
+    * aggregates — with no re-aggregation semantics to prove.
+    * `to_date(session_window.start)` maps onto the `session_date` PARTITION
+    * column, so date bounds prune the routed scan once the rewritten plan
+    * goes back through the optimizer.
+    */
+  private[plans] def trySessionRoute(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.types.DateType
+    if (MvRouting.isBuilding) return None
+
+    @tailrec
+    def loop(p: LogicalPlan, subst: Map[ExprId, Expression], fs: Seq[Expression]): (LogicalPlan, Map[ExprId, Expression], Seq[Expression]) =
+      p match {
+        case pr: Project =>
+          loop(pr.child, subst ++ pr.projectList.collect { case al: Alias => al.exprId -> al.child }, fs)
+        case f: Filter => loop(f.child, subst, fs ++ splitConjuncts(f.condition))
+        case other => (other, subst, fs)
+      }
+    val (core, subst, conds) = loop(agg.child, Map.empty, Nil)
+
+    // the core must BE the canonical session aggregate over a registered
+    // events table (sameResult declines pruned/reordered variants — safe)
+    val evDir = core.collect { case r: LogicalRelation => r } match {
+      case Seq(rel) => tableOf(rel).collect { case (dir, "events") => dir }
+      case _ => None
+    }
+    evDir.flatMap { dir =>
+      if (!core.sameResult(MvRouting.sessionCanonFor(spark, dir))) return None
+      if (core.output.length != 4) return None
+      MvRouting.freshRootFor(dir, Seq("events")).flatMap { root =>
+        val Seq(sw, uid, cnt, vd) = core.output
+        val scan = spark.read.parquet(s"$root/mv_sessions").queryExecution.analyzed
+        val mvAttr: Map[String, Attribute] = scan.output.map(a => a.name -> a).toMap
+        val (sessionDate, sessionStart, sessionEnd) =
+          (mvAttr("session_date"), mvAttr("session_start"), mvAttr("session_end"))
+
+        // fixpoint-substitute the stripped Projects' aliases
+        def sub(e: Expression): Expression = {
+          var cur = e
+          var i = 0
+          while (i < 4 && cur.exists { case a: AttributeReference => subst.contains(a.exprId); case _ => false }) {
+            cur = cur.transformUp { case a: AttributeReference => subst.getOrElse(a.exprId, a) }
+            i += 1
+          }
+          cur
+        }
+
+        def isSwField(e: Expression, ord: Int): Boolean = e match {
+          case GetStructField(a: AttributeReference, o, _) => a.exprId == sw.exprId && o == ord
+          case _ => false
+        }
+        // session_date = to_date(session_start) under the UTC session the
+        // cascade materialized with; any other zone draws different day
+        // boundaries — decline rather than misroute
+        val utcSession = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+
+        def rewrite(e: Expression): Option[Expression] = if (!e.deterministic) None else e match {
+          // to_date(session_window.start) → the session_date PARTITION column
+          // (analyzed form: ParseToDate; post-analysis casts handled too)
+          case pd: ParseToDate if utcSession && pd.format.isEmpty && isSwField(pd.left, 0) =>
+            Some(sessionDate)
+          case Cast(t, DateType, _, _) if utcSession && isSwField(t, 0) => Some(sessionDate)
+          case t if isSwField(t, 0) => Some(sessionStart)
+          case t if isSwField(t, 1) => Some(sessionEnd)
+          case IsNotNull(a: AttributeReference) if a.exprId == sw.exprId =>
+            Some(IsNotNull(sessionStart))
+          case a: AttributeReference if a.exprId == uid.exprId => Some(mvAttr("user_id"))
+          case a: AttributeReference if a.exprId == cnt.exprId => Some(mvAttr("session_events"))
+          case a: AttributeReference if a.exprId == vd.exprId => Some(mvAttr("val_dec"))
+          case _: Attribute => None // bare struct ref or foreign column
+          case _ if e.children.isEmpty => Some(e)
+          case _ =>
+            val kids = e.children.map(rewrite)
+            if (kids.exists(_.isEmpty)) None else Some(e.withNewChildren(kids.map(_.get)))
+        }
+
+        val newGe = agg.groupingExpressions.map(g => rewrite(sub(g)))
+        val newAe = agg.aggregateExpressions.map { ne =>
+          rewrite(sub(stripAlias(ne))).map(r => Alias(r, ne.name)(exprId = ne.exprId))
+        }
+        val newConds = conds.map(c => rewrite(sub(c)))
+        if (newGe.exists(_.isEmpty) || newAe.exists(_.isEmpty) || newConds.exists(_.isEmpty)) None
+        else {
+          val source =
+            if (newConds.isEmpty) scan
+            else Filter(newConds.flatten.reduce(And), scan)
+          Some(Aggregate(newGe.flatten, newAe.flatten, source))
+        }
+      }
+    }
   }
 
   /** Route an aggregate over `events ⋈ customer ⋈ nation` (left-deep inner

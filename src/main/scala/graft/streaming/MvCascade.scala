@@ -123,12 +123,47 @@ object MvCascade {
       .agg(hll_sketch_agg(col("user_id")).as("users_sketch"),
         count(lit(1)).as("events"))
 
+    // Gap-session MV (pr08): one row per 30-minute-gap session, maintained by
+    // Structured Streaming's native session_window state (the streaming shape
+    // of st03's batch entry; the reference generator's 5-min session ids —
+    // stream_data_realtime.py:137 — are this same gap construction). Stored
+    // row-per-session so ANY downstream aggregate routes onto it (MvRouting's
+    // session path); partitioned by the session's start date.
+    val sessions = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"), sum(valDec).as("val_dec"))
+      .select(
+        to_date(col("session_window.start")).as("session_date"),
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("session_events"), col("val_dec"))
+
     def upsert(mv: DataFrame, partitionCol: String, name: String) =
       mv.writeStream
         .outputMode("update")
         .option("checkpointLocation", s"$root/_ckpt/$name")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           StreamingMVs.upsertByPartition(batch, partitionCol, s"$root/$name", batchId)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+    // Session windows reject update mode (merging sessions can't be keyed
+    // updates — STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), so the session
+    // MV runs complete mode with a full-snapshot overwrite per batch:
+    // Replacing-snapshot semantics (K3), still partitioned by session_date
+    // for pruned routed reads. State is bounded by session cardinality, and
+    // the whole-MV rewrite per batch is the complete-mode trade — at larger
+    // grains the watermark+append variant (finalized sessions only) is the
+    // scale path; this MV serves the routed-read story.
+    def completeSnapshot(mv: DataFrame, partitionCol: String, name: String) =
+      mv.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/_ckpt/$name")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.repartition(col(partitionCol)).write.mode("overwrite")
+            .partitionBy(partitionCol).parquet(s"$root/$name")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -145,13 +180,14 @@ object MvCascade {
         .trigger(Trigger.AvailableNow())
         .start()
 
-    // start all six, then await — they run concurrently
+    // start all seven, then await — they run concurrently
     val queries = Seq(
       upsert(daily, "event_date", "mv_daily_activity"),
       upsert(hourly, "event_date", "mv_hourly_events"),
       upsert(funnel, "event_date", "mv_user_funnel"),
       upsert(country, "event_date", "mv_country_stats"),
       upsert(product, "status", "mv_product_revenue"),
+      completeSnapshot(sessions, "session_date", "mv_sessions"),
       appendParts(hllDaily, "mv_hll_daily_users"))
     queries.foreach(_.awaitTermination())
     // MVs complete for `dir` → eligible for transparent aggregate routing

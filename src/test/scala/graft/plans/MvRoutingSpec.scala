@@ -161,6 +161,41 @@ class MvRoutingSpec extends AnyFunSuite {
     assert(pf.nonEmpty, "expected partition filters on the routed MV scan")
   }
 
+  test("gap-session aggregate routes to mv_sessions AND prunes partitions") {
+    graft.streaming.MvCascade.run(spark, dir)
+    def q = Tables(spark, dir).events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("v"))
+      .filter(to_date(col("session_window.start")) >=
+        lit(java.sql.Date.valueOf("2024-01-03")))
+      .groupBy(to_date(col("session_window.start")).as("session_date"))
+      .agg(count(lit(1)).as("sessions"),
+        countDistinct(col("user_id")).as("users"),
+        sum(col("n")).as("events"),
+        sum(col("v")).cast("double").as("value"))
+    val r = MvRouting.route(q)
+    assertRouted(r, "mv_sessions")
+    sameRows(r, q)
+    // the midnight-aligned session_start bound must land on the MV's
+    // session_date PARTITION column, not the session_start data column
+    val pf = allScans(r.queryExecution.executedPlan).flatMap(_.partitionFilters)
+    assert(pf.exists(_.references.exists(_.name == "session_date")),
+      s"expected a session_date partition filter on the routed scan, got $pf")
+  }
+
+  test("declines: session aggregate with a different gap (not the MV's 30 min)") {
+    graft.streaming.MvCascade.run(spark, dir)
+    val q = Tables(spark, dir).events
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("v"))
+      .groupBy(to_date(col("session_window.start")).as("session_date"))
+      .agg(count(lit(1)).as("sessions"),
+        countDistinct(col("user_id")).as("users"),
+        sum(col("n")).as("events"),
+        sum(col("v")).cast("double").as("value"))
+    assertUnrouted(MvRouting.route(q), "events.parquet")
+  }
+
   test("declines: sub-hour timestamp bound (finer than the hourly grain)") {
     graft.streaming.MvCascade.run(spark, dir)
     val b = Tables(spark, dir).events
