@@ -625,8 +625,24 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Seq(rel) => tableOf(rel).collect { case (dir, "events") => dir }
       case _ => None
     }
+    // HadoopFsRelation equality includes the `path` OPTION string, which
+    // preserves the caller's spelling — a RELATIVE dir (e.g. Verify invoked
+    // with target/testdata/sf3) never equals the canon's absolute one even
+    // though location.rootPaths (always absolute) are identical. Compare
+    // modulo the options map; the FileIndex equality still pins the files.
+    // Found by the r7 sf3 oracle drive: the decline fell pr08 back to the
+    // batch plan, whose pushed-down session filter changed boundary rows.
+    def dropPathOpts(p: LogicalPlan): LogicalPlan = p.transformUp {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case h: HadoopFsRelation =>
+            lr.copy(relation = h.copy(options = Map.empty)(h.sparkSession))
+          case _ => lr
+        }
+    }
     evDir.flatMap { dir =>
-      if (!core.sameResult(MvRouting.sessionCanonFor(spark, dir))) return None
+      if (!dropPathOpts(core).sameResult(dropPathOpts(MvRouting.sessionCanonFor(spark, dir))))
+        return None
       if (core.output.length != 4) return None
       MvRouting.freshRootFor(dir, Seq("events")).flatMap { root =>
         val Seq(sw, uid, cnt, vd) = core.output

@@ -183,6 +183,24 @@ class MvRoutingSpec extends AnyFunSuite {
       s"expected a session_date partition filter on the routed scan, got $pf")
   }
 
+  test("session routing is path-spelling-proof (relative dir still routes)") {
+    // r7 sf3 regression: HadoopFsRelation equality includes the path OPTION
+    // string, so a relative caller dir never sameResult'ed the canon built
+    // from the absolute rootPaths — pr08 silently fell back to the batch
+    // plan, whose pushed-down session filter changes boundary rows
+    val relDir = "../testdata/sf0.001" // resolves to `dir` from the repo cwd
+    graft.streaming.MvCascade.run(spark, relDir)
+    val q = Tables(spark, relDir).events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("v"))
+      .groupBy(to_date(col("session_window.start")).as("session_date"))
+      .agg(count(lit(1)).as("sessions"),
+        countDistinct(col("user_id")).as("users"),
+        sum(col("n")).as("events"),
+        sum(col("v")).cast("double").as("value"))
+    assertRouted(MvRouting.route(q), "mv_sessions")
+  }
+
   test("declines: session aggregate with a different gap (not the MV's 30 min)") {
     graft.streaming.MvCascade.run(spark, dir)
     val q = Tables(spark, dir).events
