@@ -67,7 +67,17 @@ object Bench {
     // teardown noise in the file, not to "fix" a failure that isn't one.
     redirectLogsToFile("target/bench_spark.log")
 
-    val eps = ingestEventsPerSec(spark)
+    // SPARK_GRAFT_BENCH_ONLY=dd07_x,dc02_y: time just those entries (targeted
+    // scale-curve runs for new entries without re-benching the whole
+    // catalog). Ingest and cascade setup are skipped unless a selected entry
+    // needs the MVs; the full-catalog artifacts are only written for full
+    // runs, so a filtered run can't masquerade as a round bench.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val needsCascade = only.forall(_.exists(n =>
+      n.startsWith("st") || n.startsWith("pr") || n.startsWith("sq")))
+
+    val eps = if (only.isEmpty) ingestEventsPerSec(spark) else -1.0
     Residency.release(spark)
 
     // JVM/codegen/parquet-footer warm-up (not reported)
@@ -82,7 +92,8 @@ object Bench {
     // maintained-result READ, which is what a serving query would pay.
     val setupT0 = System.nanoTime()
     val streamingSetup =
-      try {
+      if (!needsCascade) -1.0
+      else try {
         graft.streaming.MvCascade.run(spark, sfDir)
         graft.streaming.StreamingMVs.warm(spark, sfDir)
         (System.nanoTime() - setupT0) / 1e9
@@ -113,6 +124,7 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val rounds = 3
     val samples: Map[String, Seq[Double]] =
       (1 to rounds).flatMap(_ => names.map(n => n -> materialize(n)))
@@ -149,7 +161,10 @@ object Bench {
     // don't clobber each other; bench.json stays as "latest run" for tooling.
     try {
       val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-      for (p <- Seq(s"target/bench_$sfName.json", "target/bench.json")) {
+      val paths =
+        if (only.isDefined) Seq(s"target/bench_${sfName}_filtered.json")
+        else Seq(s"target/bench_$sfName.json", "target/bench.json")
+      for (p <- paths) {
         val out = java.nio.file.Paths.get(p)
         java.nio.file.Files.createDirectories(out.getParent)
         java.nio.file.Files.writeString(out, line + "\n")

@@ -20,6 +20,7 @@ object CorpusMeta {
 
   private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val means = scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+  private val benchShingles = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private def fingerprint(f: java.io.File): Long = {
     val children = f.listFiles()
@@ -29,8 +30,8 @@ object CorpusMeta {
     }
   }
 
-  private def key(dir: String): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
+  private def key(dir: String, table: String = "embeddings"): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
     s"${f.getCanonicalPath}:${fingerprint(f)}"
   }
 
@@ -41,4 +42,13 @@ object CorpusMeta {
   /** Per-dimension mean of the embeddings table, cached likewise. */
   def embeddingMeans(spark: SparkSession, dir: String): Array[Double] =
     means.getOrElseUpdate(key(dir), Similarity.dimMeans(Tables(spark, dir).embeddings))
+
+  /** Distinct benchmark-slice shingle count (dc02's Bloom sizing input),
+    * cached per (documents path, fingerprint). The count runs only over the
+    * benchmark slice — small by construction — and exists so the filter's
+    * bit budget tracks the eval suite's actual size instead of a constant
+    * that a 100× suite would silently saturate.
+    */
+  def benchShingleCount(spark: SparkSession, dir: String)(count: => Long): Long =
+    benchShingles.getOrElseUpdate(key(dir, "documents"), count)
 }

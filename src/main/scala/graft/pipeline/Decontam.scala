@@ -50,6 +50,52 @@ object Decontam {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of dc01.
+    *
+    * dc01 broadcasts the benchmark shingle set itself; that holds while the
+    * eval suite fits an executor as a join hash relation. dc02 instead builds
+    * a mergeable Bloom filter over the benchmark shingles (fixed few-MB blob
+    * however large the suite text — [[graft.functions.BloomBuildAgg]]),
+    * broadcasts the one-row blob onto the corpus shingle stream (the same
+    * broadcast-tiny crossJoin anchor pattern as q18/dd06), and drops
+    * non-overlapping shingles map-side inside codegen. Only bloom survivors
+    * — true overlap plus ~2e-4 false positives — reach the exact-confirm
+    * join, so the join input is bounded by overlap mass, not corpus size,
+    * and AQE is left to pick the confirm strategy (broadcast here; at a
+    * suite too big to broadcast it degrades to a tiny shuffle join, which is
+    * the point). False positives cost work, never results: the confirm
+    * compares shingle strings, making the output bit-identical to the
+    * bloom-free oracle.
+    *
+    * The verdict is the set-level overlap (fraction of a corpus document's
+    * shingles found anywhere in the benchmark union) — the other standard
+    * decontamination formulation, complementing dc01's per-benchmark-doc
+    * attribution.
+    */
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomExpressions._
+    val docs = Tables(spark, dir).documents
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val shB = bench.select(explode(shingles(col("text"))).as("s")).distinct()
+    val bits = sizeBits(CorpusMeta.benchShingleCount(spark, dir)(shB.count()))
+    val bloomDf = shB.agg(bloomBuild(xxhash64(col("s")), bits, DefaultNumHashes).as("bf"))
+    val shC = corpus.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val nc = shC.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val survivors = shC.crossJoin(broadcast(bloomDf))
+      .where(bloomMightContain(col("bf"), xxhash64(col("s"))))
+      .select("doc_id", "s")
+    val matched = survivors.join(shB, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    nc.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") / col("n_shingles")).as("overlap_frac"))
+      .withColumn("contaminated",
+        when(col("overlap_frac") >= 0.3, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "dc01_decontamination",
@@ -76,5 +122,29 @@ object Decontam {
         |LEFT JOIN best b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     ) { (spark, dir) => contamination(spark, dir) },
+
+    // ----- dc02: Bloom-prefiltered set-level decontamination. The oracle is
+    // the exact (bloom-free) formulation — identical output because bloom
+    // false positives are removed by the exact-confirm string join.
+    QueryDef.sql(
+      "dc02_bloom_decontamination",
+      """WITH wc AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 20 <> 0),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM wc),
+        |wb AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 20 = 0),
+        |shb AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM wb),
+        |nc AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY 1),
+        |mt AS (SELECT c.doc_id, COUNT(*) AS m FROM shc c JOIN shb b ON c.s = b.s GROUP BY 1)
+        |SELECT n.doc_id, CAST(n.ns AS BIGINT) AS n_shingles,
+        |  CAST(COALESCE(m.m, 0) AS BIGINT) AS n_matched,
+        |  CAST(COALESCE(m.m, 0) AS DOUBLE) / n.ns AS overlap_frac,
+        |  CAST(CASE WHEN CAST(COALESCE(m.m, 0) AS DOUBLE) / n.ns >= 0.3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM nc n LEFT JOIN mt m ON n.doc_id = m.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    ) { (spark, dir) => bloomContamination(spark, dir) },
   )
 }

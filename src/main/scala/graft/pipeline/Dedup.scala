@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, over the
@@ -344,6 +345,51 @@ object Dedup {
           VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+    },
+
+    // ----- dd07: survivor selection — the step that turns near-dup CLUSTERS
+    // (ts02's connected components) into a per-document keep/drop verdict:
+    // within each cluster keep the highest-quality document (tx02's score,
+    // doc_id tiebreak); singletons keep themselves. This completes the dedup
+    // story — dd02..dd06 find duplicates, dd07 decides which copy survives,
+    // which is what a pipeline actually writes out. One window pass over the
+    // clustered membership (partitioned by cluster_id — partition count
+    // tracks document count, size tracks cluster size, so the sort inside
+    // each partition is bounded by the largest duplicate cluster, not the
+    // corpus). Quality doubles are bit-identical across engines (tx02 is
+    // hash-green), so the DESC order — and therefore the survivor — is too.
+    QueryDef.sql(
+      "dd07_dedup_survivors",
+      s"""WITH ${graft.pipeline.SparseText.clusterCtes},
+         |${graft.pipeline.TextAnalysis.qualityCtes},
+         |mem AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN cl c ON d.doc_id = c.doc_id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM mem GROUP BY 1),
+         |rk AS (SELECT m.doc_id, m.cluster_id, q.quality_score,
+         |    ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+         |      ORDER BY q.quality_score DESC, m.doc_id) AS rn
+         |  FROM mem m JOIN qs q ON m.doc_id = q.doc_id)
+         |SELECT r.doc_id, CAST(r.cluster_id AS BIGINT) AS cluster_id,
+         |  r.quality_score, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(CASE WHEN r.rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM rk r JOIN sz s ON r.cluster_id = s.cluster_id
+         |ORDER BY r.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents.select(col("doc_id"))
+      val clusters = graft.Catalog.byName("ts02_dedup_clusters").build(spark, dir)
+      val quality = graft.Catalog.byName("tx02_quality_score").build(spark, dir)
+        .select(col("doc_id"), col("quality_score"))
+      val mem = docs.join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).cast("long").as("cluster_id"))
+      val wAll = Window.partitionBy("cluster_id")
+      val wOrd = Window.partitionBy("cluster_id")
+        .orderBy(desc("quality_score"), asc("doc_id"))
+      mem.join(quality, "doc_id")
+        .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+          count(lit(1)).over(wAll).as("cluster_size"),
+          when(row_number().over(wOrd) === 1, 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id")
     },
   )
 

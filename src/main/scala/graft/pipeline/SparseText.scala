@@ -27,6 +27,35 @@ object SparseText {
 
   private val CosineThreshold = 0.35
 
+  /** ts02's connected-components CTE chain (shared with dd07's oracle):
+    * exact near-dup edges (dd02's Jaccard ≥ 0.5 definition) → undirected
+    * graph → recursive transitive closure → `cl(doc_id, cluster_id)` with
+    * cluster_id = MIN(reachable doc). Only clustered docs appear in `cl`.
+    */
+  private[pipeline] val clusterCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(words) - 2, 1)),
+      |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM w),
+      |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+      |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT doc_a, doc_b FROM common
+      |  JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5),
+      |undirected AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM edges
+      |  UNION ALL SELECT doc_b, doc_a FROM edges),
+      |nodes AS (SELECT DISTINCT src AS doc FROM undirected),
+      |reach AS (
+      |  WITH RECURSIVE r(doc, peer) AS (
+      |    SELECT doc, doc FROM nodes
+      |    UNION
+      |    SELECT r.doc, u.dst FROM r JOIN undirected u ON r.peer = u.src)
+      |  SELECT * FROM r),
+      |cl AS (SELECT doc AS doc_id, MIN(peer) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -87,30 +116,10 @@ object SparseText {
 
     QueryDef.sql(
       "ts02_dedup_clusters",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(words) - 2, 1)),
-        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM w),
-        |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
-        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT doc_a, doc_b FROM common
-        |  JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
-        |  WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5),
-        |undirected AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM edges
-        |  UNION ALL SELECT doc_b, doc_a FROM edges),
-        |nodes AS (SELECT DISTINCT src AS doc FROM undirected),
-        |reach AS (
-        |  WITH RECURSIVE r(doc, peer) AS (
-        |    SELECT doc, doc FROM nodes
-        |    UNION
-        |    SELECT r.doc, u.dst FROM r JOIN undirected u ON r.peer = u.src)
-        |  SELECT * FROM r)
-        |SELECT doc AS doc_id, CAST(MIN(peer) AS BIGINT) AS cluster_id
-        |FROM reach GROUP BY doc
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $clusterCtes
+         |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+         |FROM cl
+         |ORDER BY doc_id""".stripMargin,
     ) { (spark, dir) =>
       // exact near-dup edges (same definition as dd02)
       val edges = graft.Catalog.byName("dd02_ngram_jaccard").build(spark, dir)

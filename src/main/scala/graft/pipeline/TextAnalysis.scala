@@ -28,6 +28,21 @@ object TextAnalysis {
   private def sqlHits(list: Seq[String]): String =
     s"len(list_filter(words, w -> list_contains([${list.map("'" + _ + "'").mkString(", ")}], w)))"
 
+  /** tx02's quality-score arithmetic as a CTE chain ending in
+    * `qs(doc_id, quality_score)` — shared with dd07's oracle. Every step
+    * mirrors the Spark expression tree op-for-op (ratio first, then the
+    * weighted sum), so the double is bit-identical across engines.
+    */
+  private[pipeline] lazy val qualityCtes: String =
+    s"""qw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |qf AS (SELECT doc_id,
+       |  CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS ttr,
+       |  CAST(${sqlHits(stopEn)} AS DOUBLE) / len(words) AS swr,
+       |  len(words) AS nw FROM qw),
+       |qs AS (SELECT doc_id, ttr * 0.5 + swr * 0.3 +
+       |  (CASE WHEN nw >= 20 AND nw <= 1000 THEN 0.2 ELSE 0.0 END) AS quality_score
+       |  FROM qf)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- tx01: language ID via stopword frequency scoring with a fixed

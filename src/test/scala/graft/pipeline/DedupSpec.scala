@@ -89,6 +89,24 @@ class DedupSpec extends SparkSpec {
     assert(strangled == 0L, "df cap 1 must strangle the candidate join")
   }
 
+  test("dd07 survivors: one keeper per cluster, keeper has max quality") {
+    val r = Catalog.byName("dd07_dedup_survivors").build(spark, sf()).collect()
+    assert(r.length == Tables(spark, sf()).documents.count(),
+      "dd07 must emit a verdict for every document")
+    val byCluster = r.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      val keepers = rows.filter(_.getLong(4) == 1L)
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      val best = rows.map(_.getDouble(2)).max
+      assert(keepers.head.getDouble(2) == best,
+        s"cluster $cid keeper quality ${keepers.head.getDouble(2)} < max $best")
+      rows.foreach(row => assert(row.getLong(3) == rows.length,
+        s"cluster $cid cluster_size mismatch"))
+    }
+    // the testdata plants near-dups, so at least one real (size>1) cluster
+    assert(byCluster.exists(_._2.length > 1), "expected a non-singleton cluster")
+  }
+
   test("minhash signature length and determinism") {
     val docs = Tables(spark, sf()).documents.limit(5)
     val hashes = docs.select(col("doc_id"),
