@@ -56,20 +56,43 @@ object SparseText {
       |  SELECT * FROM r),
       |cl AS (SELECT doc AS doc_id, MIN(peer) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
 
+  /** ts01's TF/DF weight CTE chain ending in `w(doc_id, term, wt)` — shared
+    * with ts03's oracle. Rational tf/df weights: every step is an exact IEEE
+    * operation mirrored by the Spark side.
+    */
+  private[pipeline] val weightCtes: String =
+    """terms AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS term
+      |    FROM documents) t
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM terms GROUP BY term),
+      |w AS (SELECT doc_id, t.term, tf / df AS wt FROM terms t JOIN df ON t.term = df.term)""".stripMargin
+
+  /** The Spark-side weight frame matching [[weightCtes]]: per-(doc, term)
+    * tf/df weight over 3-word shingle terms. Materialized once
+    * (localCheckpoint) because every consumer fans out over it several
+    * times; blocks are freed by the ContextCleaner when the frame drops.
+    */
+  private[graft] def weights(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val shingles = graft.functions.TextExpressions.wordShingles(col("text"))
+    val terms = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(shingles).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    terms.join(terms.groupBy("term").agg(count(lit(1)).cast("double").as("df")), "term")
+      .select(col("doc_id"), col("term"), (col("tf") / col("df")).as("wt"))
+      .localCheckpoint(true)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
       "ts01_sparse_text_cosine",
-      s"""WITH terms AS (
-         |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-         |  FROM (
-         |    SELECT doc_id, unnest(list_transform(
-         |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-         |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS term
-         |    FROM documents) t
-         |  GROUP BY doc_id, term),
-         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM terms GROUP BY term),
-         |w AS (SELECT doc_id, t.term, tf / df AS wt FROM terms t JOIN df ON t.term = df.term),
+      s"""WITH $weightCtes,
          |norms AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id),
          |dots AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wt * b.wt) AS dot
@@ -80,22 +103,13 @@ object SparseText {
          |WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= $CosineThreshold
          |ORDER BY cosine DESC, doc_a, doc_b""".stripMargin,
     ) { (spark, dir) =>
-      val shingles = graft.functions.TextExpressions.wordShingles(col("text"))
-      val terms = Tables(spark, dir).documents
-        .select(col("doc_id"), explode(shingles).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).cast("double").as("tf"))
-      // w feeds three consumers (norms, join side a, join side b) — materialize
-      // it once or the explode+groupBy+join chain runs three times.
-      // localCheckpoint rather than cache: blocks are freed by the
-      // ContextCleaner when the result frame is dropped, so library callers
-      // don't leak storage (the DistributedRank lesson). Hot shingle terms
-      // skew the a×b join key; AQE's skew-join split (on by default)
-      // re-partitions those at runtime, which preserves exact semantics —
-      // unlike dropping high-DF terms, which would change the cosine.
-      val w = terms.join(terms.groupBy("term").agg(count(lit(1)).cast("double").as("df")), "term")
-        .select(col("doc_id"), col("term"), (col("tf") / col("df")).as("wt"))
-        .localCheckpoint(true)
+      // w feeds three consumers (norms, join side a, join side b) —
+      // `weights` materializes it once or the explode+groupBy+join chain
+      // runs three times. Hot shingle terms skew the a×b join key; AQE's
+      // skew-join split (on by default) re-partitions those at runtime,
+      // which preserves exact semantics — unlike dropping high-DF terms,
+      // which would change the cosine.
+      val w = weights(spark, dir)
       val norms = w.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
       val a = w.select(col("term"), col("doc_id").as("doc_a"), col("wt").as("wa"))
       val b = w.select(col("term"), col("doc_id").as("doc_b"), col("wt").as("wb"))
@@ -159,6 +173,30 @@ object SparseText {
       }
       labels.select(col("doc").as("doc_id"), col("label").cast("long").as("cluster_id"))
         .orderBy("doc_id")
+    },
+
+    // ----- ts03: TF-IDF top terms per document (keyword extraction) — the
+    // per-doc top-5 terms by the same rational tf/df weight ts01 uses,
+    // executed by the TopKPerGroup custom operator: per-partition bounded
+    // heaps (≤5 rows per doc) + map-side combine, so the per-group selection
+    // never window-sorts a document's full term list and the shuffle carries
+    // at most 5 rows per (partition, doc). Weight ties (uniform tf=1 terms
+    // sharing a df) break on the term string — ASCII shingles, so Spark's
+    // binary UTF8 ordering and DuckDB's default collation agree.
+    QueryDef.sql(
+      "ts03_tfidf_top_terms",
+      s"""WITH $weightCtes,
+         |rk AS (SELECT doc_id, term, wt,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY wt DESC, term) AS BIGINT) AS rnk
+         |  FROM w)
+         |SELECT doc_id, rnk, term, wt FROM rk WHERE rnk <= 5
+         |ORDER BY doc_id, rnk""".stripMargin,
+    ) { (spark, dir) =>
+      graft.plans.TopKPerGroup.topK(
+          weights(spark, dir), Seq("doc_id"), sortCol = "wt", tieCol = "term", k = 5)
+        .select(col("doc_id"), col("rnk"), col("term"), col("wt"))
+        .orderBy("doc_id", "rnk")
     },
   )
 }

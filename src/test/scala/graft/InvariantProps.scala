@@ -53,4 +53,29 @@ object InvariantProps extends Properties("graft.invariants") {
         "merge", "grant", "revoke", "refresh", "vacuum", "create", "set")
       shadows.contains(tok) || graft.sql.SqlGateway.validate(s"SELECT $c FROM t").isRight
     }
+
+  // Bloom filter (dc02's prefilter): no false negatives for ANY hash set and
+  // any partitioning of the build — word-layout set, byte-layout probe, and
+  // the little-endian serialization between them must address the same bits.
+  property("bloom: every inserted hash probes true, merge == single build") = {
+    val bits = 1 << 12
+    forAll(Gen.listOf(Gen.long), Gen.chooseNum(1, 6)) { (hs, parts) =>
+      val one = new Array[Long](bits >>> 6)
+      hs.foreach(h => graft.functions.BloomHash.set(one, bits, 7, h))
+      // merged build over `parts` slices (OR of partials)
+      val merged = new Array[Long](bits >>> 6)
+      hs.grouped(math.max(1, hs.length / parts)).foreach { slice =>
+        val partial = new Array[Long](bits >>> 6)
+        slice.foreach(h => graft.functions.BloomHash.set(partial, bits, 7, h))
+        merged.indices.foreach(i => merged(i) |= partial(i))
+      }
+      val blob = {
+        val bb = java.nio.ByteBuffer.allocate(1 + one.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(7.toByte); one.foreach(bb.putLong); bb.array()
+      }
+      java.util.Arrays.equals(one, merged) &&
+        hs.forall(h => graft.functions.BloomHash.mightContain(blob, h))
+    }
+  }
 }

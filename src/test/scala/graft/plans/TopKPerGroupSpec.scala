@@ -104,6 +104,22 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(viaHeap == nested.collect().map(_.toSeq.toList).toSet && viaHeap.nonEmpty)
   }
 
+  test("ts03 tf-idf top terms equals its window formulation, string tiebreak") {
+    val entry = Catalog.byName("ts03_tfidf_top_terms").build(spark, sf()).collect()
+    val w = graft.pipeline.SparseText.weights(spark, sf())
+    val viaWindow = w.withColumn("rnk",
+        row_number().over(Window.partitionBy("doc_id").orderBy(desc("wt"), asc("term"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("term"), col("wt"))
+      .orderBy("doc_id", "rnk").collect()
+    assert(entry.toSeq == viaWindow.toSeq)
+    assert(entry.nonEmpty)
+    // every document contributes at most 5 terms, ranked 1..n
+    entry.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5 && rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+    }
+  }
+
   test("k larger than group size emits the whole group, ranked") {
     import spark.implicits._
     val df = Seq(("g", 1L, 2.0), ("g", 2L, 1.0)).toDF("g", "id", "score")
