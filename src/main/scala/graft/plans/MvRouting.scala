@@ -932,7 +932,26 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // literal) is only valid when the session day boundary IS the UTC day
     // boundary; in any other zone decline rather than misroute
     val utcSession = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
-    def onDateInput(t: Expression): Boolean = dateInput.exists(t.semanticEquals)
+    // The raw parquet `ts` column may be TIMESTAMP (tz-aware) or
+    // TIMESTAMP_NTZ (driver-generated testdata is tz-less timestamp[us]).
+    // In the NTZ case the date key form is to_date(cast(ts AS timestamp)),
+    // and Spark's cast-unwrapping rewrites `to_date(...) >= d` into a bound
+    // on the BARE NTZ attribute with a TIMESTAMP_NTZ literal. Under the UTC
+    // session (already required by every case below) the NTZ micros denote
+    // the same instant as the LTZ micros, so match either flavor.
+    def onDateInput(t: Expression): Boolean = dateInput.exists { di =>
+      t.semanticEquals(di) || (di match {
+        case Cast(c, org.apache.spark.sql.types.TimestampType, _, _) => t.semanticEquals(c)
+        case _ => false
+      })
+    }
+    object TsMicros {
+      def unapply(e: Expression): Option[Long] = e match {
+        case Literal(us: Long, org.apache.spark.sql.types.TimestampType |
+                               org.apache.spark.sql.types.TimestampNTZType) => Some(us)
+        case _ => None
+      }
+    }
     def dayLit(us: Long): Expression =
       Literal((us / MicrosPerDay).toInt, org.apache.spark.sql.types.DateType)
 
@@ -943,10 +962,10 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _: AggregateExpression => None
       // midnight-aligned timestamp bounds on the date key's input are exact
       // at date grain; anything finer-grained than a day declines
-      case GreaterThanOrEqual(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
+      case GreaterThanOrEqual(t, TsMicros(us))
         if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
         dateAttr.map(a => GreaterThanOrEqual(a, dayLit(us)))
-      case LessThan(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
+      case LessThan(t, TsMicros(us))
         if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerDay == 0 =>
         dateAttr.map(a => LessThan(a, dayLit(us)))
       // HOUR-aligned bounds route onto MVs exposing an hour key (the hourly
@@ -954,7 +973,7 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // hourly MV row sits entirely inside or outside an hour-aligned bound,
       // so membership is exact. The redundant date-range conjunct keeps the
       // predicate partition-prunable on the MV's event_date partitioning.
-      case GreaterThanOrEqual(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
+      case GreaterThanOrEqual(t, TsMicros(us))
         if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerHour == 0 =>
         for { da <- dateAttr; ha <- hourAttr } yield {
           val d = dayLit(us)
@@ -962,7 +981,7 @@ case class MvRoutingRule(spark: SparkSession) extends Rule[LogicalPlan] {
           And(GreaterThanOrEqual(da, d),
             Or(GreaterThan(da, d), And(EqualTo(da, d), GreaterThanOrEqual(ha, h))))
         }
-      case LessThan(t, Literal(us: Long, org.apache.spark.sql.types.TimestampType))
+      case LessThan(t, TsMicros(us))
         if utcSession && onDateInput(t) && us >= 0 && us % MicrosPerHour == 0 =>
         for { da <- dateAttr; ha <- hourAttr } yield {
           val d = dayLit(us)
