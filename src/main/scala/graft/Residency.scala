@@ -23,6 +23,14 @@ object Residency {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    // Every stopped streaming query leaves its state-store providers loaded
+    // with a periodic maintenance task (snapshotting + delta cleanup). With
+    // the full cascade (7 MVs incl. the complete-mode session store) plus
+    // the per-entry streaming reruns, that background churn lands inside
+    // LATER timed entries. Unload the providers and stop the maintenance
+    // pool; the next streaming query reloads them lazily, so this is purely
+    // a residency release, not a behavior change.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
   /** RDDs still registered as persistent (0 after a successful release). */
