@@ -77,10 +77,22 @@ object Decontam {
     val docs = Tables(spark, dir).documents
     val bench = docs.filter(col("doc_id") % 20 === 0)
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-    val shB = bench.select(explode(shingles(col("text"))).as("s")).distinct()
+    // Repartition BEFORE the explode: a shingle explode amplifies each doc
+    // ~500×, so task count must be set by the post-explode volume, not the
+    // input split count — a single-file documents table otherwise runs the
+    // whole 30× corpus explode + partial aggregate in ONE task (measured:
+    // dc02 went ~40× on 10× data at sf1 purely from this; the sf3 drive
+    // sat 25+ min in one spilling task while 15 cores idled). The doc-hash
+    // shuffle moves only the raw docs (tiny next to the shingle stream).
+    val shB = bench.repartition(col("doc_id"))
+      .select(explode(shingles(col("text"))).as("s")).distinct()
     val bits = sizeBits(CorpusMeta.benchShingleCount(spark, dir)(shB.count()))
     val bloomDf = shB.agg(bloomBuild(xxhash64(col("s")), bits, DefaultNumHashes).as("bf"))
-    val shC = corpus.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    // materialized once (two consumers: the per-doc denominator and the
+    // bloom-survivor stream) — same pattern as dd02's capped explode
+    val shC = corpus.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .localCheckpoint(true)
     val nc = shC.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val survivors = shC.crossJoin(broadcast(bloomDf))
       .where(bloomMightContain(col("bf"), xxhash64(col("s"))))
