@@ -94,8 +94,18 @@ object Decontam {
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .localCheckpoint(true)
     val nc = shC.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val survivors = shC.crossJoin(broadcast(bloomDf))
-      .where(bloomMightContain(col("bf"), xxhash64(col("s"))))
+    // The blob reaches the probe as a LITERAL, not a cross-joined column.
+    // A column-borne blob is re-materialized by codegen on EVERY probe row
+    // (UnsafeRow.getBinary copies the field): at sf3 that was a ~1 MB memcpy
+    // × 7.4 M shingle rows × k probes' stage — dc02 ran 169 s while DuckDB's
+    // bloom-free exact replay took 12 s, and the 9.7×-on-3× curve was pure
+    // blob copying (the governing overlap mass measures linear: 943 k →
+    // 2.83 M pairs). A literal is one object reference in the generated
+    // class. Driver-side collect of one few-MB blob is the same
+    // metadata-scale boundary as dd06's 64-double mean vector.
+    val bfBlob = bloomDf.head().getAs[Array[Byte]]("bf")
+    val survivors = shC
+      .where(bloomMightContain(lit(bfBlob), xxhash64(col("s"))))
       .select("doc_id", "s")
     val matched = survivors.join(shB, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
