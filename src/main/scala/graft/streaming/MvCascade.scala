@@ -153,10 +153,11 @@ object MvCascade {
     // updates — STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), so the session
     // MV runs complete mode with a full-snapshot overwrite per batch:
     // Replacing-snapshot semantics (K3), still partitioned by session_date
-    // for pruned routed reads. State is bounded by session cardinality, and
-    // the whole-MV rewrite per batch is the complete-mode trade — at larger
-    // grains the watermark+append variant (finalized sessions only) is the
-    // scale path; this MV serves the routed-read story.
+    // for pruned routed reads. This sink serves the routed-read story and the
+    // OPEN-session tail; the scale path — append of finalized sessions only,
+    // per-batch write volume tracking batch session count instead of total
+    // history — is its twin below (appendFinalized → mv_sessions_final,
+    // proven equal to the batch gap construction by st12).
     def completeSnapshot(mv: DataFrame, partitionCol: String, name: String) =
       mv.writeStream
         .outputMode("complete")
@@ -164,6 +165,30 @@ object MvCascade {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.repartition(col(partitionCol)).write.mode("overwrite")
             .partitionBy(partitionCol).parquet(s"$root/$name")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+    // st12: the finalized-session APPEND path — the session MV's scale
+    // story. Append mode is legal for session_window with a watermark: a
+    // session is emitted exactly once, in the first batch whose watermark
+    // (max event time − 1 day) has passed its end (emit condition is
+    // session_end <= watermark, inclusive — pinned by MvCascadeSpec), and
+    // Trigger.AvailableNow runs a trailing no-data batch so the final
+    // watermark's newly-closed sessions flush before termination. Per-batch
+    // write volume is therefore the batch's NEWLY-FINALIZED session count —
+    // never total session history (the complete-mode snapshot above pays
+    // that; it remains only to serve the open tail and routed reads).
+    // Parts are batch-keyed (replay-idempotent: a recovered batch overwrites
+    // its own part) and partitioned by session_date inside each part so
+    // date-bounded reads still prune.
+    def appendFinalized(mv: DataFrame, name: String) =
+      mv.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/_ckpt/$name")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.repartition(col("session_date")).write.mode("overwrite")
+            .partitionBy("session_date").parquet(s"$root/$name/part=$batchId")
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -180,7 +205,7 @@ object MvCascade {
         .trigger(Trigger.AvailableNow())
         .start()
 
-    // start all seven, then await — they run concurrently
+    // start all eight, then await — they run concurrently
     val queries = Seq(
       upsert(daily, "event_date", "mv_daily_activity"),
       upsert(hourly, "event_date", "mv_hourly_events"),
@@ -188,6 +213,7 @@ object MvCascade {
       upsert(country, "event_date", "mv_country_stats"),
       upsert(product, "status", "mv_product_revenue"),
       completeSnapshot(sessions, "session_date", "mv_sessions"),
+      appendFinalized(sessions, "mv_sessions_final"),
       appendParts(hllDaily, "mv_hll_daily_users"))
     queries.foreach(_.awaitTermination())
     // MVs complete for `dir` → eligible for transparent aggregate routing
@@ -311,6 +337,49 @@ object MvCascade {
           when(abs(col("sketch_users") - col("exact_users")) <=
             col("exact_users") * 0.05, 1L).otherwise(0L).as("sketch_ok"))
         .orderBy("event_type")
+    },
+
+    // ----- st12: the finalized-session APPEND MV (the session cascade's
+    // scale path — see appendFinalized above). The MV holds exactly the
+    // sessions the watermark closed: gap sessions whose end (last event
+    // + 30 min) is <= max(ts) − 1 day. Oracle replays the batch gap
+    // construction (st03's lag/cumsum idiom) and applies the same
+    // finalization cut — a hash match proves append-mode streaming
+    // sessionization == batch sessions on the finalized set, per session,
+    // including bounds and value sums. The open tail (sessions ending
+    // inside the watermark delay) lives only in the snapshot twin, which
+    // MvCascadeSpec proves equals finalized ∪ tail.
+    QueryDef.sql(
+      "st12_finalized_session_append",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, MIN(ts) AS session_start,
+        |    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    COUNT(*) AS session_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |  FROM y GROUP BY user_id, sess_no)
+        |SELECT CAST(session_start AS DATE) AS session_date, user_id,
+        |  CAST(session_start AS TIMESTAMP) AS session_start,
+        |  CAST(session_end AS TIMESTAMP) AS session_end,
+        |  session_events, session_value
+        |FROM sess
+        |WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
+    ) { (spark, dir) =>
+      mv(spark, dir, "mv_sessions_final")
+        .select(col("session_date"), col("user_id"), col("session_start"),
+          col("session_end"), col("session_events"),
+          col("val_dec").cast("double").as("session_value"))
+        .orderBy("user_id", "session_start")
     },
   )
 }

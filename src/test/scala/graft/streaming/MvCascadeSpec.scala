@@ -140,6 +140,86 @@ class MvCascadeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st12: finalized append parts ∪ open tail == complete-mode snapshot") {
+    // The two session sinks must tile the session space exactly: the append
+    // MV holds every session the watermark (max ts − 1 day) closed, the
+    // snapshot holds all sessions — so snapshot minus finalized must be
+    // exactly the open tail (end > watermark), and the two sets must be
+    // disjoint-by-construction on (user_id, session_start).
+    val dir = sf()
+    val maxTs = Tables(spark, dir).events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 24L * 3600 * 1000)
+    def rows(df: DataFrame) = df
+      .select(col("user_id"), col("session_start"), col("session_end"), col("session_events"))
+      .collect().map(_.toSeq).toSet
+    val finalized = rows(MvCascade.mv(spark, dir, "mv_sessions_final"))
+    val snapshot = rows(MvCascade.mv(spark, dir, "mv_sessions"))
+    assert(finalized.nonEmpty, "append MV emitted nothing — no-data flush batch missing?")
+    assert(finalized.subsetOf(snapshot), "append MV has sessions the snapshot lacks")
+    val tail = snapshot -- finalized
+    assert(tail.nonEmpty, "no open tail — watermark cut is not doing anything at this sf")
+    // every finalized session closed at/before the watermark; every tail
+    // session is still open (emit boundary is inclusive: end <= watermark)
+    finalized.foreach { r =>
+      val end = r(2).asInstanceOf[java.sql.Timestamp]
+      assert(!end.after(watermark), s"finalized session ends after watermark: $r")
+    }
+    tail.foreach { r =>
+      val end = r(2).asInstanceOf[java.sql.Timestamp]
+      assert(end.after(watermark), s"open-tail session already closed: $r")
+    }
+  }
+
+  test("st12 sink: per-batch append volume tracks newly-finalized sessions, not history") {
+    // The MemoryStream twin of appendFinalized: three micro-batches, each
+    // advancing the watermark past some sessions. The scale property under
+    // test: a session lands in EXACTLY ONE part (append emits it once, in
+    // the batch that finalizes it) — so per-batch write volume is the
+    // newly-finalized count, never a re-dump of history (the complete-mode
+    // snapshot's cost profile).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_st12_twin_").toString
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(to_date(col("session_window.start")).as("session_date"),
+        col("user_id"), col("session_window.start").as("session_start"),
+        col("session_events"))
+    val parts = scala.collection.mutable.Map[Long, Long]()
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/_ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        if (n > 0) parts(batchId) = n
+        batch.write.mode("overwrite").parquet(s"$root/mv/part=$batchId")
+      }
+      .start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // phase 1: 3 users' sessions on Jan 10
+      stream.addData((1L to 3L).map(u =>
+        Ev(u, ts("2024-01-10 10:00:00"), u, "view", 1.0)): _*)
+      q.processAllAvailable()
+      // phase 2: watermark jumps to Jan 11 → the 3 sessions finalize; 1 new open session
+      stream.addData(Ev(10, ts("2024-01-11 09:00:00"), 10, "view", 1.0))
+      q.processAllAvailable()
+      // phase 3: watermark jumps again → user 10's session finalizes
+      stream.addData(Ev(11, ts("2024-01-12 09:00:00"), 11, "view", 1.0))
+      q.processAllAvailable()
+      val emitted = spark.read.parquet(s"$root/mv").drop("part")
+        .select("user_id", "session_start").collect().map(_.toSeq)
+      // exactly-once per session: 4 finalized sessions (users 1,2,3,10), no dupes
+      assert(emitted.length == 4 && emitted.distinct.length == 4,
+        s"sessions must land in exactly one part each, got ${emitted.toSeq}")
+      // no single batch re-dumped history: largest part is the phase-2 flush (3)
+      assert(parts.values.max == 3 && parts.values.sum == 4,
+        s"per-batch volume should be newly-finalized counts (3 then 1), got $parts")
+    } finally q.stop()
+  }
+
   test("HLL-state parts merge to the exact distinct within sketch error") {
     val rows = graft.Catalog.byName("st09_streaming_hll_state").build(spark, sf()).collect()
     assert(rows.nonEmpty)
