@@ -380,6 +380,51 @@ class MvRoutingSpec extends AnyFunSuite {
     assert(MvRouting.rootFor(tmp).isDefined)
   }
 
+  test("date filter prunes the routed MV in BOTH ts flavors (explicit NTZ and tz-aware fixtures)") {
+    // ADVICE r7: the routing tests exercise whichever ts layout the driver
+    // testdata happens to contain, so one of the two date-rewrite branches
+    // (tz-aware vs cast-unwrapped bare NTZ, MvRouting's onDateInput) is
+    // silently untested in any given environment. Write BOTH flavors
+    // explicitly and assert the routed plan prunes to the MV in each —
+    // a future testdata-schema shift now changes which branch the OTHER
+    // tests cover, but never leaves either branch uncovered.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def writeSingleFile(df: DataFrame, target: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_single_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(target), StandardCopyOption.REPLACE_EXISTING)
+    }
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    for (flavor <- Seq("timestamp_ntz", "timestamp")) {
+      val tmp = Files.createTempDirectory(s"graft_flavor_").toString
+      for (t <- Seq("lineitem", "customer", "nation"))
+        Files.copy(Paths.get(dir, s"$t.parquet"), Paths.get(tmp, s"$t.parquet"),
+          StandardCopyOption.COPY_ATTRIBUTES)
+      writeSingleFile(
+        Tables(spark, dir).events.withColumn("ts", col("ts").cast(flavor)),
+        s"$tmp/events.parquet")
+      // the fixture must really carry the intended physical type
+      val physical = spark.read.parquet(s"$tmp/events.parquet").schema("ts").dataType
+      val expected =
+        if (flavor == "timestamp_ntz") org.apache.spark.sql.types.TimestampNTZType
+        else org.apache.spark.sql.types.TimestampType
+      assert(physical == expected, s"fixture wrote $physical, wanted $expected")
+      graft.streaming.MvCascade.run(spark, tmp)
+      def b = Tables(spark, tmp).events
+        .filter(to_date(col("ts")) >= lit(java.sql.Date.valueOf("2024-01-15")))
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("c"))
+      val r = MvRouting.route(b)
+      withClue(s"$flavor fixture: ") {
+        assertRouted(r, "mv_hourly_events")
+        sameRows(r, b)
+        val pf = allScans(r.queryExecution.executedPlan).flatMap(_.partitionFilters)
+        assert(pf.nonEmpty, "expected partition filters on the routed MV scan")
+      }
+    }
+  }
+
   test("pr catalog entries exist and build") {
     graft.streaming.MvCascade.run(spark, dir)
     // derived from MvRouting.defs so a newly added pr entry is covered
