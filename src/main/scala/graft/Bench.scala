@@ -77,7 +77,9 @@ object Bench {
     val needsCascade = only.forall(_.exists(n =>
       n.startsWith("st") || n.startsWith("pr") || n.startsWith("sq")))
 
-    val eps = if (only.isEmpty) ingestEventsPerSec(spark) else -1.0
+    val eps =
+      if (only.isEmpty) ingestEventsPerSec(spark)
+      else IngestStats(-1.0, -1.0, -1.0)
     Residency.release(spark)
 
     // JVM/codegen/parquet-footer warm-up (not reported)
@@ -141,7 +143,7 @@ object Bench {
       names.map(n => "\"" + n + "\":" + f(n)).mkString("{", ",", "}")
     val total = names.map(minOf).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"ingest_events_per_sec":$eps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"sf":"$sfDir"}"""
     // The driver keeps only a bounded (~2000-char) stdout tail and parses the
     // JSON line out of it; the full-name two-map line above is ~6 KB and has
     // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —
@@ -154,7 +156,7 @@ object Bench {
           .mkString("{", ",", "}")
       else fmtMap(n => math.round(minOf(n) * 1000) / 1000.0)
     val compactLine =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"ingest_events_per_sec":$eps,"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)
@@ -204,11 +206,23 @@ object Bench {
     }
 
   /** Streaming ingest→MV throughput: drive the synthetic generator through
-    * the watermarked minute-MV aggregation (graft.streaming.Ingest) for a few
-    * seconds and report events/s — comparable to the reference's headline
-    * ~100 events/s + 20 orders/s ingest claim (BASELINE.md).
+    * the watermarked minute-MV aggregation (graft.streaming.Ingest) and
+    * report events/s — comparable to the reference's headline ~100 events/s
+    * + 20 orders/s ingest claim (BASELINE.md).
+    *
+    * Methodology (r7 verdict item 3 — the single fixed 30 s window still
+    * spread 55–65 k ev/s across same-code runs): THREE consecutive fixed
+    * 10 s windows over one continuously-running stream in the clean session;
+    * the headline is the MEDIAN, the artifact carries {median, min, max,
+    * spread%}, and a spread above 10 % of the median is flagged loudly in
+    * the artifact and on stderr rather than silently shipped.
     */
-  private def ingestEventsPerSec(spark: SparkSession): Double = {
+  private final case class IngestStats(median: Double, min: Double, max: Double) {
+    def spreadPct: Double =
+      if (median <= 0) -1.0 else math.round((max - min) / median * 1000) / 10.0
+  }
+
+  private def ingestEventsPerSec(spark: SparkSession): IngestStats = {
     import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
     // Accumulate numInputRows in a listener: recentProgress is a bounded
     // rolling buffer (~100 entries), and with ProcessingTime(0) more batches
@@ -231,22 +245,34 @@ object Bench {
       val warmDeadline = System.currentTimeMillis() + 30000
       while (totalRows.get() == 0 &&
         System.currentTimeMillis() < warmDeadline) Thread.sleep(200)
-      // One fixed 30 s measured window. The previous best-of-two-6 s-windows
-      // methodology was variance-dominated: r4→r5 swung 58,328→41,665 ev/s
-      // (−29%) with zero ingest-path code change, which means a real
-      // regression of that size would be invisible. A single long window
-      // amortizes GC pauses and scheduling bursts instead of trying to dodge
-      // them; target repeatability is ±10% between runs (VERDICT r5 item 4).
-      val rows0 = totalRows.get()
-      val t0 = System.nanoTime()
-      Thread.sleep(30000)
-      val rows = totalRows.get() - rows0
-      val eps = rows / ((System.nanoTime() - t0) / 1e9)
+      // 5 s settle after the first processed batch: the stream's first
+      // seconds are JIT/codegen-cold, and folding them into window 1 trips
+      // the spread flag on every run (observed: 95k/110k/110k — a 13.6%
+      // "spread" that is really warm-up). The settle keeps the three
+      // windows comparable so the flag means variance, not ramp.
+      Thread.sleep(5000)
+      // Three consecutive fixed 10 s windows over the one running stream —
+      // similar total measurement time to the r5–r7 single 30 s window, but
+      // the median defends the headline against a GC/compaction burst in
+      // any one window, and the min/max spread makes run-to-run variance a
+      // REPORTED quantity instead of an invisible one.
+      val windows = (1 to 3).map { _ =>
+        val rows0 = totalRows.get()
+        val t0 = System.nanoTime()
+        Thread.sleep(10000)
+        val rows = totalRows.get() - rows0
+        rows / ((System.nanoTime() - t0) / 1e9)
+      }
       q.stop()
-      math.round(eps * 10) / 10.0
+      val sorted = windows.sorted.map(e => math.round(e * 10) / 10.0)
+      val stats = IngestStats(sorted(1), sorted.head, sorted.last)
+      if (stats.spreadPct > 10.0)
+        System.err.println(f"[bench] WARNING: ingest window spread ${stats.spreadPct}%.1f%% " +
+          f"of median exceeds the 10%% repeatability target (windows: ${sorted.mkString(", ")})")
+      stats
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
-      -1.0
+      IngestStats(-1.0, -1.0, -1.0)
     } finally spark.streams.removeListener(listener)
   }
 }

@@ -26,6 +26,17 @@ object Decontam {
   private def shingles(text: Column): Column =
     array_distinct(graft.functions.TextExpressions.wordShingles(text))
 
+  /** On-disk (compressed) size of the documents table — file or directory of
+    * parts. Input to dc02's checkpoint-residency gate; metadata-scale.
+    */
+  private def docsFileBytes(dir: String): Long = {
+    def len(f: java.io.File): Long = {
+      val children = f.listFiles()
+      if (children == null) f.length() else children.map(len).sum
+    }
+    len(new java.io.File(s"$dir/documents.parquet"))
+  }
+
   /** Per-corpus-document contamination verdict against the benchmark set. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -56,8 +67,10 @@ object Decontam {
     * eval suite fits an executor as a join hash relation. dc02 instead builds
     * a mergeable Bloom filter over the benchmark shingles (fixed few-MB blob
     * however large the suite text — [[graft.functions.BloomBuildAgg]]),
-    * broadcasts the one-row blob onto the corpus shingle stream (the same
-    * broadcast-tiny crossJoin anchor pattern as q18/dd06), and drops
+    * collects the one-row blob driver-side and embeds it as a LITERAL in the
+    * probe expression (the crossJoin-a-one-row-frame column form was
+    * abandoned after the r7 sf3 drive: codegen re-copies a column-borne blob
+    * per probe row — see the comment at the probe site), and drops
     * non-overlapping shingles map-side inside codegen. Only bloom survivors
     * — true overlap plus ~2e-4 false positives — reach the exact-confirm
     * join, so the join input is bounded by overlap mass, not corpus size,
@@ -88,12 +101,24 @@ object Decontam {
       .select(explode(shingles(col("text"))).as("s")).distinct()
     val bits = sizeBits(CorpusMeta.benchShingleCount(spark, dir)(shB.count()))
     val bloomDf = shB.agg(bloomBuild(xxhash64(col("s")), bits, DefaultNumHashes).as("bf"))
-    // materialized once (two consumers: the per-doc denominator and the
-    // bloom-survivor stream) — same pattern as dd02's capped explode
     val shC = corpus.repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .localCheckpoint(true)
-    val nc = shC.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // Two consumers (per-doc denominator + bloom-survivor stream): the
+    // materialize-once-vs-recompute-twice trade. localCheckpoint stores the
+    // FULL ~500×-amplified shingle stream in executor storage — residency
+    // that scales with corpus size, against this operator's bounded-by-
+    // overlap-mass posture. So the checkpoint is GATED: estimated shingle
+    // residency (compressed documents bytes × ~32 for decompress + shingle
+    // amplification + row overhead) must fit a quarter of the heap;
+    // past that, recompute the map-side explode per consumer — two cheap
+    // scans instead of an executor-storage cliff (ADVICE r7). Every driven
+    // scale (sf0.1/sf1/sf3/sf10 ≈ tens of MB compressed) keeps the
+    // checkpoint; the gate exists for the corpus that wouldn't.
+    val estResidency = docsFileBytes(dir) * 32L
+    val shCMat =
+      if (estResidency <= Runtime.getRuntime.maxMemory / 4) shC.localCheckpoint(true)
+      else shC
+    val nc = shCMat.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // The blob reaches the probe as a LITERAL, not a cross-joined column.
     // A column-borne blob is re-materialized by codegen on EVERY probe row
     // (UnsafeRow.getBinary copies the field): at sf3 that was a ~1 MB memcpy
@@ -103,8 +128,15 @@ object Decontam {
     // 2.83 M pairs). A literal is one object reference in the generated
     // class. Driver-side collect of one few-MB blob is the same
     // metadata-scale boundary as dd06's 64-double mean vector.
+    // Render cost of the literal (ADVICE r7): Literal.toString hex-encodes
+    // binary, so every plan render (explain, PlanAudit's executedPlan
+    // string, UI/event-log plan strings) builds a ~2×-blob-size string.
+    // At the sizeBits clamp's 16 MB ceiling that is a 32 MB string per
+    // render — acceptable at the observed ~1 MB blobs and bounded by the
+    // clamp, but a reason to wrap the blob in a non-printing expression if
+    // blobs ever grow toward the ceiling.
     val bfBlob = bloomDf.head().getAs[Array[Byte]]("bf")
-    val survivors = shC
+    val survivors = shCMat
       .where(bloomMightContain(lit(bfBlob), xxhash64(col("s"))))
       .select("doc_id", "s")
     val matched = survivors.join(shB, "s")

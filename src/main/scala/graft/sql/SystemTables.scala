@@ -180,21 +180,39 @@ object SystemTables {
         .orderBy("table_name", "part_file")
     },
 
-    // ----- sys03: query-log surface — run two probe actions under the
-    // listener and report them (rows-only: durations are wall-clock).
-    QueryDef.rowsOnly("sys03_query_log") { (spark, dir) =>
+    // ----- sys03: query-log surface, now with a PARTIAL ORACLE (r7 verdict
+    // item 4 — rows-only since r1). The split: the log's STRUCTURAL content
+    // (which probe actions ran, how many rows each returned, whether every
+    // logged duration was valid) is deterministic given the data and is
+    // hash-checked against DuckDB recomputing the expected row counts; the
+    // wall-clock durations themselves — the only genuinely engine-specific
+    // part of the surface — are reduced to the `log_ok` validity flag and
+    // stay out of the hashed output (raw durations remain queryable through
+    // the system_query_log gateway view, sample_queries.sql:483–543).
+    QueryDef.sql(
+      "sys03_query_log",
+      """SELECT 'nation' AS probe, CAST(COUNT(*) AS BIGINT) AS rows_returned,
+        |  CAST(1 AS BIGINT) AS log_ok FROM nation
+        |UNION ALL
+        |SELECT 'region' AS probe, CAST(COUNT(*) AS BIGINT) AS rows_returned,
+        |  CAST(1 AS BIGINT) AS log_ok FROM region
+        |ORDER BY probe""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
       QueryLog.install(spark)
       val t = graft.Tables(spark, dir)
-      t.nation.count()
-      t.region.count()
+      val probes = Seq("nation" -> t.nation.count(), "region" -> t.region.count())
       QueryLog.await("count", atLeast = 2)
-      QueryLog.frame(spark)
-        .filter(col("status") === "QueryFinish")
-        .groupBy("fn")
-        .agg(count(lit(1)).as("finished_queries"),
-          // min == "every duration is non-negative" (max would be true if ANY was)
-          min(col("duration_ms") >= 0).as("durations_valid"))
-        .orderBy("fn")
+      // the listener must have logged BOTH probe completions, every one
+      // with a non-negative duration — folded to a flag the oracle can
+      // predict (min == "every duration is non-negative")
+      val fin = QueryLog.frame(spark)
+        .filter(col("status") === "QueryFinish" && col("fn") === "count")
+      val logOk = fin.count() >= 2 &&
+        fin.agg(min(col("duration_ms") >= 0)).collect()(0).getBoolean(0)
+      probes.map { case (n, c) => (n, c, if (logOk) 1L else 0L) }
+        .toDF("probe", "rows_returned", "log_ok")
+        .orderBy("probe")
     },
   )
 }
