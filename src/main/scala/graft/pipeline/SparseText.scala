@@ -88,6 +88,59 @@ object SparseText {
       .localCheckpoint(true)
   }
 
+  /** Conf key bounding ts02's label-propagation rounds (default 20). */
+  val LabelPropMaxItersKey = "graft.labelProp.maxIters"
+
+  /** Min-label propagation to FIXPOINT over an undirected edge frame
+    * `(src, dst)` — connected components with cluster_id = min member.
+    *
+    * Each round's frame references the previous one twice (neighbor-min +
+    * outer join), so without plan truncation the logical plan doubles per
+    * round and Catalyst analysis alone goes exponential — this, not the
+    * data, was the 225 s r1 cost. localCheckpoint(eager) replaces the plan
+    * with the materialized RDD each round (superseded block sets are freed
+    * by the ContextCleaner as the old frames become unreachable).
+    * Convergence is an aggregated max(changed) over the just-materialized
+    * frame — metadata-scale, no second join job.
+    *
+    * THROWS on cap exit (r7 verdict item 6): an unconverged labeling is not
+    * a fixpoint — shipping it silently would feed non-canonical cluster ids
+    * into dd07's survivor selection. Convergence needs rounds ≥ the largest
+    * cluster's min-label eccentricity, so a legitimately deep graph raises
+    * [[LabelPropMaxItersKey]] explicitly rather than truncating silently —
+    * the same refuse-loudly contract as the dd05/ann01 exact-baseline guard.
+    */
+  private[graft] def propagateMinLabels(
+      undirected: org.apache.spark.sql.DataFrame, maxIters: Int): org.apache.spark.sql.DataFrame = {
+    var labels = undirected.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = undirected
+        .join(labels.withColumnRenamed("doc", "src").withColumnRenamed("label", "src_label"), "src")
+        .groupBy(col("dst").as("doc"))
+        .agg(min("src_label").as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint(true)
+      converged = !next.agg(coalesce(max("chg"), lit(false))).head().getBoolean(0)
+      labels = next.drop("chg")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation exited UNCONVERGED at the $maxIters-round cap " +
+          s"($LabelPropMaxItersKey): cluster labels are not a fixpoint and must " +
+          "not feed downstream survivor selection (dd07). Raise the cap for a " +
+          "legitimately deep cluster graph; rounds must cover the largest " +
+          "cluster's min-label propagation distance.")
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef.sql(
@@ -143,35 +196,9 @@ object SparseText {
         .toDF("src", "dst")
         .localCheckpoint(true) // edges are reused every round; snap the
                                // expensive dd02 shingle join exactly once
-      // Min-label propagation to fixpoint. Each round's frame references the
-      // previous one twice (neighbor-min + outer join), so without plan
-      // truncation the logical plan doubles per round and Catalyst analysis
-      // alone goes exponential — this, not the data, was the 225 s r1 cost.
-      // localCheckpoint(eager) replaces the plan with the materialized RDD
-      // each round (superseded block sets are freed by the ContextCleaner
-      // as the old frames become unreachable). Convergence is an aggregated
-      // max(changed) over the just-materialized frame — metadata-scale, no
-      // second join job.
-      var labels = undirected.select(col("src").as("doc")).distinct()
-        .withColumn("label", col("doc"))
-        .localCheckpoint(true)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val neighborMin = undirected
-          .join(labels.withColumnRenamed("doc", "src").withColumnRenamed("label", "src_label"), "src")
-          .groupBy(col("dst").as("doc"))
-          .agg(min("src_label").as("nbr_label"))
-        val next = labels.join(neighborMin, Seq("doc"), "left")
-          .select(col("doc"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-            (coalesce(col("nbr_label"), col("label")) < col("label")).as("chg"))
-          .localCheckpoint(true)
-        converged = !next.agg(coalesce(max("chg"), lit(false))).head().getBoolean(0)
-        labels = next.drop("chg")
-        iter += 1
-      }
-      labels.select(col("doc").as("doc_id"), col("label").cast("long").as("cluster_id"))
+      val maxIters = spark.conf.get(LabelPropMaxItersKey, "20").toInt
+      propagateMinLabels(undirected, maxIters)
+        .select(col("doc").as("doc_id"), col("label").cast("long").as("cluster_id"))
         .orderBy("doc_id")
     },
 

