@@ -59,6 +59,67 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  /** Semantic-dedup cluster count: the smallest K (floor 8) holding expected
+    * occupancy n/K at or under [[TargetOcc]], so per-cluster pair work is
+    * bounded by TargetOcc²/2 at ANY corpus size and total pair work grows
+    * linearly in n — the same adaptive-knob discipline as dd06's signature
+    * width (a fixed K here is the identical quadratic trap the r6 sf1 run
+    * caught there). Derived from COUNT(*) with integer arithmetic so the
+    * DuckDB oracle replays the identical K at every scale.
+    */
+  private[pipeline] def adaptiveK(n: Long): Long = math.max(8L, (n + TargetOcc - 1) / TargetOcc)
+  private val TargetOcc = 512L
+  private val Tau = 0.4
+
+  /** SemDeDup-style semantic deduplication: cluster the embeddings (k-means,
+    * the machinery above, with [[adaptiveK]] clusters), then compare pairs
+    * WITHIN each cluster only and drop, from every near-duplicate pair
+    * (cosine >= [[Tau]]), the member that sits CLOSER to its centroid —
+    * keeping the outlier preserves diversity (Abbas et al. 2023,
+    * arXiv:2303.09540, §3; threshold lowered to dd05/dd06's 0.4 because the
+    * synthetic corpus's pair-cosine mass tops out near 0.49). The drop rule
+    * is the pairwise greedy form: x is dropped iff some same-cluster partner
+    * y with cos(x,y) >= Tau has strictly lower centroid-cosine (ties broken
+    * by lower vec_id) — deterministic, and replayed exactly by the oracle
+    * since every cosine on both engines is the same sequential double fold
+    * over the same float centroids.
+    *
+    * 100 TB shape: centroids are K×64 floats — broadcast; the only shuffle
+    * keys on `cluster`, whose cardinality K grows with n (parallelism tracks
+    * corpus size, never collapses to a constant); within-cluster pair work is
+    * capped by TargetOcc². The k-means result feeds three consumers (both
+    * pair sides + the verdict join), so it is materialized once — n rows of
+    * (id, vec, cluster, cosine), the operator's own working set, linear.
+    * One Lloyd iteration leaves cluster sizes at the seeds' mercy; a real
+    * deployment loops assign/recompute a few more rounds (each is the same
+    * broadcast + one shuffle) to tighten occupancy before the pair stage.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val k = adaptiveK(CorpusMeta.embeddingCount(spark, dir))
+    val seed = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
+    val m = assign(e, recompute(assign(e, seed))).localCheckpoint(true)
+    val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("ccos").as("ca"))
+    val b = m.select(col("cluster").as("cluster_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("ccos").as("cb"))
+    val pairs = a.join(b, col("cluster") === col("cluster_b") && col("vec_a") =!= col("vec_b"))
+      .withColumn("pc", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("pc") >= Tau)
+    val dominated = col("cb") < col("ca") ||
+      (col("cb") === col("ca") && col("vec_b") < col("vec_a"))
+    val st = pairs.groupBy(col("vec_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(when(dominated, 1).otherwise(0)).as("dom"))
+    m.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .join(st, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("dom"), lit(0)) === 0).as("keep"))
+      .orderBy("vec_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "km01_kmeans_assign",
@@ -84,5 +145,47 @@ object Clustering {
          |  FROM s2) WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
     ) { (spark, dir) => kmeansAssign(spark, dir) },
+
+    // ----- sd01: SemDeDup — the full chain (adaptive-K k-means + within-
+    // cluster pair cosines + the keep-the-outlier drop rule) replayed in
+    // DuckDB from COUNT(*) up, so the hash match proves the clustering, the
+    // blocking, AND the survivor verdict, not just the pair set.
+    QueryDef.sql(
+      "sd01_semantic_dedup",
+      s"""WITH kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 512.0) AS BIGINT)) AS k
+         |  FROM embeddings),
+         |cent0 AS (SELECT vec_id AS cluster, embedding AS centroid
+         |  FROM embeddings, kk WHERE vec_id < kk.k),
+         |s1 AS (SELECT e.vec_id, e.embedding, c.cluster,
+         |    ${Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent0 c),
+         |a1 AS (SELECT vec_id, embedding, cluster FROM (
+         |    SELECT vec_id, embedding, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |dim1 AS (SELECT cluster, t.d, AVG(CAST(embedding[t.d] AS DOUBLE)) AS c
+         |  FROM a1, generate_series(1, 64) t(d) GROUP BY 1, 2),
+         |cent1 AS (SELECT cluster, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid
+         |  FROM dim1 GROUP BY 1),
+         |s2 AS (SELECT e.vec_id, e.embedding, c.cluster,
+         |    ${Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent1 c),
+         |a2 AS (SELECT vec_id, embedding, cluster, ccos FROM (
+         |    SELECT vec_id, embedding, cluster, ccos,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+         |    FROM s2) WHERE rn = 1),
+         |p AS (SELECT * FROM (
+         |    SELECT a.vec_id AS vec_a, a.ccos AS ca, b.vec_id AS vec_b, b.ccos AS cb,
+         |      ${Similarity.cosSql("a.embedding", "b.embedding")} AS pc
+         |    FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+         |  WHERE pc >= 0.4),
+         |st AS (SELECT vec_a AS vec_id, COUNT(*) AS n_dups,
+         |    MAX(CASE WHEN cb < ca OR (cb = ca AND vec_b < vec_a) THEN 1 ELSE 0 END) AS dom
+         |  FROM p GROUP BY 1)
+         |SELECT a2.vec_id, CAST(a2.cluster AS BIGINT) AS cluster,
+         |  COALESCE(st.n_dups, 0) AS n_dups, COALESCE(st.dom, 0) = 0 AS keep
+         |FROM a2 LEFT JOIN st ON a2.vec_id = st.vec_id
+         |ORDER BY a2.vec_id""".stripMargin,
+    ) { (spark, dir) => semanticDedup(spark, dir) },
   )
 }

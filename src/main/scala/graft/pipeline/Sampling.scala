@@ -130,5 +130,72 @@ object Sampling {
           floor((col("cum_tokens") - col("n_tokens")) / 4096).cast("long").as("shard"))
         .orderBy("doc_id")
     },
+
+    // ----- mx01: temperature-resampled domain mixture — the data-mixing
+    // stage of a pretraining pipeline (mT5 §3.2 / XLM-R style: domain weight
+    // ∝ tokens^α with α = 0.5, so low-resource domains are boosted relative
+    // to their share). Per-source token mass → w_d = sqrt(tokens_d) →
+    // a half-total token budget split ∝ w_d → per-domain permille rate
+    // (clamped at 1000: no upsampling here — at a real corpus the >1000
+    // case becomes an integer repeat factor) → the same Knuth hash bucket
+    // as spl01 selects the docs. Everything is derived from the data
+    // (no fixed weights) and the one float fold (Σ sqrt) is order-pinned
+    // (sorted by source, left fold) so DuckDB replays it bit-identically.
+    //
+    // 100 TB shape: two map-side token-count scans + one tiny per-source
+    // aggregate (|domains| rows — broadcast back); the selection filter is
+    // map-side codegen. No shuffle grows with corpus size.
+    QueryDef.sql(
+      "mx01_domain_mixture",
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS toks FROM documents),
+         |per AS (
+         |  SELECT source, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens
+         |  FROM d GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source)), (s1, v) -> s1 + v) AS sumw
+         |  FROM per),
+         |r AS (
+         |  SELECT per.source, per.docs, per.tokens,
+         |    LEAST(1000, CAST(FLOOR(500.0 * total_tokens
+         |      / (sumw * sqrt(CAST(tokens AS DOUBLE)))) AS BIGINT)) AS permille
+         |  FROM per, tot),
+         |s AS (
+         |  SELECT d.source, COUNT(*) AS sampled_docs, CAST(SUM(d.toks) AS BIGINT) AS sampled_tokens
+         |  FROM d JOIN r ON d.source = r.source
+         |  WHERE ((d.doc_id * $KnuthA) % 1000 + 1000) % 1000 < r.permille
+         |  GROUP BY 1)
+         |SELECT r.source, r.docs, r.tokens, r.permille,
+         |  COALESCE(s.sampled_docs, 0) AS sampled_docs,
+         |  COALESCE(s.sampled_tokens, 0) AS sampled_tokens
+         |FROM r LEFT JOIN s ON r.source = s.source
+         |ORDER BY r.source""".stripMargin,
+    ) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("toks"))
+      val per = d.groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("toks").cast("long").as("tokens"))
+      val tot = per.agg(
+        sum("tokens").cast("long").as("total_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("source"),
+            sqrt(col("tokens").cast("double")).as("w")))), x => x.getField("w")),
+          lit(0.0), (s, v) => s + v).as("sumw"))
+      val r = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("docs"), col("tokens"),
+          least(lit(1000L), floor(lit(500.0) * col("total_tokens")
+            / (col("sumw") * sqrt(col("tokens").cast("double")))).cast("long")).as("permille"))
+      val s = d.join(broadcast(r.select("source", "permille")), "source")
+        .filter(bucket1000 < col("permille"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("sampled_docs"), sum("toks").cast("long").as("sampled_tokens"))
+      r.join(s, Seq("source"), "left")
+        .select(col("source"), col("docs"), col("tokens"), col("permille"),
+          coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+        .orderBy("source")
+    },
   )
 }

@@ -76,4 +76,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"rate table should broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no shuffle join for a 5-row dim:\n$p")
   }
+
+  test("domain mixture broadcasts the per-source rate table onto the selection scan") {
+    val p = plan("mx01_domain_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"rate table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the totals row must broadcast, not cartesian:\n$p")
+  }
 }
