@@ -21,6 +21,7 @@ object Catalog {
       pipeline.Similarity.defs ++
       pipeline.Clustering.defs ++
       pipeline.TextAnalysis.defs ++
+      pipeline.Scrub.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
       pipeline.SparseText.defs ++

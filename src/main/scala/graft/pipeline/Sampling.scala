@@ -197,5 +197,36 @@ object Sampling {
           coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
         .orderBy("source")
     },
+
+    // ----- sh01: deterministic epoch shuffle + round-robin sharding — the
+    // final ordering stage of a training-data pipeline: every epoch the
+    // corpus is re-ordered by a seeded hash (md5 of "ep<seed>:"+doc_id —
+    // identical hex on any engine) and dealt into shards. The global
+    // position comes from DistributedRank.withGlobalRank (range partitions
+    // + broadcast prefix offsets), so there is NO single-partition window
+    // anywhere in the plan — the oracle's ROW_NUMBER() OVER (ORDER BY ...)
+    // is the semantics spec, not the plan. Re-running with the same seed
+    // reproduces the identical order on any cluster size.
+    QueryDef.sql(
+      "sh01_epoch_shuffle",
+      """WITH k AS (
+        |  SELECT doc_id, md5('ep7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS position,
+        |  CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) % 8 AS BIGINT) AS shard
+        |FROM k ORDER BY position""".stripMargin,
+    ) { (spark, dir) =>
+      val keyed = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          md5(concat(lit("ep7:"), col("doc_id").cast("string")).cast("binary"))
+            .as("shuffle_key"))
+      graft.operators.DistributedRank
+        .withGlobalRank(keyed, "position", col("shuffle_key"), col("doc_id"))
+        .select(col("doc_id"), col("shuffle_key"),
+          col("position").cast("long").as("position"),
+          pmod(col("position") - 1, lit(8L)).cast("long").as("shard"))
+        .orderBy("position")
+    },
   )
 }

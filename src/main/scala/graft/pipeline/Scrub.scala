@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus scrubbing/gating operators a training-data pipeline runs before
+  * anything is sampled or tokenized: PII redaction, rule-based quality
+  * gating (the Gopher/C4 heuristic family), and the corpus-duplication
+  * quality signal (fraction of a document's n-grams that are duplicated
+  * ANYWHERE in the corpus — the cross-document complement of tx07's
+  * within-document repetition ratio).
+  *
+  * All three are deterministic and fully oracle-checkable. px01/qf01 are
+  * pure map-side expression trees (no shuffle except the final ORDER BY) —
+  * at 100 TB they stream through executors at scan speed. qf02 shuffles
+  * twice on the shingle string (corpus count, then the instance join) plus
+  * once on doc_id — the same blocking shape as dd02; at production scale
+  * the shingle key would be `xxhash64(s)` to cut shuffle bytes ~4×, kept as
+  * the string here so the oracle can replay the exact grouping.
+  *
+  * Reference anchor: the reference has no scrubbing stage (its events are
+  * synthetic, sample_queries.sql), so these derive from the public
+  * pipeline literature (C4 §2.2 heuristics, Gopher appendix A quality
+  * rules) re-expressed as Spark expression trees.
+  */
+object Scrub {
+
+  // ---- px01 regexes. Kept to the regex-feature intersection of Java
+  // (Spark) and RE2 (DuckDB): character classes, bounded repeats, \b.
+  // No backrefs, no lookaround — those diverge between the engines.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  // qf01 thresholds (Gopher-style bounds, scaled to this corpus's word range)
+  private val MinWords = 30L
+  private val MaxWords = 400L
+  private val MinMeanWl = 3.0
+  private val MaxMeanWl = 10.0
+  private val MinStopHits = 2L
+  private val MinTtr = 0.3
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- px01: PII redaction. The synthetic documents contain no PII, so
+    // the entry PLANTS deterministic PII derived from doc_id (same
+    // concatenation on both engines), then redacts emails → phones → IPs in
+    // that order (emails first so the IP pattern can't fire inside a
+    // redacted address's digits). The md5 of the fully redacted text is the
+    // oracle-checked witness that both engines produced the identical
+    // scrubbed string — not just identical match counts.
+    QueryDef.sql(
+      "px01_pii_redaction",
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' reach x' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com or call 555-' ||
+         |    CAST(1000 + doc_id % 9000 AS VARCHAR) || ' from 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST(doc_id % 250 AS VARCHAR) || ' end' AS planted
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(planted, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(planted, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(planted, '$IpRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(planted,
+         |        '$EmailRe', '<EMAIL>', 'g'),
+         |        '$PhoneRe', '<PHONE>', 'g'),
+         |        '$IpRe', '<IP>', 'g')) AS redacted_md5
+         |FROM p ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val planted = concat(
+        col("text"), lit(" reach x"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        (lit(1000L) + col("doc_id") % 9000L).cast("string"),
+        lit(" from 10."), (col("doc_id") % 256L).cast("string"),
+        lit(".0."), (col("doc_id") % 250L).cast("string"), lit(" end"))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(col("planted"),
+        EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+      Tables(spark, dir).documents
+        .select(col("doc_id"), planted.as("planted"))
+        .select(col("doc_id"),
+          regexp_count(col("planted"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("planted"), lit(PhoneRe)).cast("long").as("n_phones"),
+          regexp_count(col("planted"), lit(IpRe)).cast("long").as("n_ips"),
+          md5(redacted.cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ----- qf01: rule-based quality gate — word-count bounds, mean word
+    // length bounds, ≥2 English stopwords, type-token ratio floor. Emits
+    // the per-rule measurements, the keep verdict, and a stable
+    // fail-reason string, so a pipeline can both filter and audit.
+    // mean word length exploits the single-space tokenization:
+    // (chars − (n−1) separators) / n — no second pass over the words.
+    QueryDef.sql(
+      "qf01_quality_rules",
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    (CAST(length(text) AS DOUBLE) - (len(words) - 1)) / len(words) AS mean_word_len,
+         |    CAST(${TextAnalysis.sqlHits(TextAnalysis.stopEn)} AS BIGINT) AS stop_hits,
+         |    CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS ttr
+         |  FROM w)
+         |SELECT doc_id, n_words, mean_word_len, stop_hits, ttr,
+         |  (n_words BETWEEN $MinWords AND $MaxWords)
+         |    AND mean_word_len >= $MinMeanWl AND mean_word_len <= $MaxMeanWl
+         |    AND stop_hits >= $MinStopHits AND ttr >= $MinTtr AS keep,
+         |  (CASE WHEN n_words < $MinWords OR n_words > $MaxWords THEN 'len;' ELSE '' END) ||
+         |  (CASE WHEN mean_word_len < $MinMeanWl OR mean_word_len > $MaxMeanWl THEN 'mwl;' ELSE '' END) ||
+         |  (CASE WHEN stop_hits < $MinStopHits THEN 'stop;' ELSE '' END) ||
+         |  (CASE WHEN ttr < $MinTtr THEN 'ttr;' ELSE '' END) AS fail_reasons
+         |FROM m ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("long")
+      val meanWl = (length(col("text")).cast("double") - (nWords - 1)) / nWords
+      val stopHits = graft.functions.TextExpressions
+        .countInSet(words, TextAnalysis.stopEn).cast("long")
+      val ttr = size(array_distinct(words)).cast("double") / nWords
+      val m = Tables(spark, dir).documents
+        .select(col("doc_id"), nWords.as("n_words"), meanWl.as("mean_word_len"),
+          stopHits.as("stop_hits"), ttr.as("ttr"))
+      val rLen = col("n_words").between(MinWords, MaxWords)
+      val rMwl = col("mean_word_len") >= MinMeanWl && col("mean_word_len") <= MaxMeanWl
+      val rStop = col("stop_hits") >= MinStopHits
+      val rTtr = col("ttr") >= MinTtr
+      m.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("stop_hits"), col("ttr"),
+          (rLen && rMwl && rStop && rTtr).as("keep"),
+          concat(
+            when(!rLen, "len;").otherwise(""),
+            when(!rMwl, "mwl;").otherwise(""),
+            when(!rStop, "stop;").otherwise(""),
+            when(!rTtr, "ttr;").otherwise("")).as("fail_reasons"))
+        .orderBy("doc_id")
+    },
+
+    // ----- qf02: corpus-duplication signal — per document, the fraction of
+    // its 3-gram shingle INSTANCES whose shingle occurs ≥2 times in the
+    // whole corpus (within-doc repeats count toward corpus multiplicity,
+    // exactly like the dedup literature's "fraction of text in duplicated
+    // n-grams"). Pre-aggregating per (doc, shingle) before the corpus count
+    // makes the join input the distinct-shingle set, not the instance
+    // stream — the same volume-bounding trick as dd02's blocking.
+    QueryDef.sql(
+      "qf02_dup_ngram_fraction",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(words) - 2, 1)),
+        |    i -> array_to_string(words[i:i+2], ' '))) AS s FROM w),
+        |inst AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+        |corpus AS (SELECT s, SUM(c) AS n FROM inst GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS total_ngrams,
+        |  CAST(SUM(CASE WHEN n >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_ngrams,
+        |  CAST(SUM(CASE WHEN n >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS BIGINT) AS dup_fraction,
+        |  CAST(SUM(CASE WHEN n >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS BIGINT) >= 0.30 AS flagged
+        |FROM inst JOIN corpus USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val inst = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.wordShingles(col("text"))).as("s"))
+        .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      val corpus = inst.groupBy("s").agg(sum("c").as("n"))
+      val dupInst = sum(when(col("n") >= 2, col("c")).otherwise(0L))
+      val frac = dupInst.cast("double") / sum("c").cast("long")
+      inst.join(corpus, "s")
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("total_ngrams"),
+          dupInst.cast("long").as("dup_ngrams"),
+          frac.as("dup_fraction"),
+          (frac >= 0.30).as("flagged"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -281,7 +281,61 @@ object Similarity {
     QueryDef.sql("ann05_ivf_probe2", ivfOracle(probes = 2)) { (spark, dir) =>
       ivfTopK(spark, dir, probes = 2)
     },
+
+    // ----- rp01: signed random projection 64 → 16 dims (Achlioptas-style
+    // ±1 matrix) — the cheap dimensionality-reduction stage in front of an
+    // ANN index. The sign matrix is pseudo-random but engine-independent:
+    // sign(j,d) = parity of the first hex digit of md5("rp:j:d"), computed
+    // driver-side here (16×64 MessageDigest calls at plan build) and by
+    // DuckDB's md5() in the oracle. Each projected value is the codegen'd
+    // FloatVecDot of the embedding against a ±1f literal row — products are
+    // exact sign flips of float32 values, accumulated left-to-right in
+    // double, and the oracle replays the identical fold via list_reduce, so
+    // the doubles are bit-identical. Map-side only (the 16 dot products per
+    // row fuse into one whole-stage-codegen pass); output is long-format
+    // (vec_id, j, value) — scalar columns, no array hashing at the gate.
+    QueryDef.sql(
+      "rp01_random_projection",
+      """WITH sgn AS (
+        |  SELECT j.j, list(CAST(CASE WHEN strpos('02468ace',
+        |      substr(md5('rp:' || j.j || ':' || d.d), 1, 1)) > 0
+        |    THEN 1 ELSE -1 END AS FLOAT4) ORDER BY d.d) AS row
+        |  FROM generate_series(0, 15) j(j), generate_series(0, 63) d(d)
+        |  GROUP BY j.j)
+        |SELECT e.vec_id, CAST(sgn.j AS BIGINT) AS j,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(e.embedding, sgn.row),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+        |    (s1, v) -> s1 + v) AS value
+        |FROM embeddings e, sgn
+        |ORDER BY e.vec_id, sgn.j""".stripMargin,
+    ) { (spark, dir) =>
+      val projCols = (0 until 16).map { j =>
+        VectorOps.dot(col("embedding"), typedLit(projectionSignRow(j))).as(s"p$j")
+      }
+      Tables(spark, dir).embeddings
+        .select(col("vec_id") +: projCols: _*)
+        .select(col("vec_id"),
+          posexplode(array((0 until 16).map(j => col(s"p$j")): _*)))
+        .toDF("vec_id", "j", "value")
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("value"))
+        .orderBy("vec_id", "j")
+    },
   )
+
+  /** rp01's ±1f sign row for projected dim `j`: parity of the first hex
+    * digit of md5("rp:j:d") per input dim d — the same formula the oracle
+    * evaluates with DuckDB's md5().
+    */
+  private def projectionSignRow(j: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(64) { d =>
+      val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+      md.reset()
+      // first hex digit = high nibble of byte 0
+      if ((hex(0) >> 4 & 0x1) == 0) 1.0f else -1.0f
+    }
+  }
 
   private def ivfTopK(spark: SparkSession, dir: String, probes: Int): DataFrame = {
     val e = Tables(spark, dir).embeddings

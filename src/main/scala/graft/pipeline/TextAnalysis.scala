@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[pipeline] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "von", "mit")
   private val stopEs = Seq("el", "la", "de", "que", "y", "en", "los")
   private val stopFr = Seq("le", "les", "et", "des", "du", "une", "est")
@@ -25,7 +25,7 @@ object TextAnalysis {
   private def hits(words: Column, list: Seq[String]): Column =
     graft.functions.TextExpressions.countInSet(words, list)
 
-  private def sqlHits(list: Seq[String]): String =
+  private[pipeline] def sqlHits(list: Seq[String]): String =
     s"len(list_filter(words, w -> list_contains([${list.map("'" + _ + "'").mkString(", ")}], w)))"
 
   /** tx02's quality-score arithmetic as a CTE chain ending in

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import graft.{Catalog, SparkSpec}
+
+class ScrubSpec extends SparkSpec {
+
+  private def rows(name: String) =
+    Catalog.byName(name).build(spark, sf()).collect()
+
+  test("px01: every planted PII instance is found and redacted") {
+    val r = rows("px01_pii_redaction")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      // exactly one of each planted PII kind per document
+      assert(x.getLong(1) == 1L, s"emails in doc ${x.getLong(0)}")
+      assert(x.getLong(2) == 1L, s"phones in doc ${x.getLong(0)}")
+      assert(x.getLong(3) == 1L, s"ips in doc ${x.getLong(0)}")
+      assert(x.getString(4).matches("[0-9a-f]{32}"))
+    }
+  }
+
+  test("px01: the redaction actually removes the PII strings") {
+    import org.apache.spark.sql.functions._
+    // rebuild the redacted text (not just its md5) and grep it
+    val d = graft.Tables(spark, sf()).documents
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(
+          concat(col("text"), lit(" reach x"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-"),
+            (lit(1000L) + col("doc_id") % 9000L).cast("string"),
+            lit(" from 10."), (col("doc_id") % 256L).cast("string"),
+            lit(".0."), (col("doc_id") % 250L).cast("string"), lit(" end")),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b555-[0-9]{4}\\b", "<PHONE>"),
+          "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>").as("t"))
+    val bad = d.filter(col("t").contains("@") ||
+      col("t").rlike("555-[0-9]") || col("t").rlike("[0-9]+\\.[0-9]+\\.[0-9]+"))
+    assert(bad.count() == 0L)
+    assert(d.filter(col("t").contains("<EMAIL>") && col("t").contains("<PHONE>") &&
+      col("t").contains("<IP>")).count() == d.count())
+  }
+
+  test("qf01: verdict is consistent with its own reported measurements") {
+    val r = rows("qf01_quality_rules")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (nw, mwl, stop, ttr) =
+        (x.getLong(1), x.getDouble(2), x.getLong(3), x.getDouble(4))
+      val keep = x.getBoolean(5)
+      val reasons = x.getString(6)
+      val expect = nw >= 30 && nw <= 400 && mwl >= 3.0 && mwl <= 10.0 &&
+        stop >= 2 && ttr >= 0.3
+      assert(keep == expect, s"doc ${x.getLong(0)}")
+      assert(keep == reasons.isEmpty, s"doc ${x.getLong(0)}: '$reasons'")
+      if (nw < 30 || nw > 400) assert(reasons.contains("len;"))
+      if (stop < 2) assert(reasons.contains("stop;"))
+    }
+    // the gate must actually discriminate on this corpus
+    assert(r.exists(_.getBoolean(5)) && r.exists(!_.getBoolean(5)))
+  }
+
+  test("qf02: fractions bounded, dup mass consistent, within-doc repeats count") {
+    val r = rows("qf02_dup_ngram_fraction")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (total, dup, frac) = (x.getLong(1), x.getLong(2), x.getDouble(3))
+      assert(total > 0 && dup >= 0 && dup <= total)
+      assert(math.abs(frac - dup.toDouble / total) < 1e-12)
+      assert(x.getBoolean(4) == (frac >= 0.30))
+    }
+    // cross-doc duplication exists in this corpus (shared vocabulary)
+    assert(r.exists(_.getLong(2) > 0))
+  }
+
+  test("qf02 agrees with a tiny hand corpus") {
+    import spark.implicits._
+    // doc 1 and 2 share the shingle "a b c"; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d"), // shingles: "a b c", "b c d"
+      (2L, "a b c"), // shingle: "a b c"
+      (3L, "x y z w"), // "x y z", "y z w"
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("qf02").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.byName("qf02_dup_ngram_fraction").build(spark, dir)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((1L, 1L)))
+    assert(out(3L) == ((2L, 0L)))
+  }
+
+  test("sh01: positions are a permutation, deterministic, and shards balanced") {
+    val r = rows("sh01_epoch_shuffle")
+    val n = r.length
+    assert(n > 0)
+    assert(r.map(_.getLong(2)).toSet == (1L to n).toSet)
+    // deterministic: same seed ⇒ same order on a re-run
+    val again = rows("sh01_epoch_shuffle")
+    assert(r.map(x => (x.getLong(0), x.getLong(2))).toSeq ==
+      again.map(x => (x.getLong(0), x.getLong(2))).toSeq)
+    // round-robin shards differ in size by at most 1
+    val sizes = r.groupBy(_.getLong(3)).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1)
+    // the shuffle actually shuffles: order differs from doc_id order
+    val byPos = r.sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    assert(byPos != byPos.sorted)
+  }
+
+  test("rp01: projection is linear and norm-bounded (J-L sanity)") {
+    val r = rows("rp01_random_projection")
+    assert(r.nonEmpty)
+    val byVec = r.groupBy(_.getLong(0))
+    byVec.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).toSet == (0L to 15L).toSet)
+    }
+    // ±1 projections: each |p_j| ≤ Σ|x_d| ≤ 64·max|x|; and not all zero
+    assert(r.exists(x => math.abs(x.getDouble(2)) > 1e-9))
+  }
+}
