@@ -234,6 +234,76 @@ object Dedup {
       minhashPairs(spark, dir, threshold = 0.5)
     },
 
+    // ----- dd08: INCREMENTAL batch-vs-corpus near-dup check — the shape
+    // dedup takes at ingestion time: an incoming batch (doc_id % 10 == 0
+    // here) is probed against the standing corpus via the banded MinHash
+    // index, asymmetrically — batch bands join corpus bands, never
+    // batch×batch or corpus×corpus. At 100 TB the corpus band table is a
+    // MAINTAINED index bucketed on (band_id, band_hash) (st11's streaming
+    // state is the exact-hash twin of it), so only the tiny batch side
+    // shuffles; here both sides derive in-plan from the same signatures
+    // (localCheckpoint'd once, shared). Per batch doc: the best corpus
+    // match above the 0.5 estimated-Jaccard threshold, or a loud
+    // no-match row — the roster left join keeps every batch doc in the
+    // output so a downstream filter can't silently drop unmatched docs.
+    // Oracle: dd03's full minhash CTE chain, restricted to cross-side
+    // pairs and re-keyed (batch, corpus).
+    QueryDef.sql(
+      "dd08_incremental_dedup",
+      s"""WITH $minhashCtes,
+         |hits AS (SELECT
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS batch_id,
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id,
+         |    est_jaccard
+         |  FROM mest
+         |  WHERE est_jaccard >= 0.5 AND (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+         |best AS (SELECT batch_id, corpus_id, est_jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY batch_id
+         |      ORDER BY est_jaccard DESC, corpus_id) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id,
+         |  COALESCE(b.corpus_id, -1) AS matched_corpus_doc,
+         |  COALESCE(b.est_jaccard, 0.0) AS est_jaccard,
+         |  b.corpus_id IS NOT NULL AS is_dup
+         |FROM documents d LEFT JOIN best b ON b.batch_id = d.doc_id AND b.rn = 1
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val sigs = signatures(shingleHashes(docs)).localCheckpoint(true)
+      val bands = sigs.select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+          graft.functions.LshExpressions.polyFold(
+            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+        .toDF("doc_id", "band_id", "band_hash")
+      val batchBands = bands.filter(col("doc_id") % 10 === 0)
+        .toDF("batch_id", "band_id", "band_hash")
+      val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
+        .toDF("corpus_id", "band_id", "band_hash")
+      val cands = batchBands.join(corpusBands, Seq("band_id", "band_hash"))
+        .select("batch_id", "corpus_id").distinct()
+      val sa = sigs.toDF("batch_id", "sig_a")
+      val sb = sigs.toDF("corpus_id", "sig_b")
+      val est = cands.join(sa, "batch_id").join(sb, "corpus_id")
+        .select(col("batch_id"), col("corpus_id"),
+          (graft.functions.LshExpressions.eqCount(col("sig_a"), col("sig_b"))
+            .cast("double") / K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+      val w = Window.partitionBy("batch_id")
+        .orderBy(desc("est_jaccard"), asc("corpus_id"))
+      val best = est.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+        .join(best, docs("doc_id") === best("batch_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("corpus_id"), lit(-1L)).as("matched_corpus_doc"),
+          coalesce(col("est_jaccard"), lit(0.0)).as("est_jaccard"),
+          col("corpus_id").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // ----- dd04: SimHash + 16-bit-chunk blocking, Hamming ≤ 3. The oracle
     // replays the full chain: portable shingle hash → 64 bit-majority sums →
     // signature pack → chunk blocking → Hamming filter.

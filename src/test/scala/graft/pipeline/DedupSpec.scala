@@ -107,6 +107,34 @@ class DedupSpec extends SparkSpec {
     assert(byCluster.exists(_._2.length > 1), "expected a non-singleton cluster")
   }
 
+  test("dd08: incremental verdicts agree with the symmetric pair set") {
+    // the asymmetric batch-vs-corpus probe must find exactly the cross-side
+    // subset of dd03's symmetric pair set (same bands, same threshold)
+    val pairs = Catalog.byName("dd03_minhash_lsh").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val crossSide = pairs.collect {
+      case (a, b, j) if (a % 10 == 0) != (b % 10 == 0) =>
+        (if (a % 10 == 0) a else b) -> (if (a % 10 == 0) b else a, j)
+    }.groupBy(_._1).map { case (batch, xs) =>
+      batch -> xs.map(_._2).minBy { case (c, j) => (-j, c) }
+    }
+    val inc = Catalog.byName("dd08_incremental_dedup").build(spark, sf())
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // full batch roster: every %10 doc appears exactly once
+    val batchDocs = Tables(spark, sf()).documents
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(inc.size.toLong == batchDocs)
+    inc.foreach { case (batch, (matched, j, isDup)) =>
+      crossSide.get(batch) match {
+        case Some((expC, expJ)) =>
+          assert(isDup && matched == expC && j == expJ, s"batch $batch")
+        case None =>
+          assert(!isDup && matched == -1L && j == 0.0, s"batch $batch")
+      }
+    }
+  }
+
   test("minhash signature length and determinism") {
     val docs = Tables(spark, sf()).documents.limit(5)
     val hashes = docs.select(col("doc_id"),
