@@ -30,6 +30,13 @@ import org.apache.spark.sql.SparkSession
   * the k=8 broadcast-centroid cross join, same accounted class as
   * ann03/ann05). pr01–pr05, sq07, dc01 are clean: routed MV aggregates and
   * the broadcast shingle join introduce no flagged shapes.
+  *
+  * Round-8 audit: px01/qf01/qf02/sh01/rp01/sd01/st12 are clean. mx01 flags
+  * BroadcastNestedLoopJoin + SinglePartition — the 1-row (total_tokens,
+  * Σ√tokens) anchor cross-joined onto the |domains|-row rate table, the
+  * accounted q18/q26 class. dd08 flags lambdafunction — the constant-width
+  * band build (32 evals/doc), the accounted dd03 class; its per-pair hot
+  * path (eqCount) is the codegen kernel.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -236,19 +236,9 @@ object Similarity {
          |SELECT qid, rnk, nid, cosine FROM r WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin,
     ) { (spark, dir) =>
-      val e = Tables(spark, dir).embeddings
       ExactBaseline.guard(spark, CorpusMeta.embeddingCount(spark, dir), "ann01_topk_bruteforce",
         "ann02_topk_lsh / ann04_topk_lsh_multiprobe (or ann03/ann05 IVF)")
-      val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val b = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
-      val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
-      broadcast(q).join(b, col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
-        .select("qid", "rnk", "nid", "cosine")
-        .orderBy("qid", "rnk")
+      bruteTopK(spark, dir).orderBy("qid", "rnk")
     },
 
     // ----- ann02: LSH-bucketed ANN — candidates share a (table, bucket) key
@@ -272,6 +262,58 @@ object Similarity {
     // touches 1/nlist of the data (partition pruning on the inverted list).
     QueryDef.sql("ann03_ivf_probe1", ivfOracle(probes = 1)) { (spark, dir) =>
       ivfTopK(spark, dir, probes = 1)
+    },
+
+    // ----- ann06: index-quality evaluation — recall@10 of single-probe LSH
+    // against the exact brute-force neighbors, per query. This is the eval
+    // harness an ANN deployment runs on a QUERY SAMPLE to tune h/L/nprobe:
+    // the brute denominator inherits ann01's exact-baseline ceiling (at
+    // corpus scale you sample queries, never brute-force the full set —
+    // the guard enforces exactly that posture). Both top-10 sets come from
+    // the same shared chains the graded entries use (bruteTopK, lshTopK),
+    // so the recall number measures the real index, not a re-derivation.
+    QueryDef.sql(
+      "ann06_lsh_recall",
+      s"""WITH $bucketCtes,
+         |qb AS (SELECT vec_id AS qid, table_id, bucket FROM bk WHERE vec_id < $NumQueries),
+         |cands AS (
+         |  SELECT DISTINCT qb.qid, nb.vec_id AS nid
+         |  FROM qb JOIN bk nb ON nb.table_id = qb.table_id AND nb.bucket = qb.bucket
+         |  WHERE nb.vec_id <> qb.qid),
+         |s AS (
+         |  SELECT c.qid, c.nid, ${cosSql("eq.embedding", "en.embedding")} AS cosine
+         |  FROM cands c
+         |  JOIN embeddings eq ON eq.vec_id = c.qid
+         |  JOIN embeddings en ON en.vec_id = c.nid),
+         |r AS (SELECT qid, nid, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM s),
+         |lshr AS (SELECT qid, nid FROM r WHERE rnk <= 10),
+         |bs AS (
+         |  SELECT q.vec_id AS qid, b.vec_id AS nid,
+         |    ${cosSql("q.embedding", "b.embedding")} AS cosine
+         |  FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |br AS (SELECT qid, nid,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM bs),
+         |brute AS (SELECT qid, nid FROM br WHERE rnk <= 10)
+         |SELECT b.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(COUNT(l.nid) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(l.nid) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS recall
+         |FROM brute b LEFT JOIN lshr l ON l.qid = b.qid AND l.nid = b.nid
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+    ) { (spark, dir) =>
+      ExactBaseline.guard(spark, CorpusMeta.embeddingCount(spark, dir), "ann06_lsh_recall",
+        "evaluate recall on a sampled query set against a sampled corpus slice")
+      val brute = bruteTopK(spark, dir).select("qid", "nid")
+      val lsh = lshTopK(spark, dir, multiProbe = false)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      brute.join(lsh, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).cast("long").as("n_true"),
+          count(col("hit")).cast("long").as("n_hit"))
+        .select(col("qid"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"))
+        .orderBy("qid")
     },
 
     // ----- ann05: IVF probe-2 — each query searches its two nearest
@@ -335,6 +377,23 @@ object Similarity {
       // first hex digit = high nibble of byte 0
       if ((hex(0) >> 4 & 0x1) == 0) 1.0f else -1.0f
     }
+  }
+
+  /** Exact top-10 cosine neighbors per query — the shared brute chain behind
+    * ann01 and ann06's recall denominator. Unguarded: callers decide whether
+    * the exact-baseline ceiling applies.
+    */
+  private def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val b = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    broadcast(q).join(b, col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "nid", "cosine")
   }
 
   private def ivfTopK(spark: SparkSession, dir: String, probes: Int): DataFrame = {

@@ -255,5 +255,42 @@ object TextAnalysis {
         .withColumn("fp_copies", count(lit(1)).over(Window.partitionBy("fingerprint")).cast("long"))
         .orderBy("doc_id")
     },
+
+    // ----- bp01: BPE-style tokenizer pair statistics — the first iteration
+    // of byte-pair-encoding training: corpus-wide adjacent character-pair
+    // counts, top-20. The classic scale trick is structural here: the word
+    // count collapses the corpus to its VOCABULARY first (one wordcount
+    // shuffle), and pair extraction — the interpreted per-character lambda —
+    // runs over vocab rows weighted by frequency, never over the corpus
+    // stream. At 100 TB the vocab is metadata-scale next to the text, so
+    // the expensive stage's input is bounded by |vocab|, not corpus bytes.
+    // Guard: single-char words yield no pairs; filtered on BOTH sides
+    // (Spark's sequence(1,0) counts DOWN, it is not empty like DuckDB's
+    // generate_series).
+    QueryDef.sql(
+      "bp01_bpe_pair_counts",
+      """WITH v AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |    i -> w[i:i+1])) AS pair, c
+        |  FROM v WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    ) { (spark, dir) =>
+      val vocab = Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .filter(length(col("w")) >= 2)
+      vocab
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("c").cast("long").as("pair_count"))
+        .orderBy(desc("pair_count"), asc("pair"))
+        .limit(20)
+    },
   )
 }

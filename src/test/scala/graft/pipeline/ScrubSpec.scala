@@ -106,6 +106,17 @@ class ScrubSpec extends SparkSpec {
     assert(byPos != byPos.sorted)
   }
 
+  test("bp01: pair counts equal a direct recount on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab xyz"), (2L, "ab c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bp01").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.byName("bp01_bpe_pair_counts").build(spark, dir)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // "ab"×3, "xy"×1, "yz"×1; single-char "c" contributes nothing
+    assert(out == Map("ab" -> 3L, "xy" -> 1L, "yz" -> 1L))
+  }
+
   test("rp01: projection is linear and norm-bounded (J-L sanity)") {
     val r = rows("rp01_random_projection")
     assert(r.nonEmpty)

@@ -65,6 +65,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann06: recall matches the set intersection of ann01 and ann02 outputs") {
+    val bf = rows("ann01_topk_bruteforce").map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = rows("ann02_topk_lsh").map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rec = rows("ann06_lsh_recall")
+    assert(rec.nonEmpty)
+    rec.foreach { x =>
+      val qid = x.getLong(0)
+      val expTrue = bf.count(_._1 == qid)
+      val expHit = bf.count(p => p._1 == qid && lsh.contains(p))
+      assert(x.getLong(1) == expTrue && x.getLong(2) == expHit, s"qid $qid")
+      assert(x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0)
+      assert(math.abs(x.getDouble(3) - expHit.toDouble / expTrue) < 1e-12)
+    }
+  }
+
   test("IVF probe-1: every query searches exactly one label partition") {
     val r = rows("ann03_ivf_probe1")
     assert(r.nonEmpty)
