@@ -140,9 +140,14 @@ object Scrub {
     // its 3-gram shingle INSTANCES whose shingle occurs ≥2 times in the
     // whole corpus (within-doc repeats count toward corpus multiplicity,
     // exactly like the dedup literature's "fraction of text in duplicated
-    // n-grams"). Pre-aggregating per (doc, shingle) before the corpus count
-    // makes the join input the distinct-shingle set, not the instance
-    // stream — the same volume-bounding trick as dd02's blocking.
+    // n-grams"). Pre-aggregating per (doc, shingle) bounds downstream
+    // volume to the distinct-shingle set, and the corpus multiplicity is a
+    // SUM window over the shingle partition — one scan, three exchanges
+    // (doc+shingle agg → shingle window → doc agg), no self-join. The
+    // first formulation joined inst against its own re-aggregation;
+    // exchange reuse did NOT fire across the two branches, so the corpus
+    // was scanned and exploded twice — at 100 TB that doubles the
+    // dominant cost for zero benefit.
     QueryDef.sql(
       "qf02_dup_ngram_fraction",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -165,10 +170,11 @@ object Scrub {
         .select(col("doc_id"),
           explode(graft.functions.TextExpressions.wordShingles(col("text"))).as("s"))
         .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
-      val corpus = inst.groupBy("s").agg(sum("c").as("n"))
       val dupInst = sum(when(col("n") >= 2, col("c")).otherwise(0L))
       val frac = dupInst.cast("double") / sum("c").cast("long")
-      inst.join(corpus, "s")
+      inst
+        .withColumn("n", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s")))
         .groupBy("doc_id")
         .agg(sum("c").cast("long").as("total_ngrams"),
           dupInst.cast("long").as("dup_ngrams"),
