@@ -301,6 +301,43 @@ object StreamingMVs {
       spark.table(dedupStreamTable(spark, dir)).orderBy("event_id")
     },
 
+    // ----- st13: streaming ingest quality gate — the data-quality firewall
+    // a pipeline runs ON the ingest stream, before anything lands: per
+    // event type, how many events pass the gate (value within bounds,
+    // props carries a parseable k below its cap) vs are quarantined.
+    // Stateless row-level rules + a complete-mode aggregate, so the
+    // incremental result must equal the batch recompute — the same MV
+    // correctness property as st01, applied to the gate. At scale the
+    // rules are codegen'd map-side predicates; the aggregate state is
+    // |event types| rows.
+    QueryDef.sql(
+      "st13_streaming_quality_gate",
+      """SELECT event_type,
+        |  COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN value <= 100.0
+        |    AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) < 90
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
+        |  CAST(SUM(CASE WHEN value <= 100.0
+        |    AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) < 90
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS rejected,
+        |  CAST(SUM(CASE WHEN value <= 100.0
+        |    AND CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) < 90
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accept_rate
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (spark, dir) =>
+      val ok = col("value") <= 100.0 &&
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long") < 90
+      val agg = eventsStream(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(ok, 1L).otherwise(0L)).cast("long").as("accepted"),
+          sum(when(ok, 0L).otherwise(1L)).cast("long").as("rejected"))
+      runComplete(spark, agg, s"st13_out_${math.abs(dir.hashCode)}")
+        .select(col("event_type"), col("total"), col("accepted"), col("rejected"),
+          (col("accepted").cast("double") / col("total")).as("accept_rate"))
+        .orderBy("event_type")
+    },
+
     // ----- st03: gap-based sessionization via session_window (ST6 — the
     // true-session extension of the reference's fixed 30-min buckets; oracle
     // mirrors it with lag + running-sum island detection).

@@ -184,4 +184,18 @@ class StreamingSpec extends SparkSpec {
     // and the release really did drop resident RDD state
     assert(graft.Residency.residentRddCount(spark) >= 0) // sanity: callable post-release
   }
+
+  test("st13: gate partitions every event, discriminates, equals batch recompute") {
+    import org.apache.spark.sql.functions._
+    val r = graft.Catalog.byName("st13_streaming_quality_gate").build(spark, sf()).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getLong(1) == x.getLong(2) + x.getLong(3), s"${x.getString(0)}: gate must partition")
+      assert(math.abs(x.getDouble(4) - x.getLong(2).toDouble / x.getLong(1)) < 1e-12)
+    }
+    // both verdicts occur on this corpus (value>100 exists), and totals match raw events
+    assert(r.map(_.getLong(3)).sum > 0 && r.map(_.getLong(2)).sum > 0)
+    val raw = graft.Tables(spark, sf()).events.count()
+    assert(r.map(_.getLong(1)).sum == raw)
+  }
 }
