@@ -228,5 +228,53 @@ object Sampling {
           pmod(col("position") - 1, lit(8L)).cast("long").as("shard"))
         .orderBy("position")
     },
+
+    // ----- ex01: sharded training-data EXPORT — the sink a trainer actually
+    // consumes: sh01's epoch order dealt into 8 shards, written as
+    // line-delimited JSON partitioned BY shard (`partitionBy` → one
+    // directory per shard, the layout a data-loader maps to workers), then
+    // read back with an explicit schema. The entry's result is the per-shard
+    // roster (docs, chars) computed FROM THE READ-BACK — so the hash match
+    // proves the export round trip (writer + JSON codec + partition layout
+    // + reader), not just the shard arithmetic. The oracle derives the same
+    // roster from the md5 order directly. At 100 TB: the write is one
+    // shuffle-free pass (shard is a column, partitionBy splits files
+    // map-side); text round-trips JSON-escaped per line, the standard
+    // trainer interchange.
+    QueryDef.sql(
+      "ex01_sharded_export",
+      """WITH k AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    md5('ep7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |  (ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) % 8 AS shard
+        |  FROM k)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val keyed = docs.select(col("doc_id"), col("text"),
+        md5(concat(lit("ep7:"), col("doc_id").cast("string")).cast("binary"))
+          .as("shuffle_key"))
+      val sharded = graft.operators.DistributedRank
+        .withGlobalRank(keyed, "position", col("shuffle_key"), col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          pmod(col("position") - 1, lit(8L)).cast("long").as("shard"))
+      val out = s"target/export_ep7_${math.abs(dir.hashCode)}"
+      sharded.write.mode("overwrite").partitionBy("shard").json(out)
+      val schema = "doc_id BIGINT, text STRING"
+      spark.read.schema(schema + ", shard BIGINT").json(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"),
+          min("doc_id").cast("long").as("min_doc"),
+          max("doc_id").cast("long").as("max_doc"))
+        .orderBy("shard")
+    },
   )
 }

@@ -25,6 +25,18 @@ class SamplingSpec extends SparkSpec {
     assert(sampledTokens < totalTokens)
   }
 
+  test("ex01: export writes one directory per shard and round-trips every doc") {
+    val r = rows("ex01_sharded_export")
+    assert(r.map(_.getLong(0)).toSeq == (0L to 7L))
+    val total = graft.Tables(spark, sf()).documents.count()
+    assert(r.map(_.getLong(1)).sum == total, "every doc exported exactly once")
+    assert(r.map(_.getLong(1)).max - r.map(_.getLong(1)).min <= 1, "round-robin balance")
+    // the on-disk layout is the trainer contract: shard=N directories
+    val out = new java.io.File(s"target/export_ep7_${math.abs(sf().hashCode)}")
+    val dirs = out.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == (0 to 7).map(i => s"shard=$i"))
+  }
+
   test("mx01: temperature weighting boosts low-resource domains (rate anti-monotone in size)") {
     val r = rows("mx01_domain_mixture").sortBy(_.getLong(2)) // by tokens asc
     val permilles = r.map(_.getLong(3))
