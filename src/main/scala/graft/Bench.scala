@@ -41,6 +41,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // split scans at row-group size (GenScale writes 8 MB groups): the
+      // default 128 MB puts a whole ≤128 MB single-file table in ONE task,
+      // serializing every map-side operator regardless of core count
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       // all-pairs exact-baseline ceiling (dd05/ann01): default guards at 10 k
       // rows; a scale run that deliberately wants the exact baselines (e.g.
       // sf1's 20 k embeddings) raises it via env — visible in the command

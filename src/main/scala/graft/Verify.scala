@@ -16,6 +16,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // row-group-sized splits — see Bench.scala (single-task scan pitfall)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       // exact-baseline (dd05/ann01) ceiling — overridable for deliberate
       // scale runs, same knob as Bench (ADVICE r5)
       .config(graft.pipeline.ExactBaseline.ConfKey,

@@ -86,7 +86,18 @@ object GenScale {
 
     def write(df: DataFrame, table: String): Unit = {
       val tmp = s"$dst/__tmp_$table"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // 8 MB row groups (default 128 MB): a single-FILE table is the layout
+      // contract, but a single-ROW-GROUP table cannot be split — Spark
+      // assigns a row group to the split holding its start, so every
+      // map-side operator ran in ONE task however many cores the session
+      // had (caught by px01's 4.4×-on-3× sf3 curve: a pure regex map op
+      // gained nothing from 32 cores). Real 100 TB tables have thousands
+      // of row groups/files; 8 MB groups make the scale-up data splittable
+      // the way production data is (pairs with maxPartitionBytes=8m in
+      // Bench/Verify).
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 8L * 1024 * 1024)
+        .parquet(tmp)
       // single-file layout, like the driver's testdata
       val conf = spark.sessionState.newHadoopConf()
       val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
