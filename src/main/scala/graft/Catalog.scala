@@ -22,6 +22,7 @@ object Catalog {
       pipeline.Clustering.defs ++
       pipeline.TextAnalysis.defs ++
       pipeline.Scrub.defs ++
+      pipeline.Curation.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
       pipeline.SparseText.defs ++

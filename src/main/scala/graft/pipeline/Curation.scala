@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that sit between scrubbing (Scrub) and
+  * selection (Sampling) in a training-data pipeline: cross-document segment
+  * dedup (the CCNet paragraph-dedup shape), character-bigram language-model
+  * scoring (the KenLM-perplexity filter family, kept transcendental-free so
+  * the oracle is hash-exact), quality-ranked token-budget selection, and
+  * leakage-safe train/valid/test splitting (near-dup clusters never straddle
+  * a split boundary).
+  *
+  * Reference anchor: none — the reference has no curation stage (its events
+  * are synthetic, sample_queries.sql); these derive from the public pipeline
+  * literature (CCNet §4.1 paragraph dedup, Gopher/C4 quality filtering,
+  * GPT-3 §2.2's train/test leakage controls) re-expressed as Spark plans.
+  */
+object Curation {
+
+  // Same Knuth multiplicative constant as Sampling's permille buckets; rep
+  // ids are doc_ids (≤ ~1e9), far from int64 overflow.
+  private val KnuthA = 2654435761L
+
+  // sp01 split fractions in permille of the hash space.
+  private val TrainUpper = 800L
+  private val ValidUpper = 900L
+
+  // lm01: a document whose mean bigram conditional probability (under the
+  // corpus's own model) falls below this is out-of-distribution text.
+  private val Lm01Flag = 0.25
+
+  /** dd09's core over any `(doc_id, text)` frame (shared with CurationSpec's
+    * planted-duplicate cases).
+    */
+  def segmentDedup(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(words) / 5.0) as int) - 1)," +
+          " i -> array_join(slice(words, i*5 + 1, 5), ' '))")).as(Seq("idx", "seg")))
+    val rk = segs.withColumn("rn",
+      row_number().over(Window.partitionBy("seg").orderBy("doc_id", "idx")))
+    val keptInOrder = array_join(
+      transform(
+        array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("seg"))))),
+        x => x.getField("seg")),
+      " ")
+    rk.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        md5(keptInOrder.cast("binary")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ----- dd09: cross-document segment dedup — CCNet-style paragraph
+    // dedup with a deterministic segmenter (consecutive 5-word segments;
+    // the corpus has no newline structure, so the segmenter IS the
+    // paragraph boundary). Every segment instance after the corpus-wide
+    // first occurrence (ordered by doc_id, then segment index) is removed;
+    // the md5 of each re-assembled document is the oracle-checked witness
+    // that both engines kept and ordered the identical segments.
+    //
+    // 100 TB shape: one shuffle keyed by segment text for the
+    // first-occurrence window (partition size tracks per-segment duplicate
+    // count, not corpus size), one shuffle on doc_id for re-assembly. At
+    // production scale the window key would be xxhash64(seg) to cut
+    // shuffle bytes ~5× (collision-safe for ranking: a collision only
+    // merges rank domains, still deterministic); kept as the string here
+    // so the oracle replays the exact grouping.
+    QueryDef.sql(
+      "dd09_segment_dedup",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |seg AS (SELECT doc_id,
+        |    unnest(generate_series(0, CAST(ceil(len(words) / 5.0) AS BIGINT) - 1)) AS idx,
+        |    unnest(list_transform(generate_series(0, CAST(ceil(len(words) / 5.0) AS BIGINT) - 1),
+        |      i -> array_to_string(words[i*5+1 : i*5+5], ' '))) AS seg
+        |  FROM w),
+        |rk AS (SELECT doc_id, idx, seg,
+        |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+        |  FROM seg)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS cleaned_md5
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      segmentDedup(Tables(spark, dir).documents)
+    },
+
+    // ----- lm01: character-bigram language-model scoring — the
+    // perplexity-filter stage of a curation pipeline (CCNet uses KenLM;
+    // the model here is the corpus's own char-bigram MLE). Per document:
+    // mean conditional probability of its bigrams under the corpus model,
+    // and the rarest bigram it contains. Everything except the final mean
+    // is exact IEEE arithmetic (counts < 2^53, one division per model
+    // row); the mean is round(…, 9) on both sides to absorb the engines'
+    // differing SUM(double) accumulation order — the ts01 rule. No
+    // logarithms on purpose: ln() is correctly-rounded on neither engine,
+    // so a log-space perplexity could not be hash-compared.
+    //
+    // 100 TB shape: the explode amplifies chars ~2× but feeds a map-side
+    // partial aggregate keyed (doc_id, bigram) — bounded by per-doc
+    // distinct bigrams (≤ charset², a few hundred). The model itself is
+    // |charset|² rows — broadcast back onto the instance stream, so the
+    // scoring join never shuffles the corpus.
+    QueryDef.sql(
+      "lm01_char_bigram_model",
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+         |    i -> substring(text, i, 2))) AS bg
+         |  FROM documents),
+         |inst AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |model AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_bg FROM inst GROUP BY 1),
+         |uni AS (SELECT substring(bg, 1, 1) AS c1, CAST(SUM(c_bg) AS BIGINT) AS c_uni
+         |  FROM model GROUP BY 1),
+         |p AS (SELECT m.bg, CAST(c_bg AS DOUBLE) / c_uni AS prob
+         |  FROM model m JOIN uni u ON substring(m.bg, 1, 1) = u.c1)
+         |SELECT i.doc_id,
+         |  CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
+         |  round(SUM(i.c * p.prob) / SUM(i.c), 9) AS avg_prob,
+         |  MIN(p.prob) AS min_prob,
+         |  round(SUM(i.c * p.prob) / SUM(i.c), 9) < $Lm01Flag AS flagged
+         |FROM inst i JOIN p ON i.bg = p.bg
+         |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val inst = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds the model AND the scoring join
+      val model = inst.groupBy("bg").agg(sum("c").cast("long").as("c_bg"))
+      val uni = model.groupBy(substring(col("bg"), 1, 1).as("c1"))
+        .agg(sum("c_bg").cast("long").as("c_uni"))
+      val p = model.join(uni, substring(col("bg"), 1, 1) === col("c1"))
+        .select(col("bg"), (col("c_bg").cast("double") / col("c_uni")).as("prob"))
+      val avg = round(sum(col("c") * col("prob")) / sum("c"), 9)
+      inst.join(broadcast(p), "bg")
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_bigrams"),
+          avg.as("avg_prob"),
+          min("prob").as("min_prob"),
+          (avg < Lm01Flag).as("flagged"))
+        .orderBy("doc_id")
+    },
+
+    // ----- sel01: quality-ranked token-budget selection — "take the best
+    // documents until the token budget is spent", the final cut a
+    // pretraining run makes. Rank by tx02's quality score (descending,
+    // doc_id tiebreak), running token total via DistributedRank's
+    // range-partition + broadcast-prefix running sum — NO single-partition
+    // window (the oracle's global window is the semantics spec, not the
+    // plan; same contract as pk01/q36). Budget = half the corpus's tokens,
+    // derived from the data so the entry is scale-invariant.
+    QueryDef.sql(
+      "sel01_token_budget_select",
+      s"""WITH ${TextAnalysis.qualityCtes},
+         |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (SELECT t.doc_id, n_tokens, quality_score FROM t JOIN qs USING (doc_id)),
+         |c AS (SELECT doc_id, n_tokens, quality_score,
+         |    SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS cum_tokens
+         |  FROM j)
+         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, quality_score,
+         |  cum_tokens <= (SELECT SUM(n_tokens) // 2 FROM t) AS selected
+         |FROM c ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val words = split(col("text"), " ")
+      val ttr = size(array_distinct(words)).cast("double") / size(words)
+      val swr = graft.functions.TextExpressions
+        .countInSet(words, TextAnalysis.stopEn).cast("double") / size(words)
+      val nWords = size(words)
+      val quality = ttr * 0.5 + swr * 0.3 +
+        when(nWords >= 20 && nWords <= 1000, 0.2).otherwise(0.0)
+      val j = Tables(spark, dir).documents
+        .select(col("doc_id"), nWords.cast("long").as("n_tokens"),
+          quality.as("quality_score"))
+      val budget = j.agg(sum("n_tokens")).head().getLong(0) / 2
+      graft.operators.DistributedRank
+        .withRunningTotal(j, "cum_tokens", "n_tokens",
+          col("quality_score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens").cast("long").as("cum_tokens"),
+          col("quality_score"), (col("cum_tokens") <= budget).as("selected"))
+        .orderBy("doc_id")
+    },
+
+    // ----- sp01: leakage-safe train/valid/test split — every document is
+    // assigned a split by hashing its near-dup cluster REPRESENTATIVE
+    // (ts02's connected-component min-label; unclustered docs represent
+    // themselves), so near-duplicate documents can never land on opposite
+    // sides of a train/eval boundary (the GPT-3 §2.2 contamination
+    // control, made structural). Deterministic Knuth-permille buckets —
+    // re-running the pipeline reproduces the split exactly.
+    //
+    // 100 TB shape: the cluster map is a LEFT broadcast-or-shuffle join on
+    // doc_id (cluster output is duplicate-density-sized, far smaller than
+    // the corpus); the hash + case is map-side codegen.
+    QueryDef.sql(
+      "sp01_leakage_safe_split",
+      s"""WITH ${SparseText.clusterCtes}
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS rep_id,
+         |  CAST(((COALESCE(cl.cluster_id, d.doc_id) * $KnuthA) % 1000 + 1000) % 1000 AS BIGINT) AS bkt,
+         |  CASE WHEN ((COALESCE(cl.cluster_id, d.doc_id) * $KnuthA) % 1000 + 1000) % 1000 < $TrainUpper THEN 'train'
+         |       WHEN ((COALESCE(cl.cluster_id, d.doc_id) * $KnuthA) % 1000 + 1000) % 1000 < $ValidUpper THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val clusters = graft.Catalog.byName("ts02_dedup_clusters").build(spark, dir)
+      val rep = coalesce(col("cluster_id"), col("doc_id"))
+      val bkt = pmod(rep * KnuthA, lit(1000L))
+      Tables(spark, dir).documents
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), rep.cast("long").as("rep_id"), bkt.cast("long").as("bkt"),
+          when(bkt < TrainUpper, "train").when(bkt < ValidUpper, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+  )
+}
