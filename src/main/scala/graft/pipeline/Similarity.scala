@@ -21,6 +21,11 @@ object Similarity {
 
   private val NumQueries = 8 // query set: vec_id < 8
 
+  // ann07 product quantization — declared BEFORE `defs` (whose oracle string
+  // interpolates them at val-init time; declared later they'd read 0)
+  private val PqM = 8   // subspaces
+  private val PqK = 16  // codebook entries per subspace (seeds: vec_id < PqK)
+
   // L hash tables × up-to-HMax hyperplanes. Components are Rademacher ±1
   // signs (sign random projection — spherically unbiased for cosine LSH, like
   // Gaussian draws) derived from a Knuth multiplicative hash of the flat
@@ -363,6 +368,63 @@ object Similarity {
         .select(col("vec_id"), col("j").cast("long").as("j"), col("value"))
         .orderBy("vec_id", "j")
     },
+
+    // ----- ann07: product quantization (Jégou et al. 2011, the IVF-PQ
+    // memory-side of a billion-scale ANN index): 64 dims → 8 subspaces × 8
+    // dims, each with a 16-entry codebook (seeds = first 16 vectors'
+    // subvectors, one Lloyd step — km01's proven double-avg→float recipe);
+    // every vector compresses to 8 one-byte codes (64× smaller than the
+    // float vector). Queries never touch raw corpus vectors: a per-query
+    // lookup table (8×16 partial dots) is summed over each vector's codes —
+    // asymmetric distance computation. The per-(query, vector) sum of 8 LUT
+    // entries is folded in subspace order on both engines (sorted-struct
+    // fold here, 0-prepended list_reduce there), so scores are
+    // bit-identical with no rounding.
+    //
+    // 100 TB shape: codebooks and LUTs are KB-scale broadcasts; the encode
+    // passes are map-side joins on `m` (16-row build side per subspace); the
+    // only corpus-sized shuffle keys (qid, vec_id) for the score fold — at
+    // production scale the LUT-sum fuses into one mapPartitions over the
+    // code table (8 bytes/vector resident), which is the whole point of PQ.
+    QueryDef.sql(
+      "ann07_pq_topk",
+      s"""WITH sub AS (
+         |  SELECT vec_id, g.m, embedding[g.m*8+1 : g.m*8+8] AS sv
+         |  FROM embeddings, generate_series(0, 7) g(m)),
+         |seeds AS (SELECT m, vec_id AS cluster, sv AS centroid FROM sub WHERE vec_id < $PqK),
+         |a0 AS (SELECT s.vec_id, s.m, c.cluster, s.sv,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${ssqSql("s.sv")} + ${ssqSql("c.centroid")}
+         |        - 2 * ${dotSql("s.sv", "c.centroid")} ASC, c.cluster) AS rn
+         |  FROM sub s JOIN seeds c USING (m)),
+         |cd AS (SELECT m, cluster,
+         |    unnest(generate_series(1, len(sv))) AS dim,
+         |    unnest(list_transform(sv, x -> CAST(x AS DOUBLE))) AS v
+         |  FROM a0 WHERE rn = 1),
+         |cent1 AS (SELECT m, cluster, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+         |  FROM (SELECT m, cluster, dim, AVG(v) AS c FROM cd GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |enc AS (SELECT vec_id, m, cluster AS code FROM (
+         |  SELECT s.vec_id, s.m, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${ssqSql("s.sv")} + ${ssqSql("c.centroid")}
+         |        - 2 * ${dotSql("s.sv", "c.centroid")} ASC, c.cluster) AS rn
+         |  FROM sub s JOIN cent1 c USING (m)) WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS qid, q.m, c.cluster AS code,
+         |    ${dotSql("q.sv", "c.centroid")} AS v
+         |  FROM sub q JOIN cent1 c USING (m) WHERE q.vec_id < $NumQueries),
+         |sc AS (SELECT l.qid, e.vec_id AS nid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.v ORDER BY l.m)),
+         |      (s1, v) -> s1 + v) AS approx_dot
+         |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+         |  WHERE e.vec_id <> l.qid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, approx_dot,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY approx_dot DESC, nid) AS BIGINT) AS rnk FROM sc)
+         |SELECT qid, rnk, nid, approx_dot FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+    ) { (spark, dir) => pqTopK(spark, dir) },
   )
 
   /** rp01's ±1f sign row for projected dim `j`: parity of the first hex
@@ -377,6 +439,70 @@ object Similarity {
       // first hex digit = high nibble of byte 0
       if ((hex(0) >> 4 & 0x1) == 0) 1.0f else -1.0f
     }
+  }
+
+  // ---- ann07 product quantization ----
+
+  private[pipeline] def ssqSql(a: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s1, v) -> s1 + v)""".stripMargin
+
+  private[pipeline] def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (s1, v) -> s1 + v)""".stripMargin
+
+  /** (id, m, sv): each vector split into PqM contiguous 8-dim subvectors. */
+  private def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m*8 + 1, 8))"))
+      .as(Seq("m", "sv")))
+
+  /** Nearest codebook entry per (vector, subspace) by squared L2 — the
+    * `|a|² + |c|² − 2·a·c` form keeps every term a deterministic sequential
+    * fold (no sqrt round trip), matching the oracle op-for-op.
+    */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val d = VectorOps.sumSq(col("sv")) + VectorOps.sumSq(col("centroid")) -
+      lit(2.0) * VectorOps.dot(col("sv"), col("centroid"))
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("cluster").asc)
+    sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cluster"), col("sv"), d.as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "cluster", "sv")
+  }
+
+  private def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(Tables(spark, dir).embeddings).localCheckpoint(true)
+    val seeds = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cluster"), col("sv").as("centroid"))
+    // one Lloyd step: assign to seeds, recompute as double-avg → float
+    val cent1 = pqAssign(sub, seeds)
+      .select(col("m"), col("cluster"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy("m", "cluster", "dim").agg(avg("v").as("c"))
+      .groupBy("m", "cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).cast("array<float>").as("centroid"))
+      .localCheckpoint(true) // feeds the encode pass AND the query LUT
+    val enc = pqAssign(sub, cent1).select(col("vec_id"), col("m"), col("cluster").as("code"))
+    val lut = sub.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cent1), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("cluster").as("code"),
+        VectorOps.dot(col("sv"), col("centroid")).as("v"))
+    // ADC: sum the 8 LUT entries per (query, vector) in subspace order —
+    // the same 0-seeded left fold as the oracle's list_reduce
+    val folded = aggregate(
+      transform(array_sort(collect_list(struct(col("m"), col("v")))), x => x.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("qid").orderBy(desc("approx_dot"), asc("nid"))
+    enc.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(folded.as("approx_dot"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "nid", "approx_dot")
+      .orderBy("qid", "rnk")
   }
 
   /** Exact top-10 cosine neighbors per query — the shared brute chain behind

@@ -292,5 +292,93 @@ object TextAnalysis {
         .orderBy(desc("pair_count"), asc("pair"))
         .limit(20)
     },
+
+    // ----- bp02: iterative BPE merge training (Sennrich et al. 2016) — the
+    // full merge loop bp01's single pair-count round starts: 3 rounds of
+    // (count adjacent token pairs over the frequency-weighted vocabulary →
+    // pick the most frequent pair → merge every occurrence). Words are held
+    // as space-joined token strings; a merge is a regex replace of
+    // `\ba b\b` → `ab`, whose left-to-right non-overlapping semantics IS
+    // BPE's leftmost-first merge order on both engines (tokens are [a-z]+,
+    // so \b is an exact token boundary). The per-round argmax is a 1-row
+    // driver collect — the same metadata-scale loop control as k-means
+    // convergence; the oracle unrolls the 3 rounds as CTE stages with
+    // scalar subqueries. Ties break on (count DESC, pair ASC) — identical
+    // ordering both sides.
+    //
+    // 100 TB shape: identical to bp01 — the corpus collapses to its vocab
+    // in one wordcount shuffle, and every merge round runs over vocab rows
+    // weighted by frequency (|vocab| is metadata-scale next to the text).
+    QueryDef.sql(
+      "bp02_bpe_merges",
+      """WITH v0 AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |s0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sp, c
+        |  FROM v0 WHERE length(w) >= 2),
+        |p1 AS (SELECT a, b, SUM(c) AS cnt FROM (
+        |    SELECT c,
+        |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
+        |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
+        |    FROM s0) GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s1 AS (SELECT regexp_replace(sp,
+        |    '\b' || (SELECT a FROM b1) || ' ' || (SELECT b FROM b1) || '\b',
+        |    (SELECT a FROM b1) || (SELECT b FROM b1), 'g') AS sp, c FROM s0),
+        |p2 AS (SELECT a, b, SUM(c) AS cnt FROM (
+        |    SELECT c,
+        |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
+        |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
+        |    FROM s1) GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s2 AS (SELECT regexp_replace(sp,
+        |    '\b' || (SELECT a FROM b2) || ' ' || (SELECT b FROM b2) || '\b',
+        |    (SELECT a FROM b2) || (SELECT b FROM b2), 'g') AS sp, c FROM s1),
+        |p3 AS (SELECT a, b, SUM(c) AS cnt FROM (
+        |    SELECT c,
+        |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
+        |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
+        |    FROM s2) GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+        |SELECT CAST(step AS BIGINT) AS step, a AS pair_left, b AS pair_right,
+        |  a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+        |FROM (
+        |  SELECT 1 AS step, * FROM b1
+        |  UNION ALL SELECT 2, * FROM b2
+        |  UNION ALL SELECT 3, * FROM b3)
+        |ORDER BY step""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      var cur = Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .filter(length(col("w")) >= 2)
+        .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sp"), col("c"))
+        .localCheckpoint(true) // vocab-sized; re-read every merge round
+      val steps = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (step <- 1 to 3) {
+        val toks = split(col("sp"), " ")
+        val pairs = cur
+          .select(col("c"), explode(arrays_zip(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1))).as("p"))
+          .select(col("c"), col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+          .groupBy("a", "b").agg(sum("c").as("cnt"))
+        val best = pairs.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).head()
+        val a: String = best.getString(0)
+        val b: String = best.getString(1)
+        val cnt: Long = best.getLong(2)
+        steps += ((step, a, b, a + b, cnt))
+        if (step < 3)
+          cur = cur.select(
+            regexp_replace(col("sp"), s"\\b$a $b\\b", a + b).as("sp"), col("c"))
+            .localCheckpoint(true)
+      }
+      steps.result().toDF("step", "pair_left", "pair_right", "merged", "pair_count")
+        .select(col("step").cast("long").as("step"), col("pair_left"),
+          col("pair_right"), col("merged"), col("pair_count"))
+        .orderBy("step")
+    },
   )
 }

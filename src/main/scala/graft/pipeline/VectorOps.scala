@@ -20,6 +20,13 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Sum of squares (squared L2 norm) — exposed raw for squared-distance
+    * arithmetic (ann07's `|a|² + |c|² − 2·a·c`), where a sqrt/square round
+    * trip would break bit-parity with the oracle's fold.
+    */
+  def sumSq(a: Column): Column =
+    ColumnBridge.column(FloatVecSumSq(ColumnBridge.expression(a)))
+
   /** L2 norm. */
   def norm(a: Column): Column =
     sqrt(ColumnBridge.column(FloatVecSumSq(ColumnBridge.expression(a))))

@@ -117,6 +117,23 @@ class ScrubSpec extends SparkSpec {
     assert(out == Map("ab" -> 3L, "xy" -> 1L, "yz" -> 1L))
   }
 
+  test("bp02: three merge rounds reproduce hand-computed BPE on a toy vocab") {
+    import spark.implicits._
+    // vocab: "abab"×2, "abc"×1 (plus a single-char word that must be inert).
+    // chars: a b pairs — round 1: (a,b) count 2·2+1 = 5 → merge "ab";
+    // round 2: tokens "ab ab"×2, "ab c": (ab,ab)=2 beats (ab,c)=1 → "abab";
+    // round 3: remaining pairs: (ab,c)=1 → "abc"
+    val docs = Seq((1L, "abab abc abab x")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bp02").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.byName("bp02_bpe_merges").build(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "ab", "ab", "abab", 2L),
+      (3L, "ab", "c", "abc", 1L)))
+  }
+
   test("rp01: projection is linear and norm-bounded (J-L sanity)") {
     val r = rows("rp01_random_projection")
     assert(r.nonEmpty)

@@ -88,4 +88,23 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.length <= 10)
     }
   }
+
+  test("ann07 PQ: ranks well-formed, scores non-increasing, approximation overlaps truth") {
+    val r = rows("ann07_pq_topk")
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val sc = sorted.map(_.getDouble(3))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+      // ADC scores are dots of unit-scale embeddings summed over 8 subspaces —
+      // wildly out-of-range values mean a broken LUT join
+      assert(sc.forall(s => math.abs(s) < 1e3))
+    }
+    // the 8-byte code approximation must still find some true neighbors
+    val bf = rows("ann01_topk_bruteforce").map(x => (x.getLong(0), x.getLong(2))).toSet
+    val hits = r.count(x => bf.contains((x.getLong(0), x.getLong(2))))
+    assert(hits > 0, "PQ top-10 shares no neighbor with exact top-10")
+  }
 }
