@@ -128,8 +128,8 @@ object Curation {
          |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
     ) { (spark, dir) =>
       val inst = Tables(spark, dir).documents
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions.charBigrams(col("text"))).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .localCheckpoint(true) // feeds the model AND the scoring join
       val model = inst.groupBy("bg").agg(sum("c").cast("long").as("c_bg"))

@@ -58,6 +58,20 @@ class KernelEquivalenceSpec extends SparkSpec {
         i => concat_ws(" ", slice(w, i, lit(3)))).as("hof")))
   }
 
+  test("StringCharBigrams == transform(sequence, substring) on multi-char text, empty below 2 chars") {
+    import spark.implicits._
+    // ≥2 chars: identical to the HOF form (incl. multi-byte UTF-8)
+    val multi = Seq("abcd", "ab", "spark sql", "héllo ☃ wörld").toDF("text")
+    assertColsEqual(multi.select(
+      TextExpressions.charBigrams(col("text")).as("kernel"),
+      expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))").as("hof")))
+    // 0/1 chars: the HOF's sequence(1, len-1) counts DOWN and fabricates rows;
+    // the kernel matches the oracle's empty generate_series instead
+    val degen = Seq("", "x", "é").toDF("text")
+    assert(degen.select(TextExpressions.charBigrams(col("text")).as("k"))
+      .collect().forall(_.getSeq[String](0).isEmpty))
+  }
+
   test("ArrayLongEqCount == size(filter(zip_with(==)))") {
     import spark.implicits._
     val sigs = Seq.fill(120)((
