@@ -21,17 +21,21 @@ import org.apache.spark.sql.functions._
   *     c_custkey — MvCascade.scala:83).
   *   - region/nation are fixed enums (5/25 rows) and are copied verbatim,
   *     like TPC-H at every scale factor.
-  *   - documents.text gets a per-replica Caesar rotation (letters only, via
-  *     `translate` — codegen'd, length-preserving): within a replica all
-  *     shingle/fingerprint structure is preserved injectively, so planted
-  *     near-dup groups replicate exactly ×factor, while cross-replica
+  *   - documents.text gets a per-replica AFFINE letter substitution (letters
+  *     only, via `translate` — codegen'd, length-preserving): within a
+  *     replica all shingle/fingerprint structure is preserved injectively, so
+  *     planted near-dup groups replicate exactly ×factor, while cross-replica
   *     similarity collapses to ~0 — replication does NOT manufacture
   *     near-dup cliques that would inflate dd02/dd03 output superlinearly.
+  *     (Rounds 1–7 used a pure Caesar rotation — period 26, so factor > 26
+  *     silently repeated text and broke exactly this contract; the round-8
+  *     sf10 drive caught it as dd02 going 9.5× on 3.3× data. The affine
+  *     family has 312 members; the tool refuses factor > 312.)
   *   - embeddings get a per-replica deterministic SIGN FLIP per dimension
-  *     (an orthogonal transform): within-replica inner products are exactly
-  *     preserved (planted neighbor structure intact), cross-replica cosines
-  *     collapse toward 0. Same reasoning as the Caesar rotation, in vector
-  *     space.
+  *     (an orthogonal transform, pattern = xxhash64(replica, dim) — no short
+  *     period): within-replica inner products are exactly preserved (planted
+  *     neighbor structure intact), cross-replica cosines collapse toward 0.
+  *     Same reasoning as the letter substitution, in vector space.
   *   - timestamps/dates/measures are left untouched: the time range stays
   *     fixed while per-day volume scales ×factor (the "same period, more
   *     traffic" reading of scale).
@@ -59,6 +63,21 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
     run(spark, src, dst, factor)
     spark.stop()
+  }
+
+  private[tools] val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Replica i's substitution alphabet: σ(k) = a·k + b mod 26 with
+    * (a, b) = (coprime(i / 26), i % 26) — 312 pairwise-distinct permutations
+    * (a coprime to 26 makes each σ a bijection; distinct (a, b) differ at
+    * k = 0 or k = 1). i < 26 degenerates to the r1–r7 Caesar rotation, so
+    * factor ≤ 26 scale-ups are byte-identical to earlier rounds'.
+    */
+  private[tools] def affine(i: Int): String = {
+    val a = coprimes(i / 26)
+    val b = i % 26
+    (0 until 26).map(k => alpha((a * k + b) % 26)).mkString
   }
 
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
@@ -133,18 +152,26 @@ object GenScale {
       Map("event_id" -> eventStride, "user_id" -> custStride))
       .withColumn("ts", col("ts").cast("timestamp_ntz")).drop("__r"), "events")
 
-    // documents: per-replica Caesar rotation of letters (see scaladoc)
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rot(s: String, i: Int) = s.drop(i % 26) + s.take(i % 26)
+    // documents: per-replica AFFINE letter substitution σ(c) = a·c + b mod 26
+    // with a coprime to 26 — 12×26 = 312 distinct permutations. The r1–r7
+    // form was a pure Caesar rotation (a = 1): period 26, so at factor > 26
+    // replicas i and i+26 carried IDENTICAL text and near-dup clusters
+    // merged across replica groups — pair mass went QUADRATIC in the factor
+    // and dd02's sf10 point read 9.5× on 3.3× data (the exact superlinear
+    // clique inflation the scaladoc contract promises not to manufacture;
+    // caught by the round-8 fourth-decade drive). Replica i maps to
+    // (a, b) = (coprime(i / 26), i % 26); i < 26 keeps a = 1 — the original
+    // rotation — so sf1-era data (factor ≤ 26) is byte-identical.
+    require(factor <= 312, s"affine substitution family has 312 members; factor=$factor would repeat text")
     val docRep = replicate(t.documents, Map("doc_id" -> docStride))
-    val caesared = (1 until factor).foldLeft(when(col("__r") === 0, col("text"))) {
+    val substituted = (1 until factor).foldLeft(when(col("__r") === 0, col("text"))) {
       (acc, i) =>
         acc.when(col("__r") === i,
           translate(col("text"),
             alpha + alpha.toUpperCase,
-            rot(alpha, i) + rot(alpha.toUpperCase, i)))
+            affine(i) + affine(i).toUpperCase))
     }
-    write(docRep.withColumn("text", caesared)
+    write(docRep.withColumn("text", substituted)
       .select("doc_id", "text", "lang", "source", "n_chars"), "documents")
 
     // embeddings: per-replica deterministic sign flip per dimension (see
