@@ -37,6 +37,18 @@ import org.apache.spark.sql.SparkSession
   * accounted q18/q26 class. dd08 flags lambdafunction — the constant-width
   * band build (32 evals/doc), the accounted dd03 class; its per-pair hot
   * path (eqCount) is the codegen kernel.
+  *
+  * Round-8 second batch: lm01/sel01/sp01/bp02 are clean (lm01's per-char
+  * bigram explode moved to the codegen StringCharBigrams kernel after its
+  * first bench showed the interpreted form costing 3.4 s at sf0.1). ann07
+  * flags SinglePartition — the 128-row codebook aggregate (8 subspaces × 16
+  * entries, metadata-scale by construction; the q18 tiny-aggregate class).
+  * dd09 flags lambdafunction twice: the 5-word segmenter (≈ words/5 slice+
+  * join evals per doc — linear in text, vocab-free, measured 1.7× on the
+  * 3.3× fourth decade) and the kept-segment reassembly fold, which runs
+  * post-aggregation on per-doc arrays. Both are below kernel-worthy cost at
+  * every measured scale; the segmenter is the first candidate if dd09 ever
+  * tops a profile.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
