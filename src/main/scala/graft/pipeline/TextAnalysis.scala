@@ -311,74 +311,142 @@ object TextAnalysis {
     // weighted by frequency (|vocab| is metadata-scale next to the text).
     QueryDef.sql(
       "bp02_bpe_merges",
-      """WITH v0 AS (
-        |  SELECT w, COUNT(*) AS c FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  GROUP BY 1),
-        |s0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sp, c
-        |  FROM v0 WHERE length(w) >= 2),
-        |p1 AS (SELECT a, b, SUM(c) AS cnt FROM (
-        |    SELECT c,
-        |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
-        |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
-        |    FROM s0) GROUP BY 1, 2),
-        |b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-        |s1 AS (SELECT regexp_replace(sp,
-        |    '\b' || (SELECT a FROM b1) || ' ' || (SELECT b FROM b1) || '\b',
-        |    (SELECT a FROM b1) || (SELECT b FROM b1), 'g') AS sp, c FROM s0),
-        |p2 AS (SELECT a, b, SUM(c) AS cnt FROM (
-        |    SELECT c,
-        |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
-        |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
-        |    FROM s1) GROUP BY 1, 2),
-        |b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-        |s2 AS (SELECT regexp_replace(sp,
-        |    '\b' || (SELECT a FROM b2) || ' ' || (SELECT b FROM b2) || '\b',
-        |    (SELECT a FROM b2) || (SELECT b FROM b2), 'g') AS sp, c FROM s1),
-        |p3 AS (SELECT a, b, SUM(c) AS cnt FROM (
-        |    SELECT c,
-        |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
-        |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
-        |    FROM s2) GROUP BY 1, 2),
-        |b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
-        |SELECT CAST(step AS BIGINT) AS step, a AS pair_left, b AS pair_right,
-        |  a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
-        |FROM (
-        |  SELECT 1 AS step, * FROM b1
-        |  UNION ALL SELECT 2, * FROM b2
-        |  UNION ALL SELECT 3, * FROM b3)
-        |ORDER BY step""".stripMargin,
+      s"""WITH $Bp02TrainCtes
+         |SELECT CAST(step AS BIGINT) AS step, a AS pair_left, b AS pair_right,
+         |  a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+         |FROM (
+         |  SELECT 1 AS step, * FROM b1
+         |  UNION ALL SELECT 2, * FROM b2
+         |  UNION ALL SELECT 3, * FROM b3)
+         |ORDER BY step""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
-      var cur = Tables(spark, dir).documents
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .filter(length(col("w")) >= 2)
-        .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sp"), col("c"))
-        .localCheckpoint(true) // vocab-sized; re-read every merge round
-      val steps = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (step <- 1 to 3) {
-        val toks = split(col("sp"), " ")
-        val pairs = cur
-          .select(col("c"), explode(arrays_zip(
-            slice(toks, lit(1), size(toks) - 1),
-            slice(toks, lit(2), size(toks) - 1))).as("p"))
-          .select(col("c"), col("p").getField("0").as("a"), col("p").getField("1").as("b"))
-          .groupBy("a", "b").agg(sum("c").as("cnt"))
-        val best = pairs.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).head()
-        val a: String = best.getString(0)
-        val b: String = best.getString(1)
-        val cnt: Long = best.getLong(2)
-        steps += ((step, a, b, a + b, cnt))
-        if (step < 3)
-          cur = cur.select(
-            regexp_replace(col("sp"), s"\\b$a $b\\b", a + b).as("sp"), col("c"))
-            .localCheckpoint(true)
-      }
-      steps.result().toDF("step", "pair_left", "pair_right", "merged", "pair_count")
+      trainMerges(spark, dir).toDF("step", "pair_left", "pair_right", "merged", "pair_count")
         .select(col("step").cast("long").as("step"), col("pair_left"),
           col("pair_right"), col("merged"), col("pair_count"))
         .orderBy("step")
     },
+
+    // ----- bp03: apply the learned merges — tokenize the corpus with
+    // bp02's 3-round merge table and report per-document token economics
+    // (whitespace tokens vs BPE tokens vs chars/token). The apply pass is
+    // vocab-bounded like the training: each DISTINCT word is tokenized
+    // once (3 chained codegen'd regexp_replace — merges in training
+    // order), then documents map through the vocab with one join on the
+    // word. Single-char words (excluded from TRAINING — they have no
+    // pairs) tokenize here too: 1 token each.
+    QueryDef.sql(
+      "bp03_bpe_tokenize",
+      s"""WITH ${Bp02TrainCtes},
+         |va AS (SELECT w, COUNT(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+         |tok AS (SELECT w, len(string_split(
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      trim(regexp_replace(w, '(.)', '\\1 ', 'g')),
+         |      '\\b' || (SELECT a FROM b1) || ' ' || (SELECT b FROM b1) || '\\b',
+         |      (SELECT a FROM b1) || (SELECT b FROM b1), 'g'),
+         |      '\\b' || (SELECT a FROM b2) || ' ' || (SELECT b FROM b2) || '\\b',
+         |      (SELECT a FROM b2) || (SELECT b FROM b2), 'g'),
+         |      '\\b' || (SELECT a FROM b3) || ' ' || (SELECT b FROM b3) || '\\b',
+         |      (SELECT a FROM b3) || (SELECT b FROM b3), 'g'), ' ')) AS t
+         |  FROM va),
+         |dw AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(t) AS BIGINT) AS bpe_tokens,
+         |  CAST(ANY_VALUE(n_chars) AS DOUBLE) / CAST(SUM(t) AS BIGINT) AS chars_per_token
+         |FROM dw JOIN tok USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val merges = trainMerges(spark, dir).map(m => (m._2, m._3))
+      val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+      val applied = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+        regexp_replace(acc, s"\\b$a $b\\b", a + b)
+      }
+      val tok = Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(col("w"), size(split(applied, " ")).as("t"))
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("n_chars"), explode(split(col("text"), " ")).as("w"))
+        .join(tok, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("ws_tokens"),
+          sum("t").cast("long").as("bpe_tokens"),
+          (first(col("n_chars")).cast("double") / sum("t").cast("long")).as("chars_per_token"))
+        .orderBy("doc_id")
+    },
   )
+
+  /** bp02's 3-round training chain as oracle CTEs, ending in `b1`/`b2`/`b3`
+    * (one row each: the round's winning pair + count) — shared with bp03's
+    * apply oracle. Raw string: `\1`/`\b` must reach DuckDB verbatim.
+    */
+  // lazy: referenced by `defs`' oracle strings during object init (the
+  // declared-later-reads-zero trap ann07's PqK hit)
+  private lazy val Bp02TrainCtes: String =
+    """v0 AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1),
+      |s0 AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sp, c
+      |  FROM v0 WHERE length(w) >= 2),
+      |p1 AS (SELECT a, b, SUM(c) AS cnt FROM (
+      |    SELECT c,
+      |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
+      |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
+      |    FROM s0) GROUP BY 1, 2),
+      |b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      |s1 AS (SELECT regexp_replace(sp,
+      |    '\b' || (SELECT a FROM b1) || ' ' || (SELECT b FROM b1) || '\b',
+      |    (SELECT a FROM b1) || (SELECT b FROM b1), 'g') AS sp, c FROM s0),
+      |p2 AS (SELECT a, b, SUM(c) AS cnt FROM (
+      |    SELECT c,
+      |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
+      |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
+      |    FROM s1) GROUP BY 1, 2),
+      |b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+      |s2 AS (SELECT regexp_replace(sp,
+      |    '\b' || (SELECT a FROM b2) || ' ' || (SELECT b FROM b2) || '\b',
+      |    (SELECT a FROM b2) || (SELECT b FROM b2), 'g') AS sp, c FROM s1),
+      |p3 AS (SELECT a, b, SUM(c) AS cnt FROM (
+      |    SELECT c,
+      |      unnest(string_split(sp, ' ')[1:len(string_split(sp, ' ')) - 1]) AS a,
+      |      unnest(string_split(sp, ' ')[2:len(string_split(sp, ' '))]) AS b
+      |    FROM s2) GROUP BY 1, 2),
+      |b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+
+  /** bp02's merge loop, shared with bp03's apply pass: 3 rounds of
+    * (pair-count over the frequency-weighted vocab → argmax → merge).
+    * Returns (step, left, right, merged, count) per round; the per-round
+    * argmax is a 1-row driver collect (the k-means-convergence class).
+    */
+  private def trainMerges(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Int, String, String, String, Long)] = {
+    var cur = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(length(col("w")) >= 2)
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sp"), col("c"))
+      .localCheckpoint(true) // vocab-sized; re-read every merge round
+    val steps = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to 3) {
+      val toks = split(col("sp"), " ")
+      val pairs = cur
+        .select(col("c"), explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("p"))
+        .select(col("c"), col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+        .groupBy("a", "b").agg(sum("c").as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1).head()
+      val a: String = best.getString(0)
+      val b: String = best.getString(1)
+      steps += ((step, a, b, a + b, best.getLong(2)))
+      if (step < 3)
+        cur = cur.select(
+          regexp_replace(col("sp"), s"\\b$a $b\\b", a + b).as("sp"), col("c"))
+          .localCheckpoint(true)
+    }
+    steps.result()
+  }
 }

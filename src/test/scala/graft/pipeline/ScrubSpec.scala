@@ -134,6 +134,31 @@ class ScrubSpec extends SparkSpec {
       (3L, "ab", "c", "abc", 1L)))
   }
 
+  test("bp03: tokenization with the learned merges matches hand BPE") {
+    import spark.implicits._
+    // same toy as bp02 → merges ab, abab, abc. Tokenized:
+    //   "abab" → [abab]        (1 token)
+    //   "abc"  → [abc]         (1)
+    //   "x"    → [x]           (1; single-char words tokenize even though
+    //                           they never train)
+    // doc: "abab abc abab x" → ws 4 tokens, bpe 4 tokens
+    val docs = Seq((1L, "abab abc abab x", 15L)).toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("bp03").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Catalog.byName("bp03_bpe_tokenize").build(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 4L && r(0).getLong(2) == 4L)
+    assert(math.abs(r(0).getDouble(3) - 15.0 / 4) < 1e-12)
+    // and on the real corpus BPE must actually compress vs characters:
+    // bpe_tokens < chars for every doc (merges fired), >= ws_tokens trivially
+    val real = rows("bp03_bpe_tokenize")
+    assert(real.length == 500)
+    real.foreach { x =>
+      assert(x.getLong(2) >= x.getLong(1), s"doc ${x.getLong(0)}: bpe < ws")
+      assert(x.getDouble(3) > 1.0, s"doc ${x.getLong(0)}: no compression vs chars")
+    }
+  }
+
   test("rp01: projection is linear and norm-bounded (J-L sanity)") {
     val r = rows("rp01_random_projection")
     assert(r.nonEmpty)
