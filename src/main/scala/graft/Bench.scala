@@ -39,6 +39,19 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // reducer count must TRACK data size, not sit pinned at core count:
+      // AQE starts every un-pinned shuffle at inputBytes/8MB partitions
+      // (floor cpus, cap 1024 — the same 8 MB granule as
+      // files.maxPartitionBytes) and coalesces back by measured bytes. At
+      // sf0.1 this degenerates to cpus (identical plans to r8); at sf3 the
+      // 394 M-row pair shuffle (q17) gets ~420 reducers instead of 32,
+      // whose per-reducer hash maps outgrew task memory and spilled 62 GB —
+      // the r8 verdict's superlinear curve (measured in tools/DiagQ17:
+      // 116 s → 55 s at sf3 from this conf alone; a fixed cpus×16 was also
+      // measured to cost ~45% at sf1, hence size-derived, exactly how a
+      // cluster operator sizes shuffle partitions per workload).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.sources.Layout.initialPartitionsFor(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // split scans at row-group size (GenScale writes 8 MB groups): the
@@ -107,6 +120,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] cascade setup failed: ${e.getMessage}"); -1.0
       }
+    if (streamingSetup >= 0)
+      graft.streaming.MvCascade.setupBreakdown(sfDir).foreach { case (n, c) =>
+        System.err.println(f"[bench] cascade $n%-22s wall=${c.wallSec}%7.1f s busy=${c.busySec}%7.1f s batches=${c.batches}")
+      }
     Residency.release(spark)
 
     def materialize(name: String): Double = {
@@ -146,8 +163,16 @@ object Bench {
     def fmtMap(f: String => Double): String =
       names.map(n => "\"" + n + "\":" + f(n)).mkString("{", ",", "}")
     val total = names.map(minOf).filter(_ >= 0).sum
+    // per-MV cascade setup breakdown (r8 verdict item 3): wall = that
+    // query's start→termination while all ran concurrently; busy =
+    // Σ triggerExecution — the additive cost signal that localizes a
+    // superlinear member inside the aggregate streaming_setup_sec
+    val cascadeBreakdown = graft.streaming.MvCascade.setupBreakdown(sfDir)
+      .map { case (n, c) =>
+        s""""$n":{"wall":${math.round(c.wallSec * 10) / 10.0},"busy":${math.round(c.busySec * 10) / 10.0},"batches":${c.batches}}"""
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"cascade_mvs":$cascadeBreakdown,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"sf":"$sfDir"}"""
     // The driver keeps only a bounded (~2000-char) stdout tail and parses the
     // JSON line out of it; the full-name two-map line above is ~6 KB and has
     // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —

@@ -14,6 +14,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // reducer count tracks data via AQE (see Bench.scala) — keeps the big
+      // pair/shingle shuffles spill-free at sf1+ verify drives too
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.sources.Layout.initialPartitionsFor(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // row-group-sized splits — see Bench.scala (single-task scan pitfall)

@@ -218,6 +218,22 @@ object Analytics {
       val buyers = up.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
       val a = up.toDF("u", "part_a")
       val b = up.toDF("u", "part_b")
+      // The pair count is a near-no-reduction aggregation: at sf3, 394 M raw
+      // pairs hold 381 M DISTINCT (part_a, part_b) groups (only 270 k reach
+      // both_count >= 3), so at 32 FIXED reducers each final-agg hash map
+      // held ~12 M groups, outgrew task memory, and spilled 62 GB — the r8
+      // verdict's superlinear sf1→sf3 curve (4.8× on 3×), measured in
+      // tools/DiagQ17. The fix is the session's AQE initialPartitionNum
+      // (Bench/Verify): reducer count now tracks the measured shuffle size
+      // (~500 reducers at sf3, coalesced back for small entries), which
+      // alone cut sf3 from 116 s to ~55 s. Two plan rewrites were measured
+      // and REJECTED: packing the pair into one long key (75 s — the
+      // partial map still fills; entry size wasn't the binding term) and
+      // pre-repartitioning by the pair key to aggregate purely post-shuffle
+      // (88 s, zero spill but a wasted second hash pass over all 394 M
+      // rows). The map-side partial agg's ~3 % reduction is the price of
+      // Spark's fixed partial+final shape; its spill is bounded per-task
+      // and the reducer-side maps are what had to shrink.
       val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("both_count"))

@@ -68,38 +68,73 @@ object Clustering {
     * DuckDB oracle replays the identical K at every scale.
     */
   private[pipeline] def adaptiveK(n: Long): Long = math.max(8L, (n + TargetOcc - 1) / TargetOcc)
+
+  /** Coarse-level cluster count for sd01's two-level assignment: ⌈√K⌉.
+    * With K adaptive in n, a FLAT assignment is n·K = n²/512 cosines — the
+    * r8 sd01 superlinearity (measured: the n·K term grew 8.85× on 3× data
+    * while pair mass stayed linear at 3.05×). Routing through ⌈√K⌉ coarse
+    * cells first costs n·2√K, and the fine within-cell pass ~n·K/√K = n·√K,
+    * bending total assignment work from Θ(n²) to Θ(n^1.5) — the IVF
+    * coarse-quantizer shape (ann07). Integer-exact both engines: DuckDB's
+    * CEIL(SQRT(k)) on k ≤ 2^52 matches this double-precision path.
+    */
+  private[pipeline] def coarseK(k: Long): Long = math.ceil(math.sqrt(k.toDouble)).toLong
   private val TargetOcc = 512L
   private val Tau = 0.4
 
-  /** SemDeDup-style semantic deduplication: cluster the embeddings (k-means,
-    * the machinery above, with [[adaptiveK]] clusters), then compare pairs
-    * WITHIN each cluster only and drop, from every near-duplicate pair
-    * (cosine >= [[Tau]]), the member that sits CLOSER to its centroid —
-    * keeping the outlier preserves diversity (Abbas et al. 2023,
-    * arXiv:2303.09540, §3; threshold lowered to dd05/dd06's 0.4 because the
-    * synthetic corpus's pair-cosine mass tops out near 0.49). The drop rule
-    * is the pairwise greedy form: x is dropped iff some same-cluster partner
-    * y with cos(x,y) >= Tau has strictly lower centroid-cosine (ties broken
-    * by lower vec_id) — deterministic, and replayed exactly by the oracle
-    * since every cosine on both engines is the same sequential double fold
-    * over the same float centroids.
+  /** SemDeDup-style semantic deduplication: cluster the embeddings, then
+    * compare pairs WITHIN each cluster only and drop, from every
+    * near-duplicate pair (cosine >= [[Tau]]), the member that sits CLOSER to
+    * its cluster representative — keeping the outlier preserves diversity
+    * (Abbas et al. 2023, arXiv:2303.09540, §3; threshold lowered to
+    * dd05/dd06's 0.4 because the synthetic corpus's pair-cosine mass tops
+    * out near 0.49). The drop rule is the pairwise greedy form: x is dropped
+    * iff some same-cluster partner y with cos(x,y) >= Tau has strictly lower
+    * representative-cosine (ties broken by lower vec_id) — deterministic,
+    * and replayed exactly by the oracle since every cosine on both engines
+    * is the same sequential double fold over the same float vectors.
     *
-    * 100 TB shape: centroids are K×64 floats — broadcast; the only shuffle
-    * keys on `cluster`, whose cardinality K grows with n (parallelism tracks
-    * corpus size, never collapses to a constant); within-cluster pair work is
-    * capped by TargetOcc². The k-means result feeds three consumers (both
-    * pair sides + the verdict join), so it is materialized once — n rows of
+    * Clustering is TWO-LEVEL (r9 — the r8 verdict's sd01 superlinearity):
+    * one Lloyd round over ⌈√K⌉ coarse cells (n·2√K cosines), then each
+    * vector compares only against the fine seeds (the first K vectors)
+    * ROUTED TO ITS COARSE CELL — expected n·√K fine cosines instead of the
+    * flat n·K = n²/512 that grew 8.85× on 3× data. A coarse cell holding no
+    * fine seed keeps its members as their own fine cluster (id −(coarse+1),
+    * representative = the coarse centroid) — deterministic, oracle-replayed.
+    *
+    * 100 TB shape: coarse centroids are √K×64 floats and fine seeds K×64 —
+    * both broadcast (at 10⁹ vectors K ≈ 2 M seeds ≈ 0.5 GB: shard the fine
+    * probe by coarse cell with a shuffle join instead; the plan shape is
+    * already keyed for it); within-cluster pair work is capped by
+    * TargetOcc². The clustering result feeds three consumers (both pair
+    * sides + the verdict join), so it is materialized once — n rows of
     * (id, vec, cluster, cosine), the operator's own working set, linear.
-    * One Lloyd iteration leaves cluster sizes at the seeds' mercy; a real
-    * deployment loops assign/recompute a few more rounds (each is the same
-    * broadcast + one shuffle) to tighten occupancy before the pair stage.
+    * One coarse Lloyd iteration leaves cell sizes at the seeds' mercy; a
+    * real deployment loops assign/recompute a few more rounds (each the
+    * same broadcast + one shuffle) to tighten occupancy before the pair
+    * stage.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val k = adaptiveK(CorpusMeta.embeddingCount(spark, dir))
-    val seed = e.filter(col("vec_id") < k)
+    val c = coarseK(k)
+    val seed = e.filter(col("vec_id") < c)
       .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
-    val m = assign(e, recompute(assign(e, seed))).localCheckpoint(true)
+    val coarse = assign(e, recompute(assign(e, seed)))
+      .withColumnRenamed("cluster", "coarse")
+      .withColumnRenamed("ccos", "ccos_c")
+      .localCheckpoint(true)
+    val fs = coarse.filter(col("vec_id") < k)
+      .select(col("coarse"), col("vec_id").as("fseed_id"), col("embedding").as("fseed_emb"))
+    val fw = Window.partitionBy("vec_id").orderBy(desc_nulls_last("fc"), asc_nulls_last("fseed_id"))
+    val m = coarse.join(broadcast(fs), Seq("coarse"), "left")
+      .withColumn("fc", VectorOps.cosine(col("embedding"), col("fseed_emb")))
+      .withColumn("rn", row_number().over(fw))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("fseed_id"), -(col("coarse") + lit(1))).as("cluster"),
+        coalesce(col("fc"), col("ccos_c")).as("ccos"))
+      .localCheckpoint(true)
     val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("ccos").as("ca"))
     val b = m.select(col("cluster").as("cluster_b"), col("vec_id").as("vec_b"),
@@ -146,16 +181,19 @@ object Clustering {
          |ORDER BY vec_id""".stripMargin,
     ) { (spark, dir) => kmeansAssign(spark, dir) },
 
-    // ----- sd01: SemDeDup — the full chain (adaptive-K k-means + within-
-    // cluster pair cosines + the keep-the-outlier drop rule) replayed in
-    // DuckDB from COUNT(*) up, so the hash match proves the clustering, the
-    // blocking, AND the survivor verdict, not just the pair set.
+    // ----- sd01: SemDeDup — the full chain (two-level adaptive-K clustering
+    // + within-cluster pair cosines + the keep-the-outlier drop rule)
+    // replayed in DuckDB from COUNT(*) up, so the hash match proves the
+    // coarse Lloyd round, the fine seed routing (incl. the seedless-cell
+    // fallback), the blocking, AND the survivor verdict — not just the pair
+    // set.
     QueryDef.sql(
       "sd01_semantic_dedup",
       s"""WITH kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 512.0) AS BIGINT)) AS k
          |  FROM embeddings),
+         |cc AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS c FROM kk),
          |cent0 AS (SELECT vec_id AS cluster, embedding AS centroid
-         |  FROM embeddings, kk WHERE vec_id < kk.k),
+         |  FROM embeddings, cc WHERE vec_id < cc.c),
          |s1 AS (SELECT e.vec_id, e.embedding, c.cluster,
          |    ${Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
          |  FROM embeddings e, cent0 c),
@@ -170,22 +208,33 @@ object Clustering {
          |s2 AS (SELECT e.vec_id, e.embedding, c.cluster,
          |    ${Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
          |  FROM embeddings e, cent1 c),
-         |a2 AS (SELECT vec_id, embedding, cluster, ccos FROM (
+         |a2 AS (SELECT vec_id, embedding, cluster AS coarse, ccos AS ccos_c FROM (
          |    SELECT vec_id, embedding, cluster, ccos,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
          |    FROM s2) WHERE rn = 1),
+         |fs AS (SELECT coarse, vec_id AS fseed_id, embedding AS fseed_emb
+         |  FROM a2, kk WHERE vec_id < kk.k),
+         |fj AS (SELECT a2.vec_id, a2.embedding, a2.coarse, a2.ccos_c, fs.fseed_id,
+         |    ${Similarity.cosSql("a2.embedding", "fs.fseed_emb")} AS fc
+         |  FROM a2 LEFT JOIN fs USING (coarse)),
+         |ff AS (SELECT vec_id, embedding,
+         |    COALESCE(fseed_id, -(coarse + 1)) AS cluster,
+         |    COALESCE(fc, ccos_c) AS ccos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY fc DESC NULLS LAST, fseed_id ASC NULLS LAST) AS rn
+         |    FROM fj) WHERE rn = 1),
          |p AS (SELECT * FROM (
          |    SELECT a.vec_id AS vec_a, a.ccos AS ca, b.vec_id AS vec_b, b.ccos AS cb,
          |      ${Similarity.cosSql("a.embedding", "b.embedding")} AS pc
-         |    FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+         |    FROM ff a JOIN ff b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
          |  WHERE pc >= 0.4),
          |st AS (SELECT vec_a AS vec_id, COUNT(*) AS n_dups,
          |    MAX(CASE WHEN cb < ca OR (cb = ca AND vec_b < vec_a) THEN 1 ELSE 0 END) AS dom
          |  FROM p GROUP BY 1)
-         |SELECT a2.vec_id, CAST(a2.cluster AS BIGINT) AS cluster,
+         |SELECT ff.vec_id, CAST(ff.cluster AS BIGINT) AS cluster,
          |  COALESCE(st.n_dups, 0) AS n_dups, COALESCE(st.dom, 0) = 0 AS keep
-         |FROM a2 LEFT JOIN st ON a2.vec_id = st.vec_id
-         |ORDER BY a2.vec_id""".stripMargin,
+         |FROM ff LEFT JOIN st ON ff.vec_id = st.vec_id
+         |ORDER BY ff.vec_id""".stripMargin,
     ) { (spark, dir) => semanticDedup(spark, dir) },
   )
 }

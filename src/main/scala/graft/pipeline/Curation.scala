@@ -19,17 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  // Same Knuth multiplicative constant as Sampling's permille buckets; rep
-  // ids are doc_ids (≤ ~1e9), far from int64 overflow.
-  private val KnuthA = 2654435761L
+  // Same Knuth multiplicative constant as Sampling's permille buckets.
+  // The bucket is ((rep % 1000) * A) % 1000 — identical to (rep*A) % 1000
+  // for every id (A·rep mod 1000 depends only on rep mod 1000) but immune
+  // to int64 overflow at rep > ~3.47e9, where DuckDB raises while Spark
+  // wraps (ADVICE r8). Note the same algebra means the permille bucket is
+  // effectively a fixed permutation of rep mod 1000 (2654435761 ≡ 761 mod
+  // 1000): split FRACTIONS are exact for any id population that covers
+  // residues evenly (sequential ids, hashes), and a stride-1000-replicated
+  // id family would need a pre-hash (xxhash64 both engines) — documented
+  // trade, same idiom as Sampling's buckets.
+  private[pipeline] val KnuthA = 2654435761L
 
   // sp01 split fractions in permille of the hash space.
-  private val TrainUpper = 800L
-  private val ValidUpper = 900L
+  private[pipeline] val TrainUpper = 800L
+  private[pipeline] val ValidUpper = 900L
 
   // lm01: a document whose mean bigram conditional probability (under the
   // corpus's own model) falls below this is out-of-distribution text.
-  private val Lm01Flag = 0.25
+  private[pipeline] val Lm01Flag = 0.25
 
   /** dd09's core over any `(doc_id, text)` frame (shared with CurationSpec's
     * planted-duplicate cases).
@@ -203,16 +211,16 @@ object Curation {
       s"""WITH ${SparseText.clusterCtes}
          |SELECT d.doc_id,
          |  CAST(COALESCE(cl.cluster_id, d.doc_id) AS BIGINT) AS rep_id,
-         |  CAST(((COALESCE(cl.cluster_id, d.doc_id) * $KnuthA) % 1000 + 1000) % 1000 AS BIGINT) AS bkt,
-         |  CASE WHEN ((COALESCE(cl.cluster_id, d.doc_id) * $KnuthA) % 1000 + 1000) % 1000 < $TrainUpper THEN 'train'
-         |       WHEN ((COALESCE(cl.cluster_id, d.doc_id) * $KnuthA) % 1000 + 1000) % 1000 < $ValidUpper THEN 'valid'
+         |  CAST(((COALESCE(cl.cluster_id, d.doc_id) % 1000) * $KnuthA) % 1000 AS BIGINT) AS bkt,
+         |  CASE WHEN ((COALESCE(cl.cluster_id, d.doc_id) % 1000) * $KnuthA) % 1000 < $TrainUpper THEN 'train'
+         |       WHEN ((COALESCE(cl.cluster_id, d.doc_id) % 1000) * $KnuthA) % 1000 < $ValidUpper THEN 'valid'
          |       ELSE 'test' END AS split
          |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     ) { (spark, dir) =>
       val clusters = graft.Catalog.byName("ts02_dedup_clusters").build(spark, dir)
       val rep = coalesce(col("cluster_id"), col("doc_id"))
-      val bkt = pmod(rep * KnuthA, lit(1000L))
+      val bkt = pmod((rep % 1000L) * KnuthA, lit(1000L))
       Tables(spark, dir).documents
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"), rep.cast("long").as("rep_id"), bkt.cast("long").as("bkt"),

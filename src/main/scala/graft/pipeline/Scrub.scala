@@ -28,17 +28,17 @@ object Scrub {
   // ---- px01 regexes. Kept to the regex-feature intersection of Java
   // (Spark) and RE2 (DuckDB): character classes, bounded repeats, \b.
   // No backrefs, no lookaround — those diverge between the engines.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\b555-[0-9]{4}\\b"
-  private val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[pipeline] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[pipeline] val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private[pipeline] val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   // qf01 thresholds (Gopher-style bounds, scaled to this corpus's word range)
-  private val MinWords = 30L
-  private val MaxWords = 400L
-  private val MinMeanWl = 3.0
-  private val MaxMeanWl = 10.0
-  private val MinStopHits = 2L
-  private val MinTtr = 0.3
+  private[pipeline] val MinWords = 30L
+  private[pipeline] val MaxWords = 400L
+  private[pipeline] val MinMeanWl = 3.0
+  private[pipeline] val MaxMeanWl = 10.0
+  private[pipeline] val MinStopHits = 2L
+  private[pipeline] val MinTtr = 0.3
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -24,6 +24,22 @@ import scala.jdk.CollectionConverters._
   */
 object Layout {
 
+  /** AQE initial shuffle-partition count for a testdata dir: one reducer
+    * per 8 MB of input (the same granule as files.maxPartitionBytes),
+    * floored at the core count and capped at 1024. At sf0.1 (~110 MB) this
+    * is just `cpus` — identical plans to a fixed setting; at sf1/sf3/sf10
+    * the big near-no-reduction shuffles (q17's pair count) get reducers
+    * proportional to data so per-reducer hash state stays bounded, and AQE
+    * coalesces the small shuffles back down. See Bench/Verify builders.
+    */
+  def initialPartitionsFor(dir: String, cpus: Int): Int = {
+    val bytes =
+      try Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      catch { case _: Throwable => 0L }
+    math.min(1024L, math.max(cpus.toLong, bytes / (8L << 20))).toInt
+  }
+
   /** Write events in the reference's events-table layout: monthly partitions,
     * sorted by (event_type, ts, user_id) within each, bloom filter on user_id.
     */

@@ -56,6 +56,18 @@ object MvCascade {
   // one cascade run per data dir per JVM; Verify/Bench re-read the sinks
   private val runs = TrieMap[String, String]()
 
+  /** Per-MV setup cost of the last cascade run for a dir (r8 verdict item 3:
+    * the aggregate `streaming_setup_sec` grew 5.4× on 3× data with no way to
+    * see WHICH of the concurrent members drove it). wall = start→termination
+    * of that one query (they run concurrently, so walls overlap); busy =
+    * Σ triggerExecution over its micro-batches (additive, the cost signal);
+    * batches = micro-batch count.
+    */
+  final case class MvSetupCost(wallSec: Double, busySec: Double, batches: Long)
+  private val breakdowns = TrieMap[String, Seq[(String, MvSetupCost)]]()
+  def setupBreakdown(dir: String): Seq[(String, MvSetupCost)] =
+    breakdowns.getOrElse(dir, Seq.empty)
+
   def run(spark: SparkSession, dir: String): String =
     runs.getOrElseUpdate(dir,
       executeAt(spark, dir, Files.createTempDirectory("graft_cascade_").toString))
@@ -205,17 +217,42 @@ object MvCascade {
         .trigger(Trigger.AvailableNow())
         .start()
 
-    // start all eight, then await — they run concurrently
+    // start all eight, then await — they run concurrently. A listener
+    // records each query's termination instant so per-MV wall is exact even
+    // though awaitTermination is called in sequence.
+    val t0 = System.nanoTime()
+    val endNs = TrieMap[java.util.UUID, Long]()
+    val term = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        endNs.put(e.runId, System.nanoTime())
+    }
+    spark.streams.addListener(term)
     val queries = Seq(
-      upsert(daily, "event_date", "mv_daily_activity"),
-      upsert(hourly, "event_date", "mv_hourly_events"),
-      upsert(funnel, "event_date", "mv_user_funnel"),
-      upsert(country, "event_date", "mv_country_stats"),
-      upsert(product, "status", "mv_product_revenue"),
-      completeSnapshot(sessions, "session_date", "mv_sessions"),
-      appendFinalized(sessions, "mv_sessions_final"),
-      appendParts(hllDaily, "mv_hll_daily_users"))
-    queries.foreach(_.awaitTermination())
+      "mv_daily_activity" -> upsert(daily, "event_date", "mv_daily_activity"),
+      "mv_hourly_events" -> upsert(hourly, "event_date", "mv_hourly_events"),
+      "mv_user_funnel" -> upsert(funnel, "event_date", "mv_user_funnel"),
+      "mv_country_stats" -> upsert(country, "event_date", "mv_country_stats"),
+      "mv_product_revenue" -> upsert(product, "status", "mv_product_revenue"),
+      "mv_sessions" -> completeSnapshot(sessions, "session_date", "mv_sessions"),
+      "mv_sessions_final" -> appendFinalized(sessions, "mv_sessions_final"),
+      "mv_hll_daily_users" -> appendParts(hllDaily, "mv_hll_daily_users"))
+    queries.foreach(_._2.awaitTermination())
+    // listener dispatch is async — wait (bounded) for the last termination
+    // event before reading the map
+    val deadline = System.currentTimeMillis() + 10000
+    while (endNs.size < queries.size && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    try {
+      breakdowns.put(dir, queries.map { case (name, q) =>
+        val wall = endNs.get(q.runId).map(e => (e - t0) / 1e9).getOrElse(-1.0)
+        val busy = q.recentProgress.map(
+          _.durationMs.getOrDefault("triggerExecution", java.lang.Long.valueOf(0L)).longValue.toDouble).sum / 1e3
+        name -> MvSetupCost(wall, busy, q.recentProgress.length.toLong)
+      })
+    } finally spark.streams.removeListener(term)
     // MVs complete for `dir` → eligible for transparent aggregate routing
     graft.plans.MvRouting.register(dir, root, preFingerprints)
     root

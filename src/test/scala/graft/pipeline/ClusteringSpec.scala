@@ -46,5 +46,10 @@ class ClusteringSpec extends SparkSpec {
     assert(Clustering.adaptiveK(4096) == 8L)
     assert(Clustering.adaptiveK(4097) == 9L)
     assert(Clustering.adaptiveK(200000) == 391L)
+    // two-level coarse count: ⌈√K⌉, matching the oracle's CEIL(SQRT(k))
+    assert(Clustering.coarseK(8) == 3L)
+    assert(Clustering.coarseK(40) == 7L)
+    assert(Clustering.coarseK(118) == 11L)
+    assert(Clustering.coarseK(391) == 20L)
   }
 }

@@ -134,6 +134,40 @@ class ScrubSpec extends SparkSpec {
       (3L, "ab", "c", "abc", 1L)))
   }
 
+  test("bp02: round count is generic — 5 rounds extend the 3-round prefix") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abc abab x abcd abcd xy xy")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bp02n").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val five = TextAnalysis.trainMergesAt(spark, dir, 5)
+    val three = TextAnalysis.trainMergesAt(spark, dir, 3)
+    assert(five.length == 5 && five.map(_._1) == Seq(1, 2, 3, 4, 5))
+    // asking for more rounds than the vocab can yield stops early (real BPE
+    // semantics), never throws on the empty pair universe
+    assert(TextAnalysis.trainMergesAt(spark, dir, 50).length < 50)
+    // BPE merges are a prefix-stable sequence: more rounds never rewrite
+    // earlier winners
+    assert(five.take(3) == three)
+    // counts never increase across rounds (the winning pair is the argmax of
+    // a universe that only shrinks as merges fire)
+    assert(five.map(_._5).sliding(2).forall(w => w(0) >= w(1)))
+    // and the generated oracle chain mentions exactly the N bests it unrolls
+    val ctes = TextAnalysis.bp02TrainCtes(5)
+    (1 to 5).foreach(i => assert(ctes.contains(s"b$i AS ")))
+    assert(!ctes.contains("b6 AS "))
+  }
+
+  test("bp02: a winning pair outside [a-z]+ fails loudly (regex-interp guard)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a1 a1 a1")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bp02g").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trainMergesAt(spark, dir, 1)
+    }
+    assert(e.getMessage.contains("outside [a-z]+"))
+  }
+
   test("bp03: tokenization with the learned merges matches hand BPE") {
     import spark.implicits._
     // same toy as bp02 → merges ab, abab, abc. Tokenized:
