@@ -42,14 +42,14 @@ object Bench {
       // reducer count must TRACK data size, not sit pinned at core count:
       // AQE starts every un-pinned shuffle at inputBytes/8MB partitions
       // (floor cpus, cap 1024 — the same 8 MB granule as
-      // files.maxPartitionBytes) and coalesces back by measured bytes. At
-      // sf0.1 this degenerates to cpus (identical plans to r8); at sf3 the
-      // 394 M-row pair shuffle (q17) gets ~420 reducers instead of 32,
-      // whose per-reducer hash maps outgrew task memory and spilled 62 GB —
-      // the r8 verdict's superlinear curve (measured in tools/DiagQ17:
-      // 116 s → 55 s at sf3 from this conf alone; a fixed cpus×16 was also
-      // measured to cost ~45% at sf1, hence size-derived, exactly how a
-      // cluster operator sizes shuffle partitions per workload).
+      // files.maxPartitionBytes) and coalesces back by measured bytes.
+      // sf0.1/sf1 degenerate to cpus (plans identical to r8); sf3 39,
+      // sf10 150, 1024 by ~sf70. Motivation: q17's near-no-reduction pair
+      // aggregation spills 62 GB at sf3 when 32 fixed reducers each hold
+      // ~12 M groups — per-reducer state must be BOUNDED, and only a
+      // data-derived reducer count bounds it (DiagQ17 A/B at 512-init:
+      // spill halved; a fixed cpus×16 was rejected — it taxed sf1 ~45%.
+      // Full analysis: SCALE.md §0c.1).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         graft.sources.Layout.initialPartitionsFor(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -172,7 +172,7 @@ object Bench {
         s""""$n":{"wall":${math.round(c.wallSec * 10) / 10.0},"busy":${math.round(c.busySec * 10) / 10.0},"batches":${c.batches}}"""
       }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"cascade_mvs":$cascadeBreakdown,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"cascade_mvs":$cascadeBreakdown,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"sf":"$sfDir"}"""
     // The driver keeps only a bounded (~2000-char) stdout tail and parses the
     // JSON line out of it; the full-name two-map line above is ~6 KB and has
     // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —
@@ -185,7 +185,7 @@ object Bench {
           .mkString("{", ",", "}")
       else fmtMap(n => math.round(minOf(n) * 1000) / 1000.0)
     val compactLine =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)
@@ -246,7 +246,8 @@ object Bench {
     * spread%}, and a spread above 10 % of the median is flagged loudly in
     * the artifact and on stderr rather than silently shipped.
     */
-  private final case class IngestStats(median: Double, min: Double, max: Double) {
+  private final case class IngestStats(median: Double, min: Double, max: Double,
+      overall: Double = -1.0) {
     def spreadPct: Double =
       if (median <= 0) -1.0 else math.round((max - min) / median * 1000) / 10.0
   }
@@ -285,16 +286,45 @@ object Bench {
       // the median defends the headline against a GC/compaction burst in
       // any one window, and the min/max spread makes run-to-run variance a
       // REPORTED quantity instead of an invisible one.
-      val windows = (1 to 3).map { _ =>
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val batchListener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          batches.incrementAndGet()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(batchListener)
+      val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      def gcMillis: Long = {
+        var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+      }
+      val windows = (1 to 3).map { i =>
         val rows0 = totalRows.get()
+        val batches0 = batches.get()
+        val gc0 = gcMillis
         val t0 = System.nanoTime()
         Thread.sleep(10000)
+        val secs = (System.nanoTime() - t0) / 1e9
         val rows = totalRows.get() - rows0
-        rows / ((System.nanoTime() - t0) / 1e9)
+        // r8 verdict item 8 (ingest bimodality, min pinned 5k below median):
+        // per-window rows/batches/GC named in the log localizes whether a
+        // slow window lost a micro-batch (fewer batches) or lost time
+        // inside batches (GC/compaction) — the two look identical in ev/s.
+        System.err.println(f"[bench] ingest window $i: ${rows / secs}%.0f ev/s " +
+          f"(${rows} rows, ${batches.get() - batches0} batches, gc=${gcMillis - gc0} ms)")
+        rows / secs
       }
+      spark.streams.removeListener(batchListener)
       q.stop()
+      // The 10 s windows quantize ev/s in 5 k steps (micro-batches are
+      // exactly 50 k rows at ~1 batch/s, so a window catches 10 or 11
+      // completions — r9 root cause of the r8 "bimodality": one batch
+      // quantum IS the observed 5 k min-median gap, GC flat across
+      // windows). `overall` spans all three windows — quantization 1/30
+      // of a batch — and is the unquantized headline companion.
       val sorted = windows.sorted.map(e => math.round(e * 10) / 10.0)
-      val stats = IngestStats(sorted(1), sorted.head, sorted.last)
+      val overall = math.round(windows.sum / 3 * 10) / 10.0
+      val stats = IngestStats(sorted(1), sorted.head, sorted.last, overall)
       if (stats.spreadPct > 10.0)
         System.err.println(f"[bench] WARNING: ingest window spread ${stats.spreadPct}%.1f%% " +
           f"of median exceeds the 10%% repeatability target (windows: ${sorted.mkString(", ")})")

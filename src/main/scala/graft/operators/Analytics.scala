@@ -224,9 +224,11 @@ object Analytics {
       // held ~12 M groups, outgrew task memory, and spilled 62 GB — the r8
       // verdict's superlinear sf1→sf3 curve (4.8× on 3×), measured in
       // tools/DiagQ17. The fix is the session's AQE initialPartitionNum
-      // (Bench/Verify): reducer count now tracks the measured shuffle size
-      // (~500 reducers at sf3, coalesced back for small entries), which
-      // alone cut sf3 from 116 s to ~55 s. Two plan rewrites were measured
+      // (Bench/Verify): reducer count derives from input size, bounding
+      // per-reducer aggregation state (DiagQ17 512-init A/B halved the
+      // spill; r9 full-bench sf3 reads 50.3 s vs r8's 85.1 on this same
+      // plan — attribution split between conf and session variance,
+      // SCALE §0c.1). Two plan rewrites were measured
       // and REJECTED: packing the pair into one long key (75 s — the
       // partial map still fills; entry size wasn't the binding term) and
       // pre-repartitioning by the pair key to aggregate purely post-shuffle
@@ -234,6 +236,15 @@ object Analytics {
       // rows). The map-side partial agg's ~3 % reduction is the price of
       // Spark's fixed partial+final shape; its spill is bounded per-task
       // and the reducer-side maps are what had to shrink.
+      //
+      // Fourth decade (sf10): input-derived sizing undershoots again — the
+      // pair shuffle amplifies input ~22×, so per-reducer state re-crosses
+      // the memory line (5.9× on 3.33×, SCALE §0c.9). The production form
+      // on a real cluster sizes THIS job's shuffle from the capped pair
+      // mass Σ min(basket, cap)² — computable as a one-row metadata
+      // aggregate over `up` before planning the join — rather than from
+      // input bytes; OSS Spark 4.1 offers no runtime split of a non-skewed
+      // oversized aggregation partition to do it adaptively.
       val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("both_count"))

@@ -60,6 +60,22 @@ class MvCascadeSpec extends SparkSpec {
       "mv_product_revenue")
   }
 
+  test("setup breakdown names all 8 MVs with positive wall/busy and >=1 batch") {
+    MvCascade.run(spark, sf()) // memoized — reuses the first test's run if present
+    val bd = MvCascade.setupBreakdown(sf()).toMap
+    assert(bd.keySet == Set(
+      "mv_daily_activity", "mv_hourly_events", "mv_user_funnel",
+      "mv_country_stats", "mv_product_revenue", "mv_sessions",
+      "mv_sessions_final", "mv_hll_daily_users"))
+    bd.foreach { case (n, c) =>
+      assert(c.wallSec > 0, s"$n wall not captured")
+      assert(c.busySec > 0, s"$n busy not captured")
+      assert(c.batches >= 1, s"$n batches not captured")
+      // wall covers the query's whole life, busy only its triggers
+      assert(c.wallSec >= c.busySec * 0.5, s"$n wall/busy inconsistent")
+    }
+  }
+
   test("re-running the cascade against its checkpoints changes nothing (exactly-once)") {
     val root = java.nio.file.Files.createTempDirectory("graft_cascade_replay_").toString
     MvCascade.executeAt(spark, sf(), root)
