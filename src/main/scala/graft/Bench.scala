@@ -126,7 +126,16 @@ object Bench {
       }
     Residency.release(spark)
 
+    // Entries may RAISE the AQE initial shuffle-partition count for their own
+    // job (q17 sizes its pair shuffle from the capped pair mass — the local[]
+    // stand-in for per-job shuffle sizing on a cluster); reset to the
+    // input-derived session default before each entry so the raise never
+    // leaks into a neighbor's timing.
+    val initPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val initPartsDefault = spark.conf.get(initPartsKey)
+
     def materialize(name: String): Double = {
+      spark.conf.set(initPartsKey, initPartsDefault)
       val t0 = System.nanoTime()
       val secs =
         try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

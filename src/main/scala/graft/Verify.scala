@@ -30,9 +30,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-job shuffle-sizing raises (q17) reset before each entry — see Bench
+    val initPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val initPartsDefault = spark.conf.get(initPartsKey)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
+      spark.conf.set(initPartsKey, initPartsDefault)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -50,6 +50,52 @@ object Analytics {
       Seq(keyCol), "__neg_item", itemCol, cap)
       .drop("__neg_item", "rnk")
 
+  /** Upper bound on q17's capped pair mass Σ_u C(min(basket_u, cap), 2) —
+    * the per-JOB shuffle-sizing input (SCALE §0c: input-byte-derived reducer
+    * counts undershoot q17's ~22× shuffle amplification at sf10, so the pair
+    * aggregation's reducer count must derive from the PAIR mass, the way a
+    * cluster operator sizes an individual job's shuffle). Bounds the distinct
+    * basket by the RAW per-user (lineitem ⋈ orders) row count, so the
+    * estimate costs one narrow count-by-customer — no dedup heap, ~1/5 of
+    * q17's first stage — and memoizes per (dir, parquet fingerprint), making
+    * it free across Bench's min-of-3 rounds. Over-estimation only
+    * over-provisions reducers, which AQE coalesces back by measured bytes;
+    * under-provisioning is what spills (the r8 62 GB event).
+    */
+  private[graft] def q17PairMassUpperBound(spark: SparkSession, dir: String): Long =
+    graft.pipeline.CorpusMeta.tableScalar(dir, "lineitem", "q17PairMass") {
+      val t = Tables(spark, dir)
+      val capped = least(col("n"), lit(BasketCapPerUser.toLong))
+      t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .select(sum(capped * (capped - 1)).as("m")) // /2 below: `/` is double div
+        .head.getLong(0) / 2
+    }
+
+  /** ~1 M groups ≈ 64 MB of final-agg hash state per reducer — the bound the
+    * r8 spill analysis says each reducer must respect (12 M groups/reducer
+    * spilled 62 GB at sf3; DiagQ17's A/B halved the spill at 512 reducers).
+    * A conf (not a hardcode) so the spec can prove the raise fires without
+    * sf3-sized data, and an operator can retune per cluster memory.
+    */
+  private[graft] val PairGroupsPerReducerKey = "spark.graft.q17.groupsPerReducer"
+  private val PairGroupsPerReducerDefault = 1000000L
+
+  /** Raise the session's AQE initial shuffle-partition count to what the
+    * pair mass demands, never lowering it below the input-derived session
+    * default. Bench/Verify reset the conf to that default before every
+    * catalog entry, so the raise is scoped to this job — the local[] stand-in
+    * for per-job `spark.sql.shuffle.partitions` on a cluster.
+    */
+  private def sizePairShuffle(spark: SparkSession, dir: String): Unit = {
+    val per = spark.conf.getOption(PairGroupsPerReducerKey).map(_.toLong)
+      .getOrElse(PairGroupsPerReducerDefault)
+    val want = math.min(1024L, q17PairMassUpperBound(spark, dir) / per).toInt
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val cur = spark.conf.getOption(key).map(_.toInt).getOrElse(0)
+    if (want > cur) spark.conf.set(key, want.toString)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- q14: date-spine LEFT JOIN gap filling (J5/S6 — sample_queries.sql:370–383).
@@ -237,14 +283,15 @@ object Analytics {
       // Spark's fixed partial+final shape; its spill is bounded per-task
       // and the reducer-side maps are what had to shrink.
       //
-      // Fourth decade (sf10): input-derived sizing undershoots again — the
-      // pair shuffle amplifies input ~22×, so per-reducer state re-crosses
-      // the memory line (5.9× on 3.33×, SCALE §0c.9). The production form
-      // on a real cluster sizes THIS job's shuffle from the capped pair
-      // mass Σ min(basket, cap)² — computable as a one-row metadata
-      // aggregate over `up` before planning the join — rather than from
-      // input bytes; OSS Spark 4.1 offers no runtime split of a non-skewed
-      // oversized aggregation partition to do it adaptively.
+      // Fourth decade (sf10): input-derived sizing undershoots — the pair
+      // shuffle amplifies input ~22×, so per-reducer state re-crossed the
+      // memory line (5.9× on 3.33×, SCALE §0c). Hence sizePairShuffle
+      // below: THIS job's reducer count derives from the capped pair mass
+      // Σ C(min(basket, cap), 2) — a memoized one-row metadata aggregate —
+      // because OSS Spark 4.1 offers no runtime split of a non-skewed
+      // oversized aggregation partition (AQE splits only skewed join
+      // sides), so the bound must be set before the shuffle is planned.
+      sizePairShuffle(spark, dir)
       val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("both_count"))

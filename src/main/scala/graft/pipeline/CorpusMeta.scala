@@ -51,4 +51,14 @@ object CorpusMeta {
     */
   def benchShingleCount(spark: SparkSession, dir: String)(count: => Long): Long =
     benchShingles.getOrElseUpdate(key(dir, "documents"), count)
+
+  private val scalars = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Generic memoized Long-valued metadata aggregate, keyed by
+    * (tag, table path, parquet fingerprint). Same lifetime/fingerprint rules
+    * as the dedicated caches above; `tag` namespaces independent aggregates
+    * over the same table (e.g. q17's pair-mass estimate over lineitem).
+    */
+  def tableScalar(dir: String, table: String, tag: String)(compute: => Long): Long =
+    scalars.getOrElseUpdate(s"$tag:${key(dir, table)}", compute)
 }

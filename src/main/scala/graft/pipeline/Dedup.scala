@@ -41,6 +41,19 @@ object Dedup {
     */
   private[pipeline] val ShingleDfCap = 4096
 
+  /** dd10 window: any run of this many words occurring more than once
+    * corpus-wide is removed at every occurrence AFTER the corpus-wide first
+    * (ordered by doc_id, then position) — the ExactSubstr rule of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499 §4.1), with the suffix array replaced by a rolling
+    * word-gram first-occurrence window, the shuffle-native way to get the
+    * same "keep one canonical copy of every long duplicated span" contract.
+    * 10 words ≈ their 50-token threshold scaled to this corpus's 10–99-word
+    * documents. Declared ABOVE `defs`, which interpolates it into the dd10
+    * oracle SQL at initialization (the minhashCtes ordering rule).
+    */
+  private[pipeline] val ExactSubstrGramWords = 10
+
   // MinHash machinery: h_j(s) = (a_j * H(s) + b_j) mod P over polynomial
   // shingle hashes, K permutations drawn from a fixed seed (deterministic
   // across runs). H(s) is the rolling 31-base hash mod 1e9+7
@@ -461,6 +474,46 @@ object Dedup {
           when(row_number().over(wOrd) === 1, 1L).otherwise(0L).as("keep"))
         .orderBy("doc_id")
     },
+
+    // ----- dd10: exact substring dedup — the ExactSubstr rule of Lee et al.
+    // (arXiv:2107.06499): every 10-word run that occurs more than once
+    // corpus-wide is removed at each occurrence after the corpus-wide first
+    // (doc_id, position order); overlapping hits merge into maximal spans.
+    // Complements dd01 (whole-doc exact) and dd02/dd06 (whole-doc near):
+    // this is the only operator that removes PARTIAL duplication — shared
+    // boilerplate inside otherwise-unique documents. The md5 of each
+    // scrubbed document is the oracle witness that both engines removed
+    // exactly the same spans. Scale posture at exactSubstringDedup's doc.
+    QueryDef.sql(
+      "dd10_exact_substring",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |g AS (SELECT doc_id,
+         |    unnest(generate_series(0, len(words) - $ExactSubstrGramWords)) AS pos,
+         |    unnest(list_transform(generate_series(0, len(words) - $ExactSubstrGramWords),
+         |      i -> array_to_string(words[i+1 : i+$ExactSubstrGramWords], ' '))) AS gram
+         |  FROM w WHERE len(words) >= $ExactSubstrGramWords),
+         |rk AS (SELECT doc_id, pos,
+         |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |  FROM g),
+         |cov AS (SELECT DISTINCT doc_id, cpos FROM (
+         |  SELECT doc_id, unnest(generate_series(pos, pos + ${ExactSubstrGramWords - 1})) AS cpos
+         |  FROM rk WHERE rn > 1)),
+         |wp AS (SELECT doc_id,
+         |    unnest(generate_series(0, len(words) - 1)) AS pos,
+         |    unnest(words) AS word
+         |  FROM w),
+         |kept AS (SELECT wp.doc_id, wp.pos, wp.word
+         |  FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.cpos
+         |  WHERE cov.cpos IS NULL),
+         |n AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w)
+         |SELECT n.doc_id, n.n_words,
+         |  CAST(n.n_words - COUNT(k.pos) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(k.word, ' ' ORDER BY k.pos), '')) AS cleaned_md5
+         |FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id
+         |GROUP BY n.doc_id, n.n_words ORDER BY n.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      exactSubstringDedup(Tables(spark, dir).documents)
+    },
   )
 
   /** DuckDB CTE chain reconstructing [[minhashPairs]] bit-for-bit: shingles
@@ -493,6 +546,42 @@ object Dedup {
        |mest AS (SELECT c.doc_a, c.doc_b,
        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), x -> x[1] = x[2])) AS DOUBLE) / $K AS est_jaccard
        |  FROM mcand c JOIN msgl sa ON sa.doc_id = c.doc_a JOIN msgl sb ON sb.doc_id = c.doc_b)""".stripMargin
+  }
+
+  /** dd10's core over any `(doc_id, text)` frame (shared with DedupSpec's
+    * planted-duplicate cases). Overlapping duplicated grams merge naturally:
+    * a covered position is covered once (collect_set), so any maximal
+    * duplicated span ≥ L words is removed wholesale.
+    *
+    * 100 TB shape: all word-level work (gram build, final filter/reassembly)
+    * is map-side lambdas over the per-doc array; the two shuffles are the
+    * gram first-occurrence window (partition size tracks per-gram duplicate
+    * count — the dd09 posture; key by xxhash64(gram) in production to cut
+    * shuffle bytes) and a per-doc covered-position set whose volume is
+    * ≤ L × duplicated-instance count, joined back onto the one-row-per-doc
+    * frame. Nothing is quadratic; everything tracks corpus size and
+    * duplicate density.
+    */
+  def exactSubstringDedup(docs: DataFrame): DataFrame = {
+    val L = ExactSubstrGramWords
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+    val grams = w.filter(size(col("words")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(words) - $L), i -> array_join(slice(words, i + 1, $L), ' '))"))
+        .as(Seq("pos", "gram")))
+    val rk = grams.withColumn("rn",
+      row_number().over(Window.partitionBy("gram").orderBy("doc_id", "pos")))
+    val covered = rk.filter(col("rn") > 1)
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${L - 1})")).as("cpos"))
+      .groupBy("doc_id").agg(collect_set("cpos").as("cov"))
+    val cov = coalesce(col("cov"), typedLit(Array.empty[Int]))
+    w.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(filter(col("words"), (_, i) => !array_contains(cov, i)), " ")
+          .cast("binary")).as("cleaned_md5"))
+      .orderBy("doc_id")
   }
 
   /** Exact dedup verdict per document (shared with the dd01 entry and tests). */

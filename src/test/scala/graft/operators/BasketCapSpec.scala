@@ -60,4 +60,44 @@ class BasketCapSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$p")
     }
   }
+
+  test("q17 pair-mass estimate upper-bounds the exact capped pair mass") {
+    registerViews()
+    val ub = Analytics.q17PairMassUpperBound(spark, sf())
+    // exact mass from the capped DISTINCT baskets (what the pair join emits)
+    val exact = spark.sql(
+      s"""SELECT SUM(c * (c - 1)) DIV 2 FROM (
+         |  SELECT user_id, LEAST(COUNT(DISTINCT part_id), ${Analytics.BasketCapPerUser}) AS c
+         |  FROM (SELECT o_custkey AS user_id, l_partkey AS part_id
+         |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |  GROUP BY user_id)""".stripMargin).head.getLong(0)
+    assert(exact > 0, "test data produced no pairs")
+    assert(ub >= exact, s"upper bound $ub below exact mass $exact")
+    // raw-count bound stays in the same decade at this (replicated-TPCH)
+    // duplication level — a 100× overshoot would defeat the sizing's point
+    assert(ub <= exact * 20, s"bound $ub uselessly loose vs $exact")
+  }
+
+  test("q17 raises the AQE initial partition count per its pair mass, never lowers") {
+    registerViews()
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val mass = Analytics.q17PairMassUpperBound(spark, sf())
+    try {
+      // groups-per-reducer = 1 makes the tiny sf0.001 mass demand >4
+      // partitions, proving the raise fires
+      spark.conf.set(Analytics.PairGroupsPerReducerKey, "1")
+      spark.conf.set(initKey, "4")
+      Catalog.byName("q17_product_affinity").build(spark, sf())
+      assert(spark.conf.get(initKey).toInt == math.min(1024L, mass).toInt)
+      // and with the default 1M groups/reducer the tiny mass demands 0 —
+      // the session default must be left alone (never lowered)
+      spark.conf.unset(Analytics.PairGroupsPerReducerKey)
+      spark.conf.set(initKey, "4")
+      Catalog.byName("q17_product_affinity").build(spark, sf())
+      assert(spark.conf.get(initKey).toInt == 4)
+    } finally {
+      spark.conf.unset(Analytics.PairGroupsPerReducerKey)
+      spark.conf.unset(initKey)
+    }
+  }
 }

@@ -135,6 +135,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exact-substring dedup removes planted duplicated spans, keeps the first copy") {
+    import spark.implicits._
+    // doc 1 owns a 12-word span; doc 2 embeds the same span mid-document;
+    // doc 3 is unique; doc 4 repeats a 10-word span WITHIN itself.
+    val span = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val selfSpan = (1 to 10).map(i => s"self$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"one two three $span four"),
+      (3L, "totally unique words here nothing shared at all in this"),
+      (4L, s"$selfSpan middle $selfSpan"),
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactSubstringDedup(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == (15L, 0L), "first (canonical) copy must keep everything")
+    // doc 2: all 12 span words covered (each inside some duplicated 10-gram)
+    assert(r(2L) == (16L, 12L), s"embedded copy loses exactly the span: ${r(2L)}")
+    assert(r(3L) == (10L, 0L))
+    // doc 4: the second self-repeat (10 words) goes, the first stays
+    assert(r(4L) == (21L, 10L), s"intra-doc repeat: ${r(4L)}")
+    // scrubbed doc 2 equals its own words minus the span, in order
+    val md5Doc2 = Dedup.exactSubstringDedup(docs)
+      .filter(col("doc_id") === 2L).select("cleaned_md5").head.getString(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("one two three four".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md5Doc2 == expected)
+  }
+
   test("minhash signature length and determinism") {
     val docs = Tables(spark, sf()).documents.limit(5)
     val hashes = docs.select(col("doc_id"),
