@@ -49,6 +49,12 @@ import org.apache.spark.sql.SparkSession
   * post-aggregation on per-doc arrays. Both are below kernel-worthy cost at
   * every measured scale; the segmenter is the first candidate if dd09 ever
   * tops a profile.
+  *
+  * Round-9 audit: dd10 flags lambdafunction — the rolling 10-gram build
+  * (≈ words slice+join evals per doc, the dd09 segmenter class: linear in
+  * text, vocab-free) and the kept-word indexed filter, which runs on per-doc
+  * arrays after the covered-set join. Same cost class and same kernel-
+  * upgrade path as dd09's two lambdas.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
