@@ -25,6 +25,8 @@ object Similarity {
   // interpolates them at val-init time; declared later they'd read 0)
   private val PqM = 8   // subspaces
   private val PqK = 16  // codebook entries per subspace (seeds: vec_id < PqK)
+  // ann08: ADC shortlist size per query before the exact rerank
+  private[pipeline] val RerankShortlist = 50
 
   // L hash tables × up-to-HMax hyperplanes. Components are Rademacher ±1
   // signs (sign random projection — spherically unbiased for cosine LSH, like
@@ -125,6 +127,47 @@ object Similarity {
        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s1, v) -> s1 + v))
        |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($b,
        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s1, v) -> s1 + v)))""".stripMargin
+
+  /** Shared oracle CTE chain for ann07/ann08: PQ train → encode → per-query
+    * LUT → ADC scores (`sc`) → approx rank (`r`, no rank filter — ann07 takes
+    * rnk ≤ 10, ann08 shortlists rnk ≤ [[RerankShortlist]]). Declared before
+    * `defs`, which interpolates it at val-init time.
+    */
+  private lazy val pqScoreCtes =
+    s"""sub AS (
+       |  SELECT vec_id, g.m, embedding[g.m*8+1 : g.m*8+8] AS sv
+       |  FROM embeddings, generate_series(0, 7) g(m)),
+       |seeds AS (SELECT m, vec_id AS cluster, sv AS centroid FROM sub WHERE vec_id < $PqK),
+       |a0 AS (SELECT s.vec_id, s.m, c.cluster, s.sv,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${ssqSql("s.sv")} + ${ssqSql("c.centroid")}
+       |        - 2 * ${dotSql("s.sv", "c.centroid")} ASC, c.cluster) AS rn
+       |  FROM sub s JOIN seeds c USING (m)),
+       |cd AS (SELECT m, cluster,
+       |    unnest(generate_series(1, len(sv))) AS dim,
+       |    unnest(list_transform(sv, x -> CAST(x AS DOUBLE))) AS v
+       |  FROM a0 WHERE rn = 1),
+       |cent1 AS (SELECT m, cluster, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+       |  FROM (SELECT m, cluster, dim, AVG(v) AS c FROM cd GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2),
+       |enc AS (SELECT vec_id, m, cluster AS code FROM (
+       |  SELECT s.vec_id, s.m, c.cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${ssqSql("s.sv")} + ${ssqSql("c.centroid")}
+       |        - 2 * ${dotSql("s.sv", "c.centroid")} ASC, c.cluster) AS rn
+       |  FROM sub s JOIN cent1 c USING (m)) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS qid, q.m, c.cluster AS code,
+       |    ${dotSql("q.sv", "c.centroid")} AS v
+       |  FROM sub q JOIN cent1 c USING (m) WHERE q.vec_id < $NumQueries),
+       |sc AS (SELECT l.qid, e.vec_id AS nid,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.v ORDER BY l.m)),
+       |      (s1, v) -> s1 + v) AS approx_dot
+       |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+       |  WHERE e.vec_id <> l.qid
+       |  GROUP BY 1, 2),
+       |r AS (SELECT qid, nid, approx_dot,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY approx_dot DESC, nid) AS BIGINT) AS rnk FROM sc)""".stripMargin
 
   /** (vec_id, table_id, bucket) — one row per vector per hash table; bucket
     * is the leading `h` bits of the HMax-bit signature (see the adaptive
@@ -388,43 +431,41 @@ object Similarity {
     // code table (8 bytes/vector resident), which is the whole point of PQ.
     QueryDef.sql(
       "ann07_pq_topk",
-      s"""WITH sub AS (
-         |  SELECT vec_id, g.m, embedding[g.m*8+1 : g.m*8+8] AS sv
-         |  FROM embeddings, generate_series(0, 7) g(m)),
-         |seeds AS (SELECT m, vec_id AS cluster, sv AS centroid FROM sub WHERE vec_id < $PqK),
-         |a0 AS (SELECT s.vec_id, s.m, c.cluster, s.sv,
-         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-         |      ORDER BY ${ssqSql("s.sv")} + ${ssqSql("c.centroid")}
-         |        - 2 * ${dotSql("s.sv", "c.centroid")} ASC, c.cluster) AS rn
-         |  FROM sub s JOIN seeds c USING (m)),
-         |cd AS (SELECT m, cluster,
-         |    unnest(generate_series(1, len(sv))) AS dim,
-         |    unnest(list_transform(sv, x -> CAST(x AS DOUBLE))) AS v
-         |  FROM a0 WHERE rn = 1),
-         |cent1 AS (SELECT m, cluster, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
-         |  FROM (SELECT m, cluster, dim, AVG(v) AS c FROM cd GROUP BY 1, 2, 3)
-         |  GROUP BY 1, 2),
-         |enc AS (SELECT vec_id, m, cluster AS code FROM (
-         |  SELECT s.vec_id, s.m, c.cluster,
-         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-         |      ORDER BY ${ssqSql("s.sv")} + ${ssqSql("c.centroid")}
-         |        - 2 * ${dotSql("s.sv", "c.centroid")} ASC, c.cluster) AS rn
-         |  FROM sub s JOIN cent1 c USING (m)) WHERE rn = 1),
-         |lut AS (SELECT q.vec_id AS qid, q.m, c.cluster AS code,
-         |    ${dotSql("q.sv", "c.centroid")} AS v
-         |  FROM sub q JOIN cent1 c USING (m) WHERE q.vec_id < $NumQueries),
-         |sc AS (SELECT l.qid, e.vec_id AS nid,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.v ORDER BY l.m)),
-         |      (s1, v) -> s1 + v) AS approx_dot
-         |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
-         |  WHERE e.vec_id <> l.qid
-         |  GROUP BY 1, 2),
-         |r AS (SELECT qid, nid, approx_dot,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY approx_dot DESC, nid) AS BIGINT) AS rnk FROM sc)
+      s"""WITH $pqScoreCtes
          |SELECT qid, rnk, nid, approx_dot FROM r WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin,
     ) { (spark, dir) => pqTopK(spark, dir) },
+
+    // ----- ann08: two-stage retrieval — the PQ shortlist (top-$RerankShortlist
+    // by ADC score, ann07's chain) re-ranked by EXACT cosine over the raw
+    // vectors, emitting top-10. This is the production billion-scale pattern
+    // (IVF-PQ memory side + rerank from storage, Jégou et al. 2011 §VI;
+    // DiskANN-style refinement): the approximate index whittles the corpus to
+    // R candidates per query, and the expensive exact math touches ONLY
+    // |Q|×R rows — never the corpus.
+    //
+    // 100 TB shape: the shortlist (|Q|×R keys) is broadcast; fetching raw
+    // vectors for it is one map-side semi-join against the vector store (at
+    // production scale, point lookups into a bucketed-by-vec_id table), and
+    // the rerank itself is |Q|×R cosines — constant per query regardless of
+    // corpus size. Recall lifts toward exact because ADC quantization error
+    // only has to keep a true neighbor inside the top-R, not the top-10
+    // (SimilaritySpec pins rerank recall ≥ PQ-only recall).
+    QueryDef.sql(
+      "ann08_pq_rerank",
+      s"""WITH $pqScoreCtes,
+         |short AS (SELECT qid, nid FROM r WHERE rnk <= $RerankShortlist),
+         |ex AS (SELECT s.qid, s.nid,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cosine
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.qid
+         |  JOIN embeddings n ON n.vec_id = s.nid),
+         |rr AS (SELECT qid, nid, cosine,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) AS BIGINT) AS rnk FROM ex)
+         |SELECT qid, rnk, nid, cosine FROM rr WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+    ) { (spark, dir) => pqRerankTopK(spark, dir) },
   )
 
   /** rp01's ±1f sign row for projected dim `j`: parity of the first hex
@@ -472,7 +513,11 @@ object Similarity {
       .select("vec_id", "m", "cluster", "sv")
   }
 
-  private def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** (qid, nid, approx_dot, rnk) — the ADC score table behind ann07/ann08,
+    * ranked per query by (approx_dot DESC, nid). No rank filter here: ann07
+    * takes rnk ≤ 10, ann08 shortlists rnk ≤ [[RerankShortlist]].
+    */
+  private def pqScores(spark: SparkSession, dir: String): DataFrame = {
     val sub = pqSub(Tables(spark, dir).embeddings).localCheckpoint(true)
     val seeds = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cluster"), col("sv").as("centroid"))
@@ -500,8 +545,34 @@ object Similarity {
       .groupBy(col("qid"), col("vec_id").as("nid"))
       .agg(folded.as("approx_dot"))
       .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  private def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqScores(spark, dir)
       .filter(col("rnk") <= 10)
       .select("qid", "rnk", "nid", "approx_dot")
+      .orderBy("qid", "rnk")
+
+  /** ann08: exact-cosine rerank of the per-query ADC top-[[RerankShortlist]].
+    * The shortlist (|Q|×R keys) is broadcast, so the raw-vector fetch is a
+    * map-side join against the corpus — the only corpus-wide work is ann07's
+    * encode pass, shared unchanged.
+    */
+  private def pqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val short = pqScores(spark, dir)
+      .filter(col("rnk") <= RerankShortlist)
+      .select("qid", "nid")
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val nv = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    broadcast(short.join(broadcast(qv), Seq("qid")))
+      .join(nv, Seq("nid"))
+      .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("qid", "rnk", "nid", "cosine")
       .orderBy("qid", "rnk")
   }
 

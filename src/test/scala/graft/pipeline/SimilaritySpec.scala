@@ -107,4 +107,33 @@ class SimilaritySpec extends SparkSpec {
     val hits = r.count(x => bf.contains((x.getLong(0), x.getLong(2))))
     assert(hits > 0, "PQ top-10 shares no neighbor with exact top-10")
   }
+
+  test("ann08 rerank: exact cosines, recall >= PQ-only, and ranking == brute order on its shortlist") {
+    val rr = rows("ann08_pq_rerank")
+    val byQ = rr.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val cos = sorted.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      // rerank scores are true cosines, so range-bounded (unlike ADC dots)
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+    val bf = rows("ann01_topk_bruteforce")
+    val bfSet = bf.map(x => (x.getLong(0), x.getLong(2))).toSet
+    val pqHits = rows("ann07_pq_topk").count(x => bfSet.contains((x.getLong(0), x.getLong(2))))
+    val rrHits = rr.count(x => bfSet.contains((x.getLong(0), x.getLong(2))))
+    // the exact rerank only has to keep a true neighbor inside the top-R
+    // shortlist, not the ADC top-10 — recall can only go up
+    assert(rrHits >= pqHits, s"rerank recall $rrHits fell below PQ-only $pqHits")
+    // semantic pin: where ann08 returns a (qid, nid) that brute also ranked,
+    // the exact cosines must agree bit-for-bit (same kernel, same fold)
+    val bfCos = bf.map(x => (x.getLong(0), x.getLong(2)) -> x.getDouble(3)).toMap
+    rr.foreach { x =>
+      bfCos.get((x.getLong(0), x.getLong(2))).foreach { c =>
+        assert(c == x.getDouble(3), s"cosine mismatch vs brute for ${(x.getLong(0), x.getLong(2))}")
+      }
+    }
+  }
 }
