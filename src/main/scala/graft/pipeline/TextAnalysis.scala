@@ -231,6 +231,61 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ----- tx08: per-source vocabulary audit — the "know your data" table a
+    // curation pipeline publishes per domain before mixing (docs, tokens,
+    // distinct terms, hapax legomena, type-token ratio, dominant term and its
+    // share). Complements tx06 (corpus-wide top terms): this is grouped by
+    // provenance, the grain mixture weighting (mx01) and per-domain quality
+    // review operate at.
+    //
+    // 100 TB shape: one shuffle keyed (source, term) with map-side partial
+    // counts — per-reducer state is bounded by VOCABULARY, not corpus; the
+    // second stage and the top-term window run over per-(source, term) rows,
+    // already vocabulary-sized. No corpus-sized window, no driver collect.
+    QueryDef.sql(
+      "tx08_vocab_audit",
+      """WITH w AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |pt AS (SELECT source, term, COUNT(*) AS n FROM w GROUP BY 1, 2),
+        |top AS (SELECT source, term AS top_term, n AS top_n,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term) AS rn
+        |  FROM pt),
+        |ag AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tokens,
+        |    COUNT(*) AS distinct_terms,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms
+        |  FROM pt GROUP BY 1),
+        |d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT d.source, d.n_docs, ag.tokens, ag.distinct_terms, ag.hapax_terms,
+        |  CAST(ag.distinct_terms AS DOUBLE) / ag.tokens AS type_token_ratio,
+        |  t.top_term,
+        |  CAST(t.top_n AS DOUBLE) / ag.tokens AS top_term_share
+        |FROM d JOIN ag USING (source) JOIN top t USING (source)
+        |WHERE t.rn = 1 ORDER BY d.source""".stripMargin,
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val pt = docs
+        .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      val top = pt
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(desc("n"), asc("term"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("term").as("top_term"), col("n").as("top_n"))
+      val ag = pt.groupBy("source").agg(
+        sum("n").cast("long").as("tokens"),
+        count(lit(1)).as("distinct_terms"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_terms"))
+      val d = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      d.join(ag, Seq("source")).join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("tokens"), col("distinct_terms"),
+          col("hapax_terms"),
+          (col("distinct_terms").cast("double") / col("tokens")).as("type_token_ratio"),
+          col("top_term"),
+          (col("top_n").cast("double") / col("tokens")).as("top_term_share"))
+        .orderBy("source")
+    },
+
     // ----- tx04: document fingerprinting — polynomial rolling hash over the
     // character stream, exact BIGINT arithmetic mod 1e9+7 (bit-identical in
     // any engine; groups exact duplicates without comparing full texts).

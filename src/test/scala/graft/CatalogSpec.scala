@@ -30,6 +30,23 @@ class CatalogSpec extends SparkSpec {
     assert(v <= users && c <= users && p <= users)
   }
 
+  test("tx08 vocab audit: counting identities hold per source") {
+    val rows = Catalog.byName("tx08_vocab_audit").build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length, "duplicate source rows")
+    rows.foreach { r =>
+      val (docs, tokens, distinct, hapax) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(docs > 0 && tokens >= distinct && distinct >= hapax && hapax >= 0,
+        s"counting identity broken for ${r.getString(0)}: $r")
+      val ttr = r.getDouble(5)
+      assert(ttr > 0 && ttr <= 1.0 && math.abs(ttr - distinct.toDouble / tokens) < 1e-12)
+      val topShare = r.getDouble(7)
+      // the modal term's share can't be below the uniform floor 1/distinct
+      assert(topShare >= 1.0 / distinct && topShare <= 1.0)
+    }
+  }
+
   test("re-aggregation of the MV rollup equals direct aggregation (A13 invariant)") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sf())
