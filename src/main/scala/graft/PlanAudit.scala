@@ -55,6 +55,12 @@ import org.apache.spark.sql.SparkSession
   * text, vocab-free) and the kept-word indexed filter, which runs on per-doc
   * arrays after the covered-set join. Same cost class and same kernel-
   * upgrade path as dd09's two lambdas.
+  *
+  * ann08 flags SinglePartition — both hits are inside Spark's OWN runtime
+  * bloom-filter pushdown (InjectRuntimeFilter's bloom_filter_agg): a scalar
+  * partial+final aggregate whose final merge is single-partition by
+  * definition and whose input is per-task bloom buffers, not data rows.
+  * Optimizer-injected, metadata-scale, benign.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -70,8 +76,17 @@ object PlanAudit {
     // occurrences must move to codegen kernels (graft.functions.*)
     val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition",
       "lambdafunction")
+    // per-job shuffle-sizing raises (q17) reset before each entry, as in
+    // Bench/Verify — benign at audit scale (the raise needs sf3-sized mass)
+    // but audits at any sfDir must see each entry's own conf
+    val initPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val initPartsDefault = spark.conf.getOption(initPartsKey)
     Catalog.all.foreach { d =>
       try {
+        initPartsDefault match {
+          case Some(v) => spark.conf.set(initPartsKey, v)
+          case None => spark.conf.unset(initPartsKey)
+        }
         val plan = d.build(spark, sfDir).queryExecution.executedPlan.toString
         val hits = flags.filter(plan.contains)
         if (hits.nonEmpty) println(s"[audit] ${d.name}: ${hits.mkString(", ")}")
