@@ -43,6 +43,32 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).cast("array<float>").as("centroid"))
 
+  /** Shared oracle CTE chain for km01 (and mx02's cluster grouping): the
+    * one-Lloyd-round assignment, ending in `asg(vec_id, cluster BIGINT,
+    * ccos)` — the SQL twin of [[kmeansAssign]].
+    */
+  private[pipeline] lazy val km01Ctes =
+    s"""cent0 AS (SELECT vec_id AS cluster, embedding AS centroid
+       |  FROM embeddings WHERE vec_id < $K),
+       |s1 AS (SELECT e.vec_id, e.embedding, c.cluster,
+       |    ${Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
+       |  FROM embeddings e, cent0 c),
+       |a1 AS (SELECT vec_id, embedding, cluster FROM (
+       |    SELECT vec_id, embedding, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+       |    FROM s1) WHERE rn = 1),
+       |dim1 AS (SELECT cluster, t.d, AVG(CAST(embedding[t.d] AS DOUBLE)) AS c
+       |  FROM a1, generate_series(1, 64) t(d) GROUP BY 1, 2),
+       |cent1 AS (SELECT cluster, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid
+       |  FROM dim1 GROUP BY 1),
+       |s2 AS (SELECT e.vec_id, c.cluster,
+       |    ${Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
+       |  FROM embeddings e, cent1 c),
+       |asg AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, ccos FROM (
+       |  SELECT vec_id, cluster, ccos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
+       |  FROM s2) WHERE rn = 1)""".stripMargin
+
   /** One Lloyd iteration from deterministic seeds, then the final assignment:
     * (vec_id, cluster, cosine). More iterations = more calls to
     * assign/recompute in the driver loop; one is enough to oracle-check the
@@ -158,26 +184,8 @@ object Clustering {
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "km01_kmeans_assign",
-      s"""WITH cent0 AS (SELECT vec_id AS cluster, embedding AS centroid
-         |  FROM embeddings WHERE vec_id < $K),
-         |s1 AS (SELECT e.vec_id, e.embedding, c.cluster,
-         |    ${Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
-         |  FROM embeddings e, cent0 c),
-         |a1 AS (SELECT vec_id, embedding, cluster FROM (
-         |    SELECT vec_id, embedding, cluster,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
-         |    FROM s1) WHERE rn = 1),
-         |dim1 AS (SELECT cluster, t.d, AVG(CAST(embedding[t.d] AS DOUBLE)) AS c
-         |  FROM a1, generate_series(1, 64) t(d) GROUP BY 1, 2),
-         |cent1 AS (SELECT cluster, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid
-         |  FROM dim1 GROUP BY 1),
-         |s2 AS (SELECT e.vec_id, c.cluster,
-         |    ${Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
-         |  FROM embeddings e, cent1 c)
-         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, ccos AS cosine FROM (
-         |  SELECT vec_id, cluster, ccos,
-         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cluster) AS rn
-         |  FROM s2) WHERE rn = 1
+      s"""WITH $km01Ctes
+         |SELECT vec_id, cluster, ccos AS cosine FROM asg
          |ORDER BY vec_id""".stripMargin,
     ) { (spark, dir) => kmeansAssign(spark, dir) },
 

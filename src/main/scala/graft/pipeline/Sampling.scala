@@ -198,6 +198,80 @@ object Sampling {
         .orderBy("source")
     },
 
+    // ----- mx02: cluster-balanced mixture — mx01's temperature resampling
+    // (α = 0.5, weight ∝ √tokens) grouped by SEMANTIC cluster (km01's
+    // one-Lloyd-round assignment over the embeddings) instead of provenance.
+    // Flattens topic skew rather than source skew — the follow-up mixing
+    // step once SemDeDup-style clustering exists (source labels say where
+    // data came from; clusters say what it is). Selection is the same
+    // deterministic Knuth-hash permille gate, so the roster is reproducible
+    // on any engine.
+    //
+    // 100 TB shape: the assignment is km01's (linear: n·K cosines against
+    // broadcast centroids); doc↔vector is one id-keyed equi-join (bucketed
+    // storage co-locates it in production); everything after is per-cluster
+    // metadata (K rows) broadcast back over the corpus — no corpus-sized
+    // window, no driver collect.
+    QueryDef.sql(
+      "mx02_cluster_mixture",
+      s"""WITH ${Clustering.km01Ctes},
+         |d AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+         |dc AS (
+         |  SELECT d.doc_id, a.cluster, d.toks
+         |  FROM d JOIN asg a ON a.vec_id = d.doc_id),
+         |per AS (
+         |  SELECT cluster, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens
+         |  FROM dc GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY cluster)), (s1, v) -> s1 + v) AS sumw
+         |  FROM per),
+         |r AS (
+         |  SELECT per.cluster, per.docs, per.tokens,
+         |    LEAST(1000, CAST(FLOOR(500.0 * total_tokens
+         |      / (sumw * sqrt(CAST(tokens AS DOUBLE)))) AS BIGINT)) AS permille
+         |  FROM per, tot),
+         |s AS (
+         |  SELECT dc.cluster, COUNT(*) AS sampled_docs, CAST(SUM(dc.toks) AS BIGINT) AS sampled_tokens
+         |  FROM dc JOIN r ON dc.cluster = r.cluster
+         |  WHERE ((dc.doc_id * $KnuthA) % 1000 + 1000) % 1000 < r.permille
+         |  GROUP BY 1)
+         |SELECT r.cluster, r.docs, r.tokens, r.permille,
+         |  COALESCE(s.sampled_docs, 0) AS sampled_docs,
+         |  COALESCE(s.sampled_tokens, 0) AS sampled_tokens
+         |FROM r LEFT JOIN s ON r.cluster = s.cluster
+         |ORDER BY r.cluster""".stripMargin,
+    ) { (spark, dir) =>
+      val asg = Clustering.kmeansAssign(spark, dir).select(col("vec_id"), col("cluster"))
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), size(split(col("text"), " ")).as("toks"))
+      val dc = d.join(asg, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("cluster"), col("toks"))
+      val per = dc.groupBy("cluster")
+        .agg(count(lit(1)).as("docs"), sum("toks").cast("long").as("tokens"))
+      val tot = per.agg(
+        sum("tokens").cast("long").as("total_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("cluster"),
+            sqrt(col("tokens").cast("double")).as("w")))), x => x.getField("w")),
+          lit(0.0), (s, v) => s + v).as("sumw"))
+      val r = per.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("docs"), col("tokens"),
+          least(lit(1000L), floor(lit(500.0) * col("total_tokens")
+            / (col("sumw") * sqrt(col("tokens").cast("double")))).cast("long")).as("permille"))
+      val s = dc.join(broadcast(r.select("cluster", "permille")), "cluster")
+        .filter(bucket1000 < col("permille"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("sampled_docs"), sum("toks").cast("long").as("sampled_tokens"))
+      r.join(s, Seq("cluster"), "left")
+        .select(col("cluster"), col("docs"), col("tokens"), col("permille"),
+          coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+        .orderBy("cluster")
+    },
+
     // ----- sh01: deterministic epoch shuffle + round-robin sharding — the
     // final ordering stage of a training-data pipeline: every epoch the
     // corpus is re-ordered by a seeded hash (md5 of "ep<seed>:"+doc_id —

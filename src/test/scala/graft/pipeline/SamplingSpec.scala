@@ -42,4 +42,20 @@ class SamplingSpec extends SparkSpec {
     val permilles = r.map(_.getLong(3))
     assert(permilles.zip(permilles.tail).forall { case (small, big) => small >= big })
   }
+
+  test("mx02: grouped by km01's clusters, same bounds and anti-monotone rates as mx01") {
+    val r = rows("mx02_cluster_mixture")
+    assert(r.nonEmpty)
+    // cluster ids come from km01's assignment (seeds are vec_id < K)
+    val clusters = graft.pipeline.Clustering.kmeansAssign(spark, sf())
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(r.map(_.getLong(0)).toSet == clusters, "mixture rows != km01 cluster set")
+    r.foreach { x =>
+      val (docs, tokens, permille) = (x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(permille >= 1L && permille <= 1000L)
+      assert(x.getLong(4) <= docs && x.getLong(5) <= tokens)
+    }
+    val byTokens = r.sortBy(_.getLong(2)).map(_.getLong(3))
+    assert(byTokens.zip(byTokens.tail).forall { case (small, big) => small >= big })
+  }
 }
