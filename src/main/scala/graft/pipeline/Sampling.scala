@@ -212,6 +212,12 @@ object Sampling {
     // storage co-locates it in production); everything after is per-cluster
     // metadata (K rows) broadcast back over the corpus — no corpus-sized
     // window, no driver collect.
+    //
+    // doc_id = vec_id is the testdata's doc↔embedding association (1:1 at
+    // sf0.01); where the tables' cardinalities differ (sf0.1: 5 k docs, 2 k
+    // vectors) the inner join keeps exactly the embedded documents — the
+    // oracle replays the same join, so the roster is identical by
+    // construction at every scale.
     QueryDef.sql(
       "mx02_cluster_mixture",
       s"""WITH ${Clustering.km01Ctes},
