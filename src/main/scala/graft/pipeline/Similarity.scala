@@ -120,7 +120,7 @@ object Similarity {
   /** Sequential-fold cosine between two list expressions — the SQL twin of
     * [[VectorOps.cosine]] (identical left-to-right double fold).
     */
-  private[pipeline] def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (s1, v) -> s1 + v)
        |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a,

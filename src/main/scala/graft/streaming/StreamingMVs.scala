@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -62,6 +62,19 @@ object StreamingMVs {
       case _ => raw
     }
   }
+
+  /** The embeddings table as a micro-batch stream (st14's ingest path) —
+    * fixed schema, no timestamp column, so none of the events stream's
+    * nanos probing applies.
+    */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
 
   /** The daily-activity MV as a streaming aggregation (01:87–98 shape). */
   def dailyMvStream(spark: SparkSession, dir: String): DataFrame =
@@ -336,6 +349,73 @@ object StreamingMVs {
         .select(col("event_type"), col("total"), col("accepted"), col("rejected"),
           (col("accepted").cast("double") / col("total")).as("accept_rate"))
         .orderBy("event_type")
+    },
+
+    // ----- st14: streaming IVF routing — ANN index maintenance on the
+    // ingest path: each arriving vector is routed to its nearest index cell
+    // (the per-label centroids the batch IVF entries search), and the MV
+    // tracks per-cell occupancy and assignment-confidence bounds. The
+    // assignment is a STATELESS codegen expression — K FloatVec cosines
+    // against literal centroid rows folded into an argmax (rp01's
+    // literal-vector kernel pattern), so the streaming plan needs no join
+    // and no per-key state beyond the K-row aggregate; incremental must
+    // equal the batch recompute (st01's MV property).
+    //
+    // 100 TB shape: centroids are KB-scale driver literals (K×64 floats —
+    // the documented metadata-scale class, like Similarity.dimMeans);
+    // per-vector work is K codegen cosines map-side; aggregate state is K
+    // rows. min/max/count are order-independent, so the result is
+    // deterministic under any partitioning — no double-sum drift.
+    QueryDef.sql(
+      "st14_streaming_ivf_routing",
+      s"""WITH dimvals AS (
+         |  SELECT e.label, t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS c
+         |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1, 2),
+         |cent AS (SELECT label, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid
+         |  FROM dimvals GROUP BY 1),
+         |a AS (SELECT e.vec_id, c.label,
+         |    ${graft.pipeline.Similarity.cosSql("e.embedding", "c.centroid")} AS ccos
+         |  FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, label, ccos FROM (
+         |  SELECT a.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, label) AS r FROM a) WHERE r = 1)
+         |SELECT CAST(label AS BIGINT) AS cell, COUNT(*) AS n_assigned,
+         |  MIN(ccos) AS min_cos, MAX(ccos) AS max_cos,
+         |  CAST(SUM(CASE WHEN ccos < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS low_conf
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      // per-label double-avg→float centroids (km01's proven recipe), ordered
+      // by label ASC so the strict-> fold below keeps the LOWEST cell on
+      // exact cosine ties — the same tiebreak as the oracle's ROW_NUMBER
+      val cents: Array[(Int, Array[Float])] = Tables(spark, dir).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("label", "d").agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          x => x.getField("c")).cast("array<float>").as("centroid"))
+        .orderBy("label").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      require(cents.nonEmpty && cents.length <= 64,
+        s"st14 expects KB-scale cell count, got ${cents.length}")
+      val stream = embeddingsStream(spark, dir)
+      var bestCell: Column = lit(cents.head._1.toLong)
+      var bestCos: Column =
+        graft.pipeline.VectorOps.cosine(col("embedding"), typedLit(cents.head._2))
+      cents.tail.foreach { case (cellId, c) =>
+        val cos = graft.pipeline.VectorOps.cosine(col("embedding"), typedLit(c))
+        bestCell = when(cos > bestCos, lit(cellId.toLong)).otherwise(bestCell)
+        bestCos = when(cos > bestCos, cos).otherwise(bestCos)
+      }
+      val agg = stream
+        .select(bestCell.as("cell"), bestCos.as("ccos"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_assigned"),
+          min(col("ccos")).as("min_cos"), max(col("ccos")).as("max_cos"),
+          sum(when(col("ccos") < 0.9, 1L).otherwise(0L)).cast("long").as("low_conf"))
+      runComplete(spark, agg, s"st14_out_${math.abs(dir.hashCode)}")
+        .select(col("cell"), col("n_assigned"), col("min_cos"), col("max_cos"),
+          col("low_conf"))
+        .orderBy("cell")
     },
 
     // ----- st03: gap-based sessionization via session_window (ST6 — the

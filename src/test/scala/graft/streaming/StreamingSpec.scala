@@ -198,4 +198,37 @@ class StreamingSpec extends SparkSpec {
     val raw = graft.Tables(spark, sf()).events.count()
     assert(r.map(_.getLong(1)).sum == raw)
   }
+
+  test("st14: streaming IVF routing equals an independent batch window-argmax recompute") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = graft.Catalog.byName("st14_streaming_ivf_routing")
+      .build(spark, sf()).collect()
+    assert(streamed.nonEmpty)
+    // every vector routed exactly once
+    val e = graft.Tables(spark, sf()).embeddings
+    assert(streamed.map(_.getLong(1)).sum == e.count())
+    // independent batch formulation: crossJoin + window argmax (the entry
+    // uses a literal-centroid when() fold — this pins the tie-break match)
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        x => x.getField("c")).cast("array<float>").as("centroid"))
+      .select(col("label").as("cent_label"), col("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), asc("label"))
+    val batch = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_label").as("label"),
+        graft.pipeline.VectorOps.cosine(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .groupBy(col("label").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_assigned"),
+        min("ccos").as("min_cos"), max("ccos").as("max_cos"),
+        sum(when(col("ccos") < 0.9, 1L).otherwise(0L)).cast("long").as("low_conf"))
+      .collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+    assert(streamed.map(key).toSet == batch.map(key).toSet,
+      "incremental routing diverged from the batch recompute")
+  }
 }
