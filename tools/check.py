@@ -84,6 +84,14 @@ def check_one(sfdir, outdir, name, sql):
         print(f"FAIL {name}: no spark output")
         return False
     con = duckdb.connect()
+    # GRAFT_DUCKDB_MEMLIMIT (e.g. "80GB"): bound DuckDB's allocator and give
+    # it a spill dir instead of letting a huge oracle (dd03/dd06 at sf10)
+    # grow until malloc fails. Opt-in — default behavior matches the driver.
+    import os
+    lim = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+    if lim:
+        con.execute(f"SET memory_limit='{lim}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     try:
