@@ -27,6 +27,10 @@ object Similarity {
   private val PqK = 16  // codebook entries per subspace (seeds: vec_id < PqK)
   // ann08: ADC shortlist size per query before the exact rerank
   private[pipeline] val RerankShortlist = 50
+  // ann09: coarse cells probed per query (the nprobe knob; = ann05's count).
+  // Up here with the other PQ constants: defs' oracle strings interpolate
+  // them at val-init time — declared later they'd read 0.
+  private val IvfPqProbes = 2
 
   // L hash tables × up-to-HMax hyperplanes. Components are Rademacher ±1
   // signs (sign random projection — spherically unbiased for cosine LSH, like
@@ -466,6 +470,85 @@ object Similarity {
          |SELECT qid, rnk, nid, cosine FROM rr WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin,
     ) { (spark, dir) => pqRerankTopK(spark, dir) },
+
+    // ----- ann09: IVF-PQ with residual encoding (Jégou et al. 2011 §IV —
+    // IVFADC, the full billion-scale index): the coarse quantizer (ann03's
+    // per-label centroids) routes vectors to cells, the PQ codebooks (ann07's
+    // train recipe) quantize each vector's RESIDUAL from its cell centroid —
+    // residuals are far smaller in magnitude than raw vectors, so the same
+    // 8×16 codebook budget spends its precision where the coarse quantizer
+    // left error. Queries probe their 2 nearest cells; within a probed cell
+    // the query's own residual drives a per-(query, cell) LUT of subspace
+    // squared-L2 terms, summed over each vector's codes in subspace order
+    // (ADC) — approximate distance, ascending rank.
+    //
+    // 100 TB shape: the code table (8 B/vector + cell id) is the maintained
+    // index, bucketed by cell — exactly the cell structure st14 maintains on
+    // the ingest path; a query touches only probed cells' codes via the
+    // broadcast (query, cell) LUT join, never raw vectors or other cells.
+    // Codebooks and LUTs are KB-scale broadcasts; the only corpus-wide work
+    // is the one-off encode pass. Residual floats are bit-identical across
+    // engines (float subtraction of identical floats; centroids via the
+    // double-avg→float parity recipe), so every ADC double fold hash-matches.
+    QueryDef.sql(
+      "ann09_ivfpq_topk",
+      s"""WITH dimvals AS (
+         |  SELECT e.label, t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS c
+         |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1, 2),
+         |cent AS (SELECT label, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid
+         |  FROM dimvals GROUP BY 1),
+         |res AS (SELECT e.vec_id, e.label,
+         |    list_transform(list_zip(e.embedding, c.centroid), x -> x[1] - x[2]) AS resid
+         |  FROM embeddings e JOIN cent c USING (label)),
+         |sub AS (SELECT vec_id, label, g.m, resid[g.m*8+1 : g.m*8+8] AS sv
+         |  FROM res, generate_series(0, ${PqM - 1}) g(m)),
+         |seeds AS (SELECT m, vec_id AS cluster, sv AS centroid FROM sub WHERE vec_id < $PqK),
+         |a0 AS (SELECT s.vec_id, s.m, c.cluster, s.sv,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${ssqSql("s.sv")} + ${ssqSql("c.centroid")}
+         |        - 2 * ${dotSql("s.sv", "c.centroid")} ASC, c.cluster) AS rn
+         |  FROM sub s JOIN seeds c USING (m)),
+         |cd AS (SELECT m, cluster,
+         |    unnest(generate_series(1, len(sv))) AS dim,
+         |    unnest(list_transform(sv, x -> CAST(x AS DOUBLE))) AS v
+         |  FROM a0 WHERE rn = 1),
+         |cent1 AS (SELECT m, cluster, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+         |  FROM (SELECT m, cluster, dim, AVG(v) AS c FROM cd GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |enc AS (SELECT vec_id, label, m, cluster AS code FROM (
+         |  SELECT s.vec_id, s.label, s.m, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${ssqSql("s.sv")} + ${ssqSql("c.centroid")}
+         |        - 2 * ${dotSql("s.sv", "c.centroid")} ASC, c.cluster) AS rn
+         |  FROM sub s JOIN cent1 c USING (m)) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         |aq AS (SELECT q.qid, q.qe, c.label, c.centroid,
+         |    ${cosSql("q.qe", "c.centroid")} AS ccos
+         |  FROM q, cent c),
+         |probe AS (SELECT qid, label,
+         |    list_transform(list_zip(qe, centroid), x -> x[1] - x[2]) AS qr
+         |  FROM (SELECT aq.*, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ccos DESC, label) AS r FROM aq)
+         |  WHERE r <= $IvfPqProbes),
+         |qsub AS (SELECT qid, label, g.m, qr[g.m*8+1 : g.m*8+8] AS qsv
+         |  FROM probe, generate_series(0, ${PqM - 1}) g(m)),
+         |lut AS (SELECT s.qid, s.label, s.m, c.cluster AS code,
+         |    ${ssqSql("s.qsv")} + ${ssqSql("c.centroid")}
+         |      - 2 * ${dotSql("s.qsv", "c.centroid")} AS v
+         |  FROM qsub s JOIN cent1 c USING (m)),
+         |sc AS (SELECT l.qid, e.vec_id AS nid, e.label,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.v ORDER BY l.m)),
+         |      (s1, v) -> s1 + v) AS approx_d
+         |  FROM enc e JOIN lut l ON l.label = e.label AND l.m = e.m AND l.code = e.code
+         |  WHERE e.vec_id <> l.qid
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT qid, nid, label, approx_d,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY approx_d ASC, nid) AS BIGINT) AS rnk FROM sc)
+         |SELECT qid, rnk, nid, CAST(label AS BIGINT) AS probed_label, approx_d
+         |FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+    ) { (spark, dir) => ivfPqTopK(spark, dir) },
   )
 
   /** rp01's ±1f sign row for projected dim `j`: parity of the first hex
@@ -492,25 +575,47 @@ object Similarity {
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (s1, v) -> s1 + v)""".stripMargin
 
-  /** (id, m, sv): each vector split into PqM contiguous 8-dim subvectors. */
-  private def pqSub(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(expr(
-      s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m*8 + 1, 8))"))
-      .as(Seq("m", "sv")))
+  /** (id, m, sv[, keep...]): each vector split into PqM contiguous 8-dim
+    * subvectors; `vcol` names the array column (ann07 slices raw embeddings,
+    * ann09 slices residuals and carries the cell label through).
+    */
+  private def pqSub(e: DataFrame, vcol: String = "embedding",
+                    keep: Seq[String] = Nil): DataFrame =
+    e.select(col("vec_id") +: keep.map(col) :+ posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> slice($vcol, m*8 + 1, 8))"))
+      .as(Seq("m", "sv")): _*)
 
   /** Nearest codebook entry per (vector, subspace) by squared L2 — the
     * `|a|² + |c|² − 2·a·c` form keeps every term a deterministic sequential
     * fold (no sqrt round trip), matching the oracle op-for-op.
     */
-  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+  private def pqAssign(sub: DataFrame, cents: DataFrame,
+                       keep: Seq[String] = Nil): DataFrame = {
     val d = VectorOps.sumSq(col("sv")) + VectorOps.sumSq(col("centroid")) -
       lit(2.0) * VectorOps.dot(col("sv"), col("centroid"))
     val w = Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("cluster").asc)
     sub.join(broadcast(cents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cluster"), col("sv"), d.as("d"))
+      .select(col("vec_id") +: keep.map(col) :+ col("m") :+ col("cluster") :+
+        col("sv") :+ d.as("d"): _*)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("vec_id", "m", "cluster", "sv")
+      .select(("vec_id" +: keep :+ "m" :+ "cluster" :+ "sv").map(col): _*)
+  }
+
+  /** One Lloyd step over the subvector frame: seeds = the first [[PqK]]
+    * vectors' subvectors, assignment by squared L2, recompute as
+    * double-avg → float (km01's proven parity recipe). Shared by ann07/ann08
+    * (raw subvectors) and ann09 (residual subvectors).
+    */
+  private def pqTrain(sub: DataFrame): DataFrame = {
+    val seeds = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("cluster"), col("sv").as("centroid"))
+    pqAssign(sub, seeds)
+      .select(col("m"), col("cluster"), posexplode(col("sv")).as(Seq("dim", "v")))
+      .groupBy("m", "cluster", "dim").agg(avg("v").as("c"))
+      .groupBy("m", "cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).cast("array<float>").as("centroid"))
   }
 
   /** (qid, nid, approx_dot, rnk) — the ADC score table behind ann07/ann08,
@@ -519,15 +624,8 @@ object Similarity {
     */
   private def pqScores(spark: SparkSession, dir: String): DataFrame = {
     val sub = pqSub(Tables(spark, dir).embeddings).localCheckpoint(true)
-    val seeds = sub.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").as("cluster"), col("sv").as("centroid"))
     // one Lloyd step: assign to seeds, recompute as double-avg → float
-    val cent1 = pqAssign(sub, seeds)
-      .select(col("m"), col("cluster"), posexplode(col("sv")).as(Seq("dim", "v")))
-      .groupBy("m", "cluster", "dim").agg(avg("v").as("c"))
-      .groupBy("m", "cluster")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        x => x.getField("c")).cast("array<float>").as("centroid"))
+    val cent1 = pqTrain(sub)
       .localCheckpoint(true) // feeds the encode pass AND the query LUT
     val enc = pqAssign(sub, cent1).select(col("vec_id"), col("m"), col("cluster").as("code"))
     val lut = sub.filter(col("vec_id") < NumQueries)
@@ -593,17 +691,22 @@ object Similarity {
       .select("qid", "rnk", "nid", "cosine")
   }
 
-  private def ivfTopK(spark: SparkSession, dir: String, probes: Int): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding"))).toDF("label", "dim", "v")
+  /** Per-label mean centroid (double avg → array<float>) — the IVF coarse
+    * quantizer shared by ann03/ann05 (probe + exact re-rank) and ann09
+    * (probe + residual-PQ ADC). The float cast matters: r1 passed the double
+    * array straight into the float-vector kernel and getFloat read garbage
+    * off 8-byte slots (caught by the kernel's type check).
+    */
+  private def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding"))).toDF("label", "dim", "v")
       .groupBy("label", "dim").agg(avg("v").as("c"))
       .groupBy("label")
-      // cast the double-avg centroid to array<float> for the float-vector
-      // kernel — r1 passed the double array straight in and getFloat read
-      // garbage off 8-byte slots (caught by the kernel's new type check)
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
         x => x.getField("c")).cast("array<float>").as("centroid"))
+
+  private def ivfTopK(spark: SparkSession, dir: String, probes: Int): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val centroids = labelCentroids(e)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
@@ -622,6 +725,58 @@ object Similarity {
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter(col("rnk") <= 10)
       .select("qid", "rnk", "nid", "probed_label", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
+  // ---- ann09 IVF-PQ: coarse cells + residual product quantization ----
+
+  /** IVF-PQ with residual encoding (Jégou et al. 2011 §IV, IVFADC): each
+    * vector's RESIDUAL from its coarse-cell centroid is product-quantized,
+    * queries probe their [[IvfPqProbes]] nearest cells and rank by ADC
+    * squared-L2 — Σ_m ‖(q−c)_m − codebook[m][code_m]‖², folded in subspace
+    * order, bit-identical to the oracle. Residuals are float subtractions of
+    * identical floats on both engines (centroids are the double-avg→float
+    * recipe), so every downstream double fold sees identical inputs.
+    */
+  private def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cent = labelCentroids(e).localCheckpoint(true) // residual pass + probing
+    val resid = e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("embedding"), col("centroid"), (a, b) => a - b).as("resid"))
+    val sub = pqSub(resid, "resid", Seq("label")).localCheckpoint(true)
+    val cent1 = pqTrain(sub).localCheckpoint(true) // encode pass + query LUTs
+    val enc = pqAssign(sub, cent1, keep = Seq("label"))
+      .select(col("vec_id"), col("label"), col("m"), col("cluster").as("code"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
+    val probed = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qe"), col("label"), col("centroid"),
+        VectorOps.cosine(col("qe"), col("centroid")).as("ccos"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= IvfPqProbes)
+      .select(col("qid"), col("label"),
+        zip_with(col("qe"), col("centroid"), (a, b) => a - b).as("qr"))
+    val qsub = probed.select(col("qid"), col("label"), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> slice(qr, m*8 + 1, 8))"))
+      .as(Seq("m", "qsv")))
+    val lut = qsub.join(broadcast(cent1), Seq("m"))
+      .select(col("qid"), col("label"), col("m"), col("cluster").as("code"),
+        (VectorOps.sumSq(col("qsv")) + VectorOps.sumSq(col("centroid")) -
+          lit(2.0) * VectorOps.dot(col("qsv"), col("centroid"))).as("v"))
+    val folded = aggregate(
+      transform(array_sort(collect_list(struct(col("m"), col("v")))), x => x.getField("v")),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("qid").orderBy(asc("approx_d"), asc("nid"))
+    enc.join(broadcast(lut), Seq("label", "m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"), col("label"))
+      .agg(folded.as("approx_d"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("rnk"), col("nid"),
+        col("label").cast("long").as("probed_label"), col("approx_d"))
       .orderBy("qid", "rnk")
   }
 }

@@ -136,4 +136,34 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("ann09 IVF-PQ: ranks well-formed, distances ascending, cells honest, probes bounded") {
+    val r = rows("ann09_ivfpq_topk")
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val d = sorted.map(_.getDouble(4))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, "ADC distance not ascending")
+      // each term is ‖x‖²+‖c‖²−2x·c — mathematically ≥ 0, fold rounding can
+      // only dip epsilon-negative
+      assert(d.forall(_ > -1e-9), "negative squared distance beyond rounding")
+      // nprobe=2: results may come from at most two cells
+      assert(rs.map(_.getLong(3)).distinct.length <= 2)
+    }
+    // cell honesty: the claimed probed_label must be the neighbor's own cell
+    val labels = graft.Tables(spark, sf()).embeddings
+      .select("vec_id", "label").collect()
+      .map(x => x.getLong(0) -> x.getInt(1).toLong).toMap
+    r.foreach { x =>
+      assert(labels(x.getLong(2)) == x.getLong(3),
+        s"nid ${x.getLong(2)} reported from cell ${x.getLong(3)}, lives in ${labels(x.getLong(2))}")
+    }
+    // the residual-coded approximation must overlap the exact ranking of the
+    // same probed candidate set (ann05 probes the identical 2 cells)
+    val exact = rows("ann05_ivf_probe2").map(x => (x.getLong(0), x.getLong(2))).toSet
+    assert(r.count(x => exact.contains((x.getLong(0), x.getLong(2)))) > 0,
+      "IVF-PQ top-10 shares nothing with the exact ranking of the same cells")
+  }
 }
