@@ -197,7 +197,22 @@ object Clustering {
     // set.
     QueryDef.sql(
       "sd01_semantic_dedup",
-      s"""WITH kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 512.0) AS BIGINT)) AS k
+      s"""WITH $sd01Ctes
+         |SELECT ff.vec_id, CAST(ff.cluster AS BIGINT) AS cluster,
+         |  COALESCE(st.n_dups, 0) AS n_dups, COALESCE(st.dom, 0) = 0 AS keep
+         |FROM ff LEFT JOIN st ON ff.vec_id = st.vec_id
+         |ORDER BY ff.vec_id""".stripMargin,
+    ) { (spark, dir) => semanticDedup(spark, dir) },
+  )
+
+  /** sd01's full oracle CTE chain — two-level adaptive-K clustering ending in
+    * `ff(vec_id, embedding, cluster, ccos)` (the fine assignment) and
+    * `st(vec_id, n_dups, dom)` (the within-cluster duplicate verdict; dom=1
+    * means a centroid-closer twin exists, i.e. this member drops). Shared
+    * with dd11's fused dedup-policy oracle.
+    */
+  private[pipeline] lazy val sd01Ctes =
+    s"""kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 512.0) AS BIGINT)) AS k
          |  FROM embeddings),
          |cc AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS c FROM kk),
          |cent0 AS (SELECT vec_id AS cluster, embedding AS centroid
@@ -238,11 +253,5 @@ object Clustering {
          |  WHERE pc >= 0.4),
          |st AS (SELECT vec_a AS vec_id, COUNT(*) AS n_dups,
          |    MAX(CASE WHEN cb < ca OR (cb = ca AND vec_b < vec_a) THEN 1 ELSE 0 END) AS dom
-         |  FROM p GROUP BY 1)
-         |SELECT ff.vec_id, CAST(ff.cluster AS BIGINT) AS cluster,
-         |  COALESCE(st.n_dups, 0) AS n_dups, COALESCE(st.dom, 0) = 0 AS keep
-         |FROM ff LEFT JOIN st ON ff.vec_id = st.vec_id
-         |ORDER BY ff.vec_id""".stripMargin,
-    ) { (spark, dir) => semanticDedup(spark, dir) },
-  )
+         |  FROM p GROUP BY 1)""".stripMargin
 }

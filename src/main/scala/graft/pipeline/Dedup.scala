@@ -514,6 +514,74 @@ object Dedup {
     ) { (spark, dir) =>
       exactSubstringDedup(Tables(spark, dir).documents)
     },
+
+    // ----- dd11: fused dedup policy — the single per-document verdict a
+    // production pipeline actually applies, with the standard precedence:
+    // exact copy (dd01, cheapest signal wins) > near-duplicate cluster loser
+    // (dd07's survivor rule over ts02's components) > semantic duplicate
+    // (sd01's SemDeDup drop, joined by the doc_id↔vec_id convention mx02
+    // documents; documents without an embedding skip the semantic stage).
+    // Running the three detectors as ONE roster catches precedence bugs the
+    // per-stage oracles can't (e.g. a semantic drop shadowing an exact keep).
+    //
+    // 100 TB shape: pure composition — each stage's verdict frame is keyed by
+    // doc_id, so the fusion is three doc_id-partitioned joins (one broadcast-
+    // sized: sd01's roster is bounded by the embedded subset); in production
+    // each stage's roster is materialized once and this join is the only new
+    // work. The entry deliberately recomputes the stages from their defs to
+    // keep the oracle self-contained (pp03's documented trade).
+    QueryDef.sql(
+      "dd11_dedup_policy",
+      s"""WITH ${graft.pipeline.SparseText.clusterCtes},
+         |${graft.pipeline.TextAnalysis.qualityCtes},
+         |${graft.pipeline.Clustering.sd01Ctes},
+         |ek AS (SELECT text, MIN(doc_id) AS keeper, COUNT(*) AS copies
+         |  FROM documents GROUP BY text),
+         |ex AS (SELECT d.doc_id,
+         |    CASE WHEN d.doc_id = k.keeper THEN 1 ELSE 0 END AS is_keeper, k.copies
+         |  FROM documents d JOIN ek k ON d.text = k.text),
+         |mem AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM (SELECT doc_id FROM documents) d LEFT JOIN cl c ON d.doc_id = c.doc_id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM mem GROUP BY 1),
+         |rk AS (SELECT m.doc_id, m.cluster_id,
+         |    ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+         |      ORDER BY q.quality_score DESC, m.doc_id) AS rn
+         |  FROM mem m JOIN qs q ON m.doc_id = q.doc_id),
+         |sem AS (SELECT ff.vec_id AS doc_id, COALESCE(st.n_dups, 0) AS semantic_dups,
+         |    COALESCE(st.dom, 0) AS sem_drop
+         |  FROM ff LEFT JOIN st ON ff.vec_id = st.vec_id)
+         |SELECT ex.doc_id,
+         |  CASE WHEN ex.is_keeper = 0 THEN 'exact'
+         |       WHEN rk.rn > 1 THEN 'near_dup'
+         |       WHEN COALESCE(sem.sem_drop, 0) = 1 THEN 'semantic'
+         |       ELSE 'kept' END AS verdict,
+         |  CAST(ex.copies AS BIGINT) AS exact_copies,
+         |  CAST(sz.cluster_size AS BIGINT) AS near_cluster_size,
+         |  CAST(COALESCE(sem.semantic_dups, 0) AS BIGINT) AS semantic_dups
+         |FROM ex
+         |JOIN rk ON ex.doc_id = rk.doc_id
+         |JOIN sz ON rk.cluster_id = sz.cluster_id
+         |LEFT JOIN sem ON ex.doc_id = sem.doc_id
+         |ORDER BY ex.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val exact = graft.Catalog.byName("dd01_exact_dedup").build(spark, dir)
+      val near = graft.Catalog.byName("dd07_dedup_survivors").build(spark, dir)
+        .select(col("doc_id"), col("cluster_size"), col("keep").as("near_keep"))
+      val sem = graft.Catalog.byName("sd01_semantic_dedup").build(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("n_dups").as("semantic_dups"),
+          col("keep").as("sem_keep"))
+      exact.join(near, "doc_id")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_keeper") === 0, "exact")
+            .when(col("near_keep") === 0, "near_dup")
+            .when(!coalesce(col("sem_keep"), lit(true)), "semantic")
+            .otherwise("kept").as("verdict"),
+          col("copies").as("exact_copies"),
+          col("cluster_size").as("near_cluster_size"),
+          coalesce(col("semantic_dups"), lit(0L)).as("semantic_dups"))
+        .orderBy("doc_id")
+    },
   )
 
   /** DuckDB CTE chain reconstructing [[minhashPairs]] bit-for-bit: shingles

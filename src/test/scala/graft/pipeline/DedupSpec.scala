@@ -173,4 +173,30 @@ class DedupSpec extends SparkSpec {
     assert(s1 == s2)
     s1.values.foreach(sig => assert(sig.length == 128))
   }
+
+  test("dd11 fused policy: verdicts equal the independent recombination of the three stages") {
+    val roster = Catalog.byName("dd11_dedup_policy").build(spark, sf()).collect()
+    assert(roster.length == Tables(spark, sf()).documents.count(),
+      "dd11 must emit a verdict for every document")
+    val exact = Catalog.byName("dd01_exact_dedup").build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) == 1L)).toMap
+    val near = Catalog.byName("dd07_dedup_survivors").build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4) == 1L)).toMap
+    val sem = Catalog.byName("sd01_semantic_dedup").build(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    roster.foreach { r =>
+      val id = r.getLong(0)
+      val expected =
+        if (!exact(id)) "exact"
+        else if (!near(id)) "near_dup"
+        else if (!sem.getOrElse(id, true)) "semantic"
+        else "kept"
+      assert(r.getString(1) == expected,
+        s"doc $id: policy says ${r.getString(1)}, stages recombine to $expected")
+    }
+    // the testdata plants near-dups and semantic twins; both drops must fire
+    val verdicts = roster.map(_.getString(1)).toSet
+    assert(verdicts.contains("near_dup") && verdicts.contains("semantic"),
+      s"expected near_dup and semantic drops in the roster, got $verdicts")
+  }
 }
