@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -397,12 +398,7 @@ object TextAnalysis {
          |va AS (SELECT w, COUNT(*) AS c FROM (
          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
          |tok AS (SELECT w, len(string_split(
-         |    ${(1 to DefaultMergeRounds).foldLeft("trim(regexp_replace(w, '(.)', '\\1 ', 'g'))") {
-              (acc, i) =>
-                s"""regexp_replace($acc,
-                   |      '\\b' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || '\\b',
-                   |      (SELECT a FROM b$i) || (SELECT b FROM b$i), 'g')""".stripMargin
-            }}, ' ')) AS t
+         |    $BpApplySql, ' ')) AS t
          |  FROM va),
          |dw AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w FROM documents)
          |SELECT doc_id,
@@ -430,6 +426,80 @@ object TextAnalysis {
           (first(col("n_chars")).cast("double") / sum("t").cast("long")).as("chars_per_token"))
         .orderBy("doc_id")
     },
+
+    // ----- ck02: token-aware sliding-window chunking — ck01's context-window
+    // prep re-measured in the unit that actually bounds a training example:
+    // LEARNED BPE tokens (bp02's merges), not whitespace words. Chunk k
+    // covers token offsets [k·$ChunkStride, k·$ChunkStride + $ChunkTokens);
+    // a word belongs to every chunk whose range contains its starting token
+    // offset, so chunks overlap by ${ChunkTokens - ChunkStride} tokens and
+    // words are never split (a boundary word counts fully in both chunks —
+    // word-granular windows, the md5 witnesses pin exactly which words).
+    //
+    // 100 TB shape: tokenization is vocab-bounded (each DISTINCT word
+    // tokenized once, bp03's pass); per-word token offsets are a running sum
+    // windowed BY DOCUMENT (partition size = doc length, never corpus-wide);
+    // the chunk explode is ≤ 2 rows/word (stride > half-window), and the
+    // final agg shuffles on (doc, chunk) — all partition sizes track
+    // document length, so the plan scales with corpus row count alone.
+    QueryDef.sql(
+      "ck02_token_chunking",
+      s"""WITH ${Bp02TrainCtes},
+         |va AS (SELECT w, COUNT(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1),
+         |tok AS (SELECT w, len(string_split(
+         |    $BpApplySql, ' ')) AS t
+         |  FROM va),
+         |dw AS (SELECT doc_id,
+         |    unnest(generate_series(0, len(words) - 1)) AS pos, unnest(words) AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+         |wt AS (SELECT d.doc_id, d.pos, d.w, tok.t FROM dw d JOIN tok USING (w)),
+         |so AS (SELECT doc_id, pos, w, t,
+         |    CAST(COALESCE(SUM(t) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+         |  FROM wt),
+         |ch AS (SELECT doc_id, pos, w, t,
+         |    unnest(generate_series(
+         |      CASE WHEN strt < $ChunkTokens THEN 0
+         |           ELSE (strt - $ChunkTokens) // $ChunkStride + 1 END,
+         |      strt // $ChunkStride)) AS k
+         |  FROM so)
+         |SELECT doc_id, CAST(k + 1 AS BIGINT) AS chunk_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+         |FROM ch GROUP BY doc_id, k
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    ) { (spark, dir) =>
+      val merges = trainMerges(spark, dir).map(m => (m._2, m._3))
+      val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+      val applied = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+        regexp_replace(acc, s"\\b$a $b\\b", a + b)
+      }
+      val tok = Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(col("w"), size(split(applied, " ")).as("t"))
+      val dw = Tables(spark, dir).documents
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val wBefore = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val so = dw.join(tok, "w")
+        .withColumn("strt", coalesce(sum("t").over(wBefore), lit(0)).cast("long"))
+      val kmin = when(col("strt") < ChunkTokens, lit(0L))
+        .otherwise(expr(s"(strt - $ChunkTokens) div $ChunkStride") + 1L)
+      val ch = so.withColumn("k",
+        explode(sequence(kmin, expr(s"strt div $ChunkStride"))))
+      ch.groupBy("doc_id", "k")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum("t").cast("long").as("n_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")), " ").cast("binary")).as("chunk_md5"))
+        .select(col("doc_id"), (col("k") + 1).cast("long").as("chunk_id"),
+          col("n_words"), col("n_tokens"), col("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
   )
 
   /** Number of BPE merge rounds for the bp02/bp03 catalog entries. A real
@@ -442,6 +512,13 @@ object TextAnalysis {
   // `final` without a type ascription = compile-time constant, inlined at
   // use sites — immune to the declared-after-`defs` init-order zero read
   private[pipeline] final val DefaultMergeRounds = 3
+
+  /** ck02 window: chunk size and stride in learned-BPE tokens (overlap =
+    * ChunkTokens − ChunkStride = 8). Stride > half-window keeps the chunk
+    * explode ≤ 2 rows per word. Compile-time constants (see above).
+    */
+  private[pipeline] final val ChunkTokens = 32
+  private[pipeline] final val ChunkStride = 24
 
   /** bp02's N-round training chain as oracle CTEs, ending in `b1`..`bN`
     * (one row each: the round's winning pair + count) — shared with bp03's
@@ -478,6 +555,19 @@ object TextAnalysis {
   // lazy: referenced by `defs`' oracle strings during object init (the
   // declared-later-reads-zero trap ann07's PqK hit)
   private lazy val Bp02TrainCtes: String = bp02TrainCtes(DefaultMergeRounds)
+
+  /** The SQL expression applying bp02's learned merges to a word column `w`
+    * (space the chars, then each round's `\ba b\b` replace in training
+    * order) — the oracle twin of [[trainMerges]]-driven tokenization.
+    * Shared by bp03's and ck02's oracles.
+    */
+  private lazy val BpApplySql: String =
+    (1 to DefaultMergeRounds).foldLeft("trim(regexp_replace(w, '(.)', '\\1 ', 'g'))") {
+      (acc, i) =>
+        s"""regexp_replace($acc,
+           |      '\\b' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || '\\b',
+           |      (SELECT a FROM b$i) || (SELECT b FROM b$i), 'g')""".stripMargin
+    }
 
   /** bp02's merge loop, shared with bp03's apply pass: `rounds` rounds of
     * (pair-count over the frequency-weighted vocab → argmax → merge).

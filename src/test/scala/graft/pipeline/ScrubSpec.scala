@@ -193,6 +193,42 @@ class ScrubSpec extends SparkSpec {
     }
   }
 
+  test("ck02: token-aware chunks match hand-computed windows on a toy corpus") {
+    import spark.implicits._
+    // "abab abc x" ×14 → 42 words; bp02's merges (ab, abab, abc) tokenize
+    // every word to exactly 1 token, so starts are 0..41. C=32, S=24:
+    // chunk 1 = starts [0,32) → 32 words; chunk 2 = starts [24,56) → 18
+    // words; words 24..31 sit in both (overlap = 8 = C − S).
+    val words = Seq.fill(14)(Seq("abab", "abc", "x")).flatten
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ck02").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Catalog.byName("ck02_token_chunking").build(spark, dir).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.toSeq == Seq(
+      (1L, 32L, 32L, md5hex(words.take(32).mkString(" "))),
+      (2L, 18L, 18L, md5hex(words.slice(24, 42).mkString(" ")))))
+  }
+
+  test("ck02: real-corpus chunks are contiguous, bounded, and cover every doc's tokens") {
+    val chunks = rows("ck02_token_chunking")
+    val totals = rows("bp03_bpe_tokenize")
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == totals.keySet, "every document must be chunked")
+    byDoc.foreach { case (doc, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (1L to ids.length), s"doc $doc chunk ids not contiguous")
+      // a chunk holds words STARTING inside a 32-token window; the last word
+      // may extend past it, so the bound is C + (max word tokens − 1)
+      rs.foreach(x => assert(x.getLong(3) <= 32 + 15, s"doc $doc chunk over cap"))
+      // overlap can only add tokens relative to the doc's straight count
+      assert(rs.map(_.getLong(3)).sum >= totals(doc), s"doc $doc lost tokens")
+    }
+  }
+
   test("rp01: projection is linear and norm-bounded (J-L sanity)") {
     val r = rows("rp01_random_projection")
     assert(r.nonEmpty)
