@@ -61,6 +61,18 @@ import org.apache.spark.sql.SparkSession
   * partial+final aggregate whose final merge is single-partition by
   * definition and whose input is per-task bloom buffers, not data rows.
   * Optimizer-injected, metadata-scale, benign.
+  *
+  * Round-9 second batch: dd11 and ck02 are clean (dd11 is three doc_id-keyed
+  * joins over existing stages; ck02's per-word window partitions by doc and
+  * its merge regexes are the codegen'd bp03 vocab pass). ann09 flags
+  * BroadcastNestedLoopJoin — the |Q|×cells centroid probe cross join, the
+  * accounted ann03/ann05/km01 class — and lambdafunction from the
+  * QUERY-side residual/LUT build (zip_with + slices over |Q|×nprobe = 16
+  * rows; metadata-scale). The corpus-side residual zip_with + subvector
+  * slicing (64 + 8 interpreted evals per vector) runs ONCE inside the
+  * checkpointed encode pass — the same accepted cost class as ann07's
+  * pqSub encode (an index build, not a query path); FloatVecSub is the
+  * kernel upgrade if the encode pass ever tops a profile.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
