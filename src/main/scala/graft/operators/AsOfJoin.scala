@@ -66,5 +66,49 @@ object AsOfJoin {
           col("lp").cast("decimal(18,2)").cast("double").as("last_totalprice"))
         .orderBy("event_id")
     },
+
+    // ----- aj02: bucketed range join — the batch attribution shape (each
+    // purchase joined to the same user's views in the PRECEDING HOUR,
+    // st10's stream-stream interval join as a batch operator). Spark has no
+    // range-join optimization: the naive `v.ts BETWEEN p.ts - 1h AND p.ts`
+    // plan is a BroadcastNestedLoopJoin (per-user cross product). The scale
+    // formulation BUCKETS time into hour cells: views carry their own
+    // bucket, purchases probe exactly the 2 buckets the 1-hour window can
+    // touch, and the join becomes EQUI-keyed on (user_id, bucket) with the
+    // range condition left as a residual filter — one hash shuffle, no
+    // nested loop, each true (purchase, view) pair produced exactly once
+    // (a view lives in one bucket). That is the standard range-join
+    // rewrite a 100 TB engine applies; partition skew tracks per-(user,
+    // hour) activity, never per-user history.
+    QueryDef.sql(
+      "aj02_bucketed_range_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, v.vts
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |    AND v.vts >= p.ts - INTERVAL 1 HOUR AND v.vts < p.ts)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(COUNT(vts) AS BIGINT) AS views_1h,
+        |  CAST(MAX(vts) AS TIMESTAMP) AS last_view_ts
+        |FROM j GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+      val hourBucket = expr("unix_micros(ts) div 3600000000") // integral µs/hour
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"), hourBucket.as("bucket"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          explode(array(hourBucket - 1L, hourBucket)).as("bucket"))
+      val hits = p.join(v, Seq("user_id", "bucket"))
+        .filter(col("vts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("vts") < col("ts"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).cast("long").as("views_1h"), max("vts").as("last_view_ts"))
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(hits, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("views_1h"), lit(0L)).as("views_1h"), col("last_view_ts"))
+        .orderBy("event_id")
+    },
   )
 }

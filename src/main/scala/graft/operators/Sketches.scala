@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable-sketch distincts (SURVEY.md §2.4 A3/A8, §7.3): the persisted
@@ -100,6 +101,98 @@ object Sketches {
           when(abs(col("uniq_users") - col("exact_users")) <=
             col("exact_users") * 0.15, 1L).otherwise(0L).as("uniq_ok"))
         .orderBy("event_date")
+    },
+
+    // ----- uq04: mergeable histogram quantile sketch — the A8
+    // persisted-state pattern for PERCENTILES: uq03's exact percentile needs
+    // a per-group sort of raw values at query time; at 100 TB the stored
+    // form is a fixed-bin histogram whose counts are trivially re-aggregable
+    // (the same property that makes sums/counts MV-safe). Daily
+    // (date, type, bin) counts are the persisted MV state; a read merges
+    // them with one SUM and interpolates p50/p90/p99 inside the target bin.
+    // Unlike HLL/t-digest (engine-specific estimates, bound-checked
+    // oracles), the histogram estimate is a deterministic function of the
+    // counts — both engines produce bit-identical doubles, so the ESTIMATE
+    // ITSELF is hash-checked, not just an error flag. Bin edges derive from
+    // a per-type (min, max) metadata aggregate; 128 bins, width = range/128
+    // (exact power-of-2 division), bin = min(127, floor((v−mn)/width)).
+    // Estimate error is bounded by bin width — SketchesSpec pins it against
+    // uq03-style exact percentiles.
+    QueryDef.sql(
+      "uq04_histogram_quantiles",
+      """WITH b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx FROM events GROUP BY 1),
+        |binned AS (SELECT CAST(e.ts AS DATE) AS event_date, e.event_type,
+        |    CASE WHEN b.mx = b.mn THEN 0
+        |         ELSE CAST(LEAST(127, FLOOR((e.value - b.mn) / ((b.mx - b.mn) / 128.0))) AS BIGINT)
+        |    END AS bin
+        |  FROM events e JOIN b USING (event_type)),
+        |daily AS (SELECT event_date, event_type, bin, COUNT(*) AS c
+        |  FROM binned GROUP BY 1, 2, 3),
+        |merged AS (SELECT event_type, bin, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM daily GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        |  FROM merged),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM merged GROUP BY 1),
+        |tq AS (SELECT event_type, total, q, q * total AS target
+        |  FROM tot, (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                            CAST(0.99 AS DOUBLE)]) AS q)),
+        |pick AS (SELECT event_type, total, q, target, bin, n, cm,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+        |  FROM (SELECT t.event_type, t.total, t.q, t.target, c.bin, c.n, c.cm
+        |        FROM tq t JOIN cum c USING (event_type) WHERE c.cm >= t.target)),
+        |est AS (SELECT p.event_type, p.total, p.q,
+        |    CASE WHEN b.mx = b.mn THEN b.mn
+        |         ELSE b.mn + ((b.mx - b.mn) / 128.0) * p.bin
+        |            + ((b.mx - b.mn) / 128.0) * ((p.target - (p.cm - p.n)) / p.n)
+        |    END AS v
+        |  FROM pick p JOIN b USING (event_type) WHERE p.rn = 1)
+        |SELECT event_type, MAX(total) AS n_total,
+        |  MAX(CASE WHEN q = 0.5 THEN v END) AS p50_hist,
+        |  MAX(CASE WHEN q = 0.9 THEN v END) AS p90_hist,
+        |  MAX(CASE WHEN q = 0.99 THEN v END) AS p99_hist
+        |FROM est GROUP BY 1 ORDER BY event_type""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+      val bounds = e.groupBy("event_type")
+        .agg(min("value").as("mn"), max("value").as("mx"))
+      val width = (col("mx") - col("mn")) / 128.0d
+      val binned = e.join(broadcast(bounds), "event_type")
+        .select(to_date(col("ts")).as("event_date"), col("event_type"),
+          when(col("mx") === col("mn"), 0L)
+            .otherwise(least(lit(127L), floor((col("value") - col("mn")) / width)))
+            .as("bin"))
+      // daily partials = the persisted, mergeable state; the read below is
+      // the only thing a serving query runs
+      val daily = binned.groupBy("event_date", "event_type", "bin")
+        .agg(count(lit(1)).as("c"))
+      val merged = daily.groupBy("event_type", "bin")
+        .agg(sum("c").cast("long").as("n"))
+      val wCum = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = merged.withColumn("cm", sum("n").over(wCum).cast("long"))
+      val tq = merged.groupBy("event_type").agg(sum("n").cast("long").as("total"))
+        .select(col("event_type"), col("total"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+        .withColumn("target", col("q") * col("total"))
+      val wPick = Window.partitionBy("event_type", "q").orderBy("bin")
+      val est = tq.join(cum, "event_type")
+        .filter(col("cm") >= col("target"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .join(broadcast(bounds), "event_type")
+        .select(col("event_type"), col("total"), col("q"),
+          when(col("mx") === col("mn"), col("mn"))
+            .otherwise(col("mn") + width * col("bin") +
+              width * ((col("target") - (col("cm") - col("n"))) / col("n")))
+            .as("v"))
+      est.groupBy("event_type")
+        .agg(max("total").as("n_total"),
+          max(when(col("q") === 0.5, col("v"))).as("p50_hist"),
+          max(when(col("q") === 0.9, col("v"))).as("p90_hist"),
+          max(when(col("q") === 0.99, col("v"))).as("p99_hist"))
+        .orderBy("event_type")
     },
   )
 }

@@ -34,6 +34,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.values.exists(_.isDefined))
   }
 
+  test("aj02 bucketed range join equals the brute-force non-equi join") {
+    val dir = sf()
+    val got = Catalog.byName("aj02_bucketed_range_join").build(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), Option(r.get(4)).map(_.toString)))
+      .toMap
+    // brute force: the naive range join Spark plans as a nested loop —
+    // quadratic per user, only viable at spec scale, which is the point
+    val e = Tables(spark, dir).events
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("pu"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val brute = p.join(v, col("vu") === col("pu") &&
+        col("vts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("vts") < col("ts"), "left")
+      .groupBy("event_id")
+      .agg(count(col("vts")).as("views_1h"), max("vts").as("last_view_ts"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.toString)))
+      .toMap
+    assert(got.nonEmpty && got == brute, {
+      val diffs = (got.keySet ++ brute.keySet).filter(k => got.get(k) != brute.get(k)).take(3)
+      s"bucketed range join diverges from brute force at purchases $diffs"
+    })
+    // both populated and empty attribution windows must occur in the data
+    assert(got.values.exists(_._1 > 0) && got.values.exists(_._1 == 0))
+  }
+
   test("distributed running total equals the single-partition window") {
     val t = Tables(spark, sf()).documents
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))

@@ -42,4 +42,38 @@ class SketchesSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("uniq_ok") == 1L))
   }
+
+  test("uq04 histogram quantiles satisfy the rank property against raw values") {
+    val est = Catalog.byName("uq04_histogram_quantiles").build(spark, sf()).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Seq(0.5 -> r.getDouble(2), 0.9 -> r.getDouble(3), 0.99 -> r.getDouble(4))))
+      .toMap
+    assert(est.size == 5)
+    // independent recomputation: collect raw values per type, rebuild the
+    // 128-bin histogram in plain Scala, and check each estimate lands inside
+    // the bin holding its target rank (the defining property — a width-based
+    // error bound is wrong for sparse histograms with empty-bin gaps)
+    val raw = graft.Tables(spark, sf()).events
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    est.foreach { case (tpe, (nTotal, qs)) =>
+      val vs = raw(tpe)
+      assert(nTotal == vs.length.toLong)
+      val (mn, mx) = (vs.min, vs.max)
+      val width = (mx - mn) / 128.0
+      val counts = new Array[Long](128)
+      vs.foreach(v => counts(math.min(127, math.floor((v - mn) / width).toInt)) += 1)
+      val cum = counts.scanLeft(0L)(_ + _).tail
+      qs.foreach { case (q, v) =>
+        val target = q * vs.length
+        val bin = cum.indexWhere(_ >= target)
+        assert(v >= mn + width * bin - 1e-9 && v <= mn + width * (bin + 1) + 1e-9,
+          s"$tpe q=$q est $v outside bin $bin [${mn + width * bin}, ${mn + width * (bin + 1)}]")
+      }
+      // and the three estimates are monotone
+      assert(qs(0)._2 <= qs(1)._2 + 1e-9 && qs(1)._2 <= qs(2)._2 + 1e-9)
+    }
+  }
 }
