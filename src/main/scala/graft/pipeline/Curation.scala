@@ -228,5 +228,68 @@ object Curation {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     },
+
+    // ----- sp02: contamination-safe split — sp01's leakage-safe assignment
+    // with benchmark contamination quarantined at the CLUSTER level: a
+    // near-dup cluster leaves the train/valid/test rotation entirely if ANY
+    // member is n-gram contaminated (dc01's ≥0.3 overlap verdict) OR is
+    // itself a benchmark document (ts02 clusters all docs, so a corpus doc
+    // near-duplicating an eval doc shares its cluster — the leak dc01's
+    // per-doc n-gram test can miss when the paraphrase drops below the
+    // shingle threshold but survives the Jaccard one). Propagating through
+    // the representative makes the quarantine structural, like sp01's split:
+    // a contaminated doc's near-twin can never stay in train. Output covers
+    // the corpus side only (bench docs are the eval suite, never split).
+    //
+    // 100 TB shape: same as sp01 — the cluster map is duplicate-density-
+    // sized; per-rep flags are one groupBy over that map; hash + case
+    // map-side.
+    QueryDef.sql(
+      "sp02_contamination_safe_split",
+      s"""WITH ${SparseText.clusterCtes},
+         |${Decontam.dc01Ctes},
+         |contm AS (SELECT d.doc_id,
+         |    CAST(CASE WHEN COALESCE(b.frac, 0.0) >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+         |  LEFT JOIN best b ON d.doc_id = b.doc_id),
+         |mem AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |rf AS (SELECT m.rep,
+         |    MAX(CASE WHEN m.doc_id % 20 = 0 THEN 1 ELSE 0 END) AS has_bench,
+         |    MAX(COALESCE(c.contaminated, 0)) AS has_contam
+         |  FROM mem m LEFT JOIN contm c ON m.doc_id = c.doc_id
+         |  GROUP BY 1)
+         |SELECT m.doc_id, CAST(m.rep AS BIGINT) AS rep_id,
+         |  CAST(CASE WHEN rf.has_bench = 1 OR rf.has_contam = 1 THEN 1 ELSE 0 END AS BIGINT) AS quarantined,
+         |  CASE WHEN rf.has_bench = 1 OR rf.has_contam = 1 THEN 'quarantine'
+         |       WHEN ((m.rep % 1000) * $KnuthA) % 1000 < $TrainUpper THEN 'train'
+         |       WHEN ((m.rep % 1000) * $KnuthA) % 1000 < $ValidUpper THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM mem m JOIN rf ON m.rep = rf.rep
+         |WHERE m.doc_id % 20 <> 0
+         |ORDER BY m.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val clusters = graft.Catalog.byName("ts02_dedup_clusters").build(spark, dir)
+      val cont = graft.Catalog.byName("dc01_decontamination").build(spark, dir)
+        .select(col("doc_id"), col("contaminated"))
+      val mem = Tables(spark, dir).documents.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      val rf = mem.join(cont, Seq("doc_id"), "left")
+        .groupBy("rep")
+        .agg(max(when(col("doc_id") % 20 === 0, 1).otherwise(0)).as("has_bench"),
+          max(coalesce(col("contaminated"), lit(0L))).as("has_contam"))
+      val quarantined = col("has_bench") === 1 || col("has_contam") === 1
+      val bkt = pmod((col("rep") % 1000L) * KnuthA, lit(1000L))
+      mem.join(rf, "rep")
+        .filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), col("rep").cast("long").as("rep_id"),
+          when(quarantined, 1L).otherwise(0L).as("quarantined"),
+          when(quarantined, "quarantine")
+            .when(bkt < TrainUpper, "train")
+            .when(bkt < ValidUpper, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
   )
 }

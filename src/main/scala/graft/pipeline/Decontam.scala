@@ -150,25 +150,32 @@ object Decontam {
       .orderBy("doc_id")
   }
 
+  /** dc01's oracle CTE chain ending in `best(doc_id, bench_id, frac)` — the
+    * top-overlapping benchmark doc per corpus doc (corpus = doc_id % 20 ≠ 0,
+    * bench = % 20 = 0). Shared with sp02's contamination-safe split oracle.
+    */
+  private[pipeline] lazy val dc01Ctes: String =
+    """wc AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 20 <> 0),
+      |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(words) - 2, 1)),
+      |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM wc),
+      |wb AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 20 = 0),
+      |shb AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(words) - 2, 1)),
+      |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM wb),
+      |nc AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY 1),
+      |ov AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS c
+      |  FROM shc c JOIN shb b ON c.s = b.s GROUP BY 1, 2),
+      |best AS (SELECT doc_id, bench_id, frac FROM (
+      |    SELECT o.doc_id, o.bench_id, CAST(o.c AS DOUBLE) / n.ns AS frac,
+      |      ROW_NUMBER() OVER (PARTITION BY o.doc_id
+      |        ORDER BY CAST(o.c AS DOUBLE) / n.ns DESC, o.bench_id) AS rn
+      |    FROM ov o JOIN nc n ON o.doc_id = n.doc_id) WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "dc01_decontamination",
-      """WITH wc AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 20 <> 0),
-        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(words) - 2, 1)),
-        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM wc),
-        |wb AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 20 = 0),
-        |shb AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(words) - 2, 1)),
-        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM wb),
-        |nc AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY 1),
-        |ov AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS c
-        |  FROM shc c JOIN shb b ON c.s = b.s GROUP BY 1, 2),
-        |best AS (SELECT doc_id, bench_id, frac FROM (
-        |    SELECT o.doc_id, o.bench_id, CAST(o.c AS DOUBLE) / n.ns AS frac,
-        |      ROW_NUMBER() OVER (PARTITION BY o.doc_id
-        |        ORDER BY CAST(o.c AS DOUBLE) / n.ns DESC, o.bench_id) AS rn
-        |    FROM ov o JOIN nc n ON o.doc_id = n.doc_id) WHERE rn = 1)
+      s"""WITH $dc01Ctes
         |SELECT d.doc_id, CAST(COALESCE(b.bench_id, -1) AS BIGINT) AS bench_id,
         |  COALESCE(b.frac, 0.0) AS overlap_frac,
         |  CAST(CASE WHEN COALESCE(b.frac, 0.0) >= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated

@@ -102,4 +102,36 @@ class CurationSpec extends SparkSpec {
     assert(hist.keySet == Set("train", "valid", "test"), hist.toString)
     assert(hist("train") > hist("valid") && hist("train") > hist("test"))
   }
+
+  test("sp02: contaminated and bench-adjacent clusters quarantine whole; the rest match sp01") {
+    val r = rows("sp02_contamination_safe_split")
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    // corpus side only: every doc_id % 20 != 0
+    assert(r.nonEmpty && r.keySet.forall(_ % 20 != 0))
+    // no contaminated document may reach any non-quarantine split
+    val contaminated = rows("dc01_decontamination")
+      .filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    assume(contaminated.nonEmpty)
+    contaminated.foreach(d =>
+      assert(r(d)._3 == "quarantine", s"contaminated doc $d in split ${r(d)._3}"))
+    // quarantine propagates through the whole cluster: same rep => same verdict
+    r.values.groupBy(_._1).foreach { case (rep, members) =>
+      assert(members.map(_._3).toSet.size == 1, s"rep $rep split across verdicts")
+    }
+    // clusters containing a bench doc (id % 20 == 0) are quarantined too
+    val clusters = Catalog.byName("ts02_dedup_clusters").build(spark, sf()).collect()
+      .map(x => x.getLong(0) -> x.getLong(1))
+    val benchReps = clusters.filter(_._1 % 20 == 0).map(_._2).toSet
+    r.foreach { case (_, (rep, _, sp)) =>
+      if (benchReps.contains(rep)) assert(sp == "quarantine", s"bench-adjacent rep $rep not quarantined")
+    }
+    // outside quarantine, the assignment is exactly sp01's
+    val sp01 = rows("sp01_leakage_safe_split").map(x => x.getLong(0) -> x.getString(3)).toMap
+    r.foreach { case (d, (_, q, sp)) =>
+      if (q == 0L) assert(sp == sp01(d), s"doc $d: sp02 $sp != sp01 ${sp01(d)}")
+    }
+    // and the quarantine is not vacuous nor total
+    val verdicts = r.values.map(_._3).toSet
+    assert(verdicts.contains("quarantine") && verdicts.contains("train"))
+  }
 }
