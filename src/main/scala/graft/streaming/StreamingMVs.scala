@@ -418,6 +418,44 @@ object StreamingMVs {
         .orderBy("cell")
     },
 
+    // ----- st15: streaming histogram MV — uq04's mergeable quantile state
+    // maintained ON the ingest stream: per-(day, type, bin) counts
+    // accumulate incrementally, with bin edges PINNED at MV creation from a
+    // batch (min, max) metadata pass (exactly how a production histogram MV
+    // works — edges are part of the index definition; re-binning is a
+    // rebuild). The stream joins the 5-row static bounds frame
+    // (stream-static broadcast join), bins map-side, and aggregates
+    // count-only state — order-independent, so incremental == batch under
+    // any partitioning (st01's MV property). A quantile read then merges
+    // these partials exactly as uq04 does. State is |days|×|types|×|bins|
+    // rows, bounded by the MV definition, not the data.
+    QueryDef.sql(
+      "st15_streaming_histogram",
+      """WITH b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx FROM events GROUP BY 1)
+        |SELECT CAST(e.ts AS DATE) AS event_date, e.event_type,
+        |  CASE WHEN b.mx = b.mn THEN 0
+        |       ELSE CAST(LEAST(127, FLOOR((e.value - b.mn) / ((b.mx - b.mn) / 128.0))) AS BIGINT)
+        |  END AS bin,
+        |  COUNT(*) AS c
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    ) { (spark, dir) =>
+      val bounds = graft.Tables(spark, dir).events
+        .groupBy("event_type").agg(min("value").as("mn"), max("value").as("mx"))
+      val width = (col("mx") - col("mn")) / 128.0d
+      val agg = eventsStream(spark, dir)
+        .join(broadcast(bounds), "event_type") // stream-static, map-side
+        .select(to_date(col("ts")).as("event_date"), col("event_type"),
+          when(col("mx") === col("mn"), 0L)
+            .otherwise(least(lit(127L), floor((col("value") - col("mn")) / width)))
+            .as("bin"))
+        .groupBy("event_date", "event_type", "bin")
+        .agg(count(lit(1)).as("c"))
+      runComplete(spark, agg, s"st15_out_${math.abs(dir.hashCode)}")
+        .select(col("event_date"), col("event_type"), col("bin"), col("c"))
+        .orderBy("event_date", "event_type", "bin")
+    },
+
     // ----- st03: gap-based sessionization via session_window (ST6 — the
     // true-session extension of the reference's fixed 30-min buckets; oracle
     // mirrors it with lag + running-sum island detection).

@@ -199,6 +199,33 @@ class StreamingSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).sum == raw)
   }
 
+  test("st15: streaming histogram MV equals batch recompute; bins bounded; totals exhaustive") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.Catalog.byName("st15_streaming_histogram")
+      .build(spark, sf()).collect()
+    assert(streamed.nonEmpty)
+    // state is bounded by the MV definition: bin ∈ [0, 127]
+    assert(streamed.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 127))
+    // every event lands in exactly one (day, type, bin) — totals exhaustive
+    val ev = graft.Tables(spark, sf()).events
+    assert(streamed.map(_.getLong(3)).sum == ev.count())
+    // independent batch recompute with the same pinned edges
+    val bounds = ev.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    val batch = ev.join(bounds, "event_type")
+      .select(to_date(col("ts")).as("event_date"), col("event_type"),
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(least(lit(127L),
+            floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 128.0d))))
+          .as("bin"))
+      .groupBy("event_date", "event_type", "bin")
+      .agg(count(lit(1)).as("c")).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3))
+    assert(streamed.map(key).toSet == batch.map(key).toSet,
+      "incremental histogram diverged from the batch recompute")
+  }
+
   test("st14: streaming IVF routing equals an independent batch window-argmax recompute") {
     import org.apache.spark.sql.expressions.Window
     val streamed = graft.Catalog.byName("st14_streaming_ivf_routing")
