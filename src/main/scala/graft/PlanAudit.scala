@@ -73,6 +73,15 @@ import org.apache.spark.sql.SparkSession
   * checkpointed encode pass — the same accepted cost class as ann07's
   * pqSub encode (an index build, not a query path); FloatVecSub is the
   * kernel upgrade if the encode pass ever tops a profile.
+  *
+  * Round-9 session-5 batch: st15 is clean (stream-static broadcast bounds
+  * join + count-only state). uq05 and ds01 both flag
+  * BroadcastNestedLoopJoin + SinglePartition — the accounted q18/q26/mx01
+  * scalar-anchor class: uq05 cross-joins the 1-row corpus-total and
+  * kth-frequency scalars onto its 20-row result (its pass-1 Misra–Gries
+  * summaries run in mapPartitions — bounded 2048-entry maps, not a plan
+  * flag), and ds01 cross-joins the two 1-row model-normalizer scalars onto
+  * the ≤ |charset|² advantage table before broadcasting it.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

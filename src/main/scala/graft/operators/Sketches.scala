@@ -14,6 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Misra–Gries counter capacity for uq05 (per input partition). The
+    * coverage guarantee below needs kth_freq · (MgCapacity+1) > N, which the
+    * entry checks IN-PLAN and emits as the `guaranteed` column.
+    */
+  val MgCapacity: Int = 2048
+
+  /** One Misra–Gries pass over a partition: keeps ≤ `cap` counters; any item
+    * with partition count > m_p/(cap+1) is guaranteed retained (each
+    * decrement-all cancels cap+1 distinct occurrences, so an item's counter
+    * can lose at most m_p/(cap+1) of its count). Returns the retained keys —
+    * candidate heavy hitters; their counts are re-derived exactly in pass 2,
+    * so the candidate set only needs to be a superset.
+    */
+  private[operators] def misraGries(it: Iterator[String], cap: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { w =>
+      m.get(w) match {
+        case Some(n) => m(w) = n + 1
+        case None if m.size < cap => m(w) = 1L
+        case None =>
+          // decrement-all (amortized O(1)/word: every decrement cancels a
+          // previous increment; triggers ≤ N/(cap+1) times)
+          val ks = m.keysIterator.toArray
+          ks.foreach { k =>
+            val n = m(k)
+            if (n == 1L) m.remove(k) else m(k) = n - 1
+          }
+      }
+    }
+    m.keysIterator
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- uq01: store per-day sketches, merge across days per type, compare
@@ -101,6 +133,58 @@ object Sketches {
           when(abs(col("uniq_users") - col("exact_users")) <=
             col("exact_users") * 0.15, 1L).otherwise(0L).as("uniq_ok"))
         .orderBy("event_date")
+    },
+
+    // ----- uq05: exact top-K frequent terms via two-pass Misra–Gries —
+    // ClickHouse `topK(20)` with the approximation REMOVED: pass 1 runs a
+    // bounded MG summary per partition (capacity 2048, mapPartitions — the
+    // genuine per-partition imperative case) whose union is a guaranteed
+    // superset of every term with count > N/2049; pass 2 re-counts ONLY the
+    // candidates exactly (broadcast semi-join, map-side combine bounds the
+    // shuffle to ≤ partitions × |candidates| partial rows) and takes the
+    // exact top 20. The in-plan `guaranteed` flag proves the sketch covered
+    // the answer: kth_freq·(cap+1) > N ⇒ no un-candidate term can outrank
+    // the reported top-20 — so the output is EXACT, deterministic, and
+    // hash-checkable even though pass 1 is an order-sensitive sketch.
+    //
+    // 100 TB shape: a plain groupBy-topK shuffles |vocab|×partitions partial
+    // rows (web-scale vocab is billions of terms); here the shuffle carries
+    // only MG survivors (≤ 2048/partition), and the confirm pass touches
+    // only candidate occurrences. On THIS corpus vocab (31 words) fits one
+    // summary so evictions never fire — SketchesSpec proves the eviction
+    // path and the superset guarantee on a 10k-term skewed toy where the
+    // domain is 156× the capacity.
+    QueryDef.sql(
+      "uq05_heavy_hitters",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+        |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM c),
+        |top AS (SELECT word, freq FROM c ORDER BY freq DESC, word LIMIT 20),
+        |g AS (SELECT CAST(MIN(freq) AS BIGINT) AS kth FROM top)
+        |SELECT top.word, top.freq, (g.kth * 2049 > t.n) AS guaranteed
+        |FROM top, t, g ORDER BY freq DESC, word""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      // pass 1: per-partition MG summaries → candidate union (≤ parts×2048)
+      val cands = words.as[String]
+        .mapPartitions(it => misraGries(it, MgCapacity))
+        .toDF("word").distinct()
+      // pass 2: exact counts of candidates only; map-side combine collapses
+      // each task to ≤ |candidates| partial rows before the shuffle
+      val exact = words.join(broadcast(cands), Seq("word"), "left_semi")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val top = exact.orderBy(desc("freq"), asc("word")).limit(20)
+        .localCheckpoint(true) // 20 rows; feeds the result AND the kth scalar
+      // N from a doc-level metadata aggregate (split width, no explode) —
+      // pass 1 in a real deployment carries this alongside the summaries
+      val totals = docs.agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
+      val kth = top.agg(min("freq").cast("long").as("kth"))
+      top.crossJoin(broadcast(totals)).crossJoin(broadcast(kth))
+        .select(col("word"), col("freq"),
+          (col("kth") * 2049L > col("n")).as("guaranteed"))
+        .orderBy(desc("freq"), asc("word"))
     },
 
     // ----- uq04: mergeable histogram quantile sketch — the A8

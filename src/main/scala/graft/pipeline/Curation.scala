@@ -291,5 +291,75 @@ object Curation {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     },
+
+    // ----- ds01: importance-weighted data selection (DSIR class — Xie et
+    // al. 2023, "Data Selection for Language Models via Importance
+    // Resampling"): fit a feature model on a TARGET corpus (here: the
+    // English subset — the "Wikipedia-like" side) and on the RAW corpus,
+    // score every raw document by how much the target model prefers its
+    // features, select the target-like docs. Features are lm01's char
+    // bigrams (DSIR uses hashed n-grams; the charset² space needs no
+    // hashing), both models Laplace-smoothed over the raw domain V:
+    // p(b) = (c(b)+1)/(n+V). The per-doc score is the count-weighted MEAN
+    // PROBABILITY ADVANTAGE Σ c·(p_t − p_r)/Σ c — a linear surrogate for
+    // DSIR's log-likelihood ratio, chosen because ln() is correctly rounded
+    // on neither engine (the lm01 no-transcendentals rule); each p is one
+    // exact integer division, the difference is exact, and only the final
+    // mean needs round(…, 9) for sum-order parity. selected = score > 0
+    // (the doc's features are more probable under the target model).
+    //
+    // 100 TB shape: both models are |charset|² ≤ 729-row aggregates of the
+    // same (doc, bigram) instance frame lm01 builds (map-side partial agg
+    // bounded by per-doc distinct bigrams); the advantage table broadcasts
+    // back onto the instance stream, so scoring never shuffles the corpus —
+    // identical plan skeleton to lm01, one more tiny aggregate.
+    QueryDef.sql(
+      "ds01_importance_selection",
+      """WITH bg AS (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> substring(text, i, 2))) AS bg
+        |  FROM documents),
+        |inst AS (SELECT doc_id, lang, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |mr AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_r FROM inst GROUP BY 1),
+        |mt AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_t FROM inst WHERE lang = 'en' GROUP BY 1),
+        |sc AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(COUNT(*) AS BIGINT) AS v FROM mr),
+        |st AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t FROM mt),
+        |p AS (SELECT mr.bg,
+        |    CAST(COALESCE(mt.c_t, 0) + 1 AS DOUBLE) / (st.n_t + sc.v)
+        |  - CAST(mr.c_r + 1 AS DOUBLE) / (sc.n_r + sc.v) AS adv
+        |  FROM mr LEFT JOIN mt USING (bg), sc, st)
+        |SELECT i.doc_id, i.lang,
+        |  CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
+        |  round(SUM(i.c * p.adv) / SUM(i.c), 9) AS importance,
+        |  round(SUM(i.c * p.adv) / SUM(i.c), 9) > 0 AS selected
+        |FROM inst i JOIN p USING (bg)
+        |GROUP BY 1, 2 ORDER BY i.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val inst = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.TextExpressions.charBigrams(col("text"))).as("bg"))
+        .groupBy("doc_id", "lang", "bg").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds both models AND the scoring join
+      val modelR = inst.groupBy("bg").agg(sum("c").cast("long").as("c_r"))
+      val modelT = inst.filter(col("lang") === "en")
+        .groupBy("bg").agg(sum("c").cast("long").as("c_t"))
+      val scalR = modelR.agg(sum("c_r").cast("long").as("n_r"),
+        count(lit(1)).cast("long").as("v"))
+      val scalT = modelT.agg(coalesce(sum("c_t"), lit(0L)).cast("long").as("n_t"))
+      val adv = modelR.join(modelT, Seq("bg"), "left")
+        .crossJoin(broadcast(scalR)).crossJoin(broadcast(scalT))
+        .select(col("bg"),
+          ((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_t") + col("v")) -
+            (col("c_r") + lit(1L)).cast("double") /
+              (col("n_r") + col("v"))).as("adv"))
+      val m = round(sum(col("c") * col("adv")) / sum("c"), 9)
+      inst.join(broadcast(adv), "bg")
+        .groupBy("doc_id", "lang")
+        .agg(sum("c").cast("long").as("n_bigrams"),
+          m.as("importance"),
+          (m > 0d).as("selected"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -76,4 +76,36 @@ class SketchesSpec extends SparkSpec {
       assert(qs(0)._2 <= qs(1)._2 + 1e-9 && qs(1)._2 <= qs(2)._2 + 1e-9)
     }
   }
+
+  test("uq05 equals the plain groupBy top-20 and reports coverage guaranteed") {
+    val rows = Catalog.byName("uq05_heavy_hitters").build(spark, sf()).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[Boolean]("guaranteed")))
+    val plain = Tables(spark, sf()).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word")).limit(20).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("uq05 Misra-Gries: evictions fire and the superset guarantee holds on a skewed toy") {
+    // 10k distinct terms, zipf-ish skew, capacity 64 — domain is 156x the
+    // capacity, so the decrement-all path runs constantly
+    val cap = 64
+    val heavy = (0 until 30).flatMap(i => Seq.fill(2000 - i * 50)(s"hh$i"))
+    val tail = (0 until 10000).flatMap(i => Seq.fill(3)(s"t$i"))
+    val stream = scala.util.Random.shuffle(scala.util.Random.shuffle(heavy ++ tail))
+    val n = stream.length.toLong
+    val kept = Sketches.misraGries(stream.iterator, cap).toSet
+    assert(kept.size <= cap, s"capacity violated: ${kept.size}")
+    // MG guarantee: every item with count > n/(cap+1) must be retained
+    val exact = stream.groupBy(identity).view.mapValues(_.length.toLong)
+    val mustKeep = exact.filter(_._2 > n / (cap + 1)).keys.toSet
+    assert(mustKeep.nonEmpty, "toy produced no guaranteed items — tighten the skew")
+    assert(mustKeep.subsetOf(kept),
+      s"guarantee broken: missing ${mustKeep.diff(kept).take(5)}")
+    // and plenty of the 10k-term tail was evicted (the sketch actually sketches)
+    assert(kept.size < 10030)
+  }
 }

@@ -134,4 +134,33 @@ class CurationSpec extends SparkSpec {
     val verdicts = r.values.map(_._3).toSet
     assert(verdicts.contains("quarantine") && verdicts.contains("train"))
   }
+
+  test("ds01: every doc scored once, importance bounded, target langs separate") {
+    val r = rows("ds01_importance_selection")
+    val docs = graft.Tables(spark, sf()).documents
+    assert(r.length.toLong == docs.count(), "one score per document")
+    // n_bigrams = len(text) - 1, importance is a mean of per-bigram
+    // advantages (each |adv| < 1), selected consistent with the score
+    val lens = docs.select(col("doc_id"), (length(col("text")) - 1).cast("long"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { x =>
+      assert(x.getLong(2) == lens(x.getLong(0)))
+      val imp = x.getDouble(3)
+      assert(imp > -1.0 && imp < 1.0)
+      assert(x.getBoolean(4) == imp > 0d)
+    }
+    // the importance weight separates the target population: target-lang
+    // docs (the model's own training side) must average above the rest,
+    // and be selected more often
+    val (en, rest) = r.partition(_.getString(1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val meanEn = en.map(_.getDouble(3)).sum / en.length
+    val meanRest = rest.map(_.getDouble(3)).sum / rest.length
+    assert(meanEn > meanRest,
+      s"target-lang mean importance $meanEn not above non-target $meanRest")
+    val selEn = en.count(_.getBoolean(4)).toDouble / en.length
+    val selRest = rest.count(_.getBoolean(4)).toDouble / rest.length
+    assert(selEn > selRest,
+      s"selected fraction en=$selEn not above rest=$selRest")
+  }
 }
