@@ -81,7 +81,11 @@ import org.apache.spark.sql.SparkSession
   * kth-frequency scalars onto its 20-row result (its pass-1 Misra–Gries
   * summaries run in mapPartitions — bounded 2048-entry maps, not a plan
   * flag), and ds01 cross-joins the two 1-row model-normalizer scalars onto
-  * the ≤ |charset|² advantage table before broadcasting it.
+  * the ≤ |charset|² advantage table before broadcasting it. spl03 and q49
+  * are clean: spl03's take-100-smallest-ranks is a TakeOrderedAndProject,
+  * and q49's per-user funnel fold (`aggregate` over the collected, sorted
+  * event array — 3-long state, linear in the user's events) runs inside the
+  * post-shuffle projection with no flagged shapes.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

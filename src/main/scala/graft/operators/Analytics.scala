@@ -367,5 +367,73 @@ object Analytics {
           countDistinct(col("o_custkey")).as("customers"))
         .orderBy(desc("revenue"), asc("region"))
     },
+
+    // ----- q49: windowFunnel — ClickHouse's parametric sequence aggregate
+    // (the strict-order, bounded-window funnel the reference's CASE-pivot
+    // funnels q08/q09 approximate away): per user, the deepest level k such
+    // that SOME chain view→click→purchase occurs in timestamp order with
+    // ts_k − ts_1 ≤ 24 h. Computed as a per-user left fold over the
+    // time-sorted events with a 3-slot state of CHAIN-START times, where
+    // slot s keeps the LATEST start among chains reaching level s — the
+    // dominance argument: of two chains at the same level, the later start
+    // can extend everywhere the earlier one can, so the greedy fold is
+    // exact. One shuffle (groupBy user), per-user state is 3 longs, the
+    // fold is linear in the user's events; the oracle replays the identical
+    // fold via DuckDB list_reduce, so the per-user levels are hash-exact —
+    // not just the level histogram.
+    QueryDef.sql(
+      "q49_window_funnel",
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END AS step
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |g AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list([ts_us, step] ORDER BY ts_us, event_id) AS evs
+        |  FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(list_prepend([CAST(-1 AS BIGINT), -1, -1], evs), (acc, x) -> [
+        |      CASE WHEN x[2] = 1 THEN GREATEST(acc[1], x[1]) ELSE acc[1] END,
+        |      CASE WHEN x[2] = 2 AND acc[1] >= 0 AND x[1] - acc[1] <= 86400000000 THEN GREATEST(acc[2], acc[1]) ELSE acc[2] END,
+        |      CASE WHEN x[2] = 3 AND acc[2] >= 0 AND x[1] - acc[2] <= 86400000000 THEN GREATEST(acc[3], acc[2]) ELSE acc[3] END
+        |    ]) AS st
+        |  FROM g)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN st[3] >= 0 THEN 3 WHEN st[2] >= 0 THEN 2
+        |            WHEN st[1] >= 0 THEN 1 ELSE 0 END AS BIGINT) AS funnel_level
+        |FROM r ORDER BY user_id""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") === "view", 1L)
+            .when(col("event_type") === "click", 2L)
+            .otherwise(3L).as("step"))
+      windowFunnelLevels(e, 86400000000L).orderBy("user_id")
+    },
   )
+
+  /** q49's per-user funnel fold over a `(user_id, event_id, ts_us, step)`
+    * frame (shared with WindowFunnelSpec's planted sequences). Slot s of the
+    * fold state holds the latest chain-start time among chains reaching
+    * level s, −1 when none.
+    */
+  def windowFunnelLevels(events: DataFrame, windowUs: Long): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("step"))))
+          .as("evs"))
+      .select(col("user_id"), col("n_events"),
+        expr(s"""aggregate(evs, array(-1L, -1L, -1L), (acc, x) -> array(
+          CASE WHEN x.step = 1 THEN greatest(acc[0], x.ts_us) ELSE acc[0] END,
+          CASE WHEN x.step = 2 AND acc[0] >= 0 AND x.ts_us - acc[0] <= ${windowUs}L THEN greatest(acc[1], acc[0]) ELSE acc[1] END,
+          CASE WHEN x.step = 3 AND acc[1] >= 0 AND x.ts_us - acc[1] <= ${windowUs}L THEN greatest(acc[2], acc[1]) ELSE acc[2] END))""")
+          .as("st"))
+      .select(col("user_id"), col("n_events"),
+        when(col("st")(2) >= 0, 3L)
+          .when(col("st")(1) >= 0, 2L)
+          .when(col("st")(0) >= 0, 1L)
+          .otherwise(0L).as("funnel_level"))
 }

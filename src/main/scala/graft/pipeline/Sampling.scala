@@ -280,6 +280,36 @@ object Sampling {
 
     // ----- sh01: deterministic epoch shuffle + round-robin sharding — the
     // final ordering stage of a training-data pipeline: every epoch the
+    // ----- spl03: size-weighted πps sampling (sequential Poisson sampling,
+    // Ohlsson 1998 — the order-sampling scheme statistics offices use for
+    // probability-proportional-to-size draws): each doc gets a deterministic
+    // pseudo-uniform u from the Knuth hash, a rank u/w with w = its token
+    // count, and the n smallest ranks are the sample — heavier documents
+    // draw proportionally smaller ranks, so inclusion probability tracks
+    // size WITHOUT an RNG (re-running selects the identical sample on any
+    // engine; the rank is one exact integer division). The "take n smallest"
+    // is a TakeOrderedAndProject (bounded per-partition heaps + driver merge
+    // of n rows), not a global sort.
+    QueryDef.sql(
+      "spl03_weighted_sample",
+      s"""WITH k AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |    ((doc_id * $KnuthA) % 1048576 + 1048576) % 1048576 AS u
+         |  FROM documents)
+         |SELECT doc_id, lang, toks,
+         |  CAST(u + 1 AS DOUBLE) / toks AS rank
+         |FROM k ORDER BY rank, doc_id LIMIT 100""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          pmod(col("doc_id") * KnuthA, lit(1048576L)).as("u"))
+        .select(col("doc_id"), col("lang"), col("toks"),
+          ((col("u") + 1L).cast("double") / col("toks")).as("rank"))
+        .orderBy("rank", "doc_id").limit(100)
+    },
+
     // corpus is re-ordered by a seeded hash (md5 of "ep<seed>:"+doc_id —
     // identical hex on any engine) and dealt into shards. The global
     // position comes from DistributedRank.withGlobalRank (range partitions

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{Catalog, SparkSpec}
+
+class WindowFunnelSpec extends SparkSpec {
+
+  private val H = 3600000000L // 1 hour in µs
+
+  /** (user, eventId, tsUs, step) → per-user level under a 1-hour window. */
+  private def levels(rows: Seq[(Long, Long, Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = rows.toDF("user_id", "event_id", "ts_us", "step")
+    Analytics.windowFunnelLevels(df, H).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  test("planted sequences hit the exact windowFunnel semantics") {
+    val r = levels(Seq(
+      // A: clean view→click→purchase inside the window
+      (1L, 1L, 0L, 1L), (1L, 2L, 30L * 60 * 1000000, 2L), (1L, 3L, 50L * 60 * 1000000, 3L),
+      // B: click lands outside the 1h window from its only view start
+      (2L, 1L, 0L, 1L), (2L, 2L, 2L * H, 2L),
+      // C: click BEFORE any view never counts; the later view gives level 1
+      (3L, 1L, 0L, 2L), (3L, 2L, 10L, 1L),
+      // D: view then purchase with no click stays level 1 (strict order)
+      (4L, 1L, 0L, 1L), (4L, 2L, 10L * 60 * 1000000, 3L),
+      // E: the LATER view must be chosen as chain start (dominance) — from
+      // the first view the purchase at 70min is out of window, from the
+      // second (at 20min) it's within
+      (5L, 1L, 0L, 1L), (5L, 2L, 10L * 60 * 1000000, 2L),
+      (5L, 3L, 20L * 60 * 1000000, 1L), (5L, 4L, 25L * 60 * 1000000, 2L),
+      (5L, 5L, 70L * 60 * 1000000, 3L),
+      // F: purchase only — no chain start, level 0
+      (6L, 1L, 0L, 3L)))
+    assert(r == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 3L, 6L -> 0L), r.toString)
+  }
+
+  test("window boundary is inclusive and ties sort by event_id") {
+    val r = levels(Seq(
+      // exactly at the window boundary → still counts
+      (1L, 1L, 0L, 1L), (1L, 2L, H, 2L),
+      // same timestamp: event_id order decides view-before-click
+      (2L, 1L, 100L, 1L), (2L, 2L, 100L, 2L),
+      (3L, 2L, 100L, 1L), (3L, 1L, 100L, 2L)))
+    assert(r(1L) == 2L)
+    assert(r(2L) == 2L, "tie: view (lower event_id) precedes click")
+    assert(r(3L) == 1L, "tie: click (lower event_id) precedes view — no chain")
+  }
+
+  test("catalog entry: levels monotone-exhaustive against per-user step presence") {
+    import org.apache.spark.sql.functions._
+    val r = Catalog.byName("q49_window_funnel").build(spark, sf()).collect()
+    assert(r.nonEmpty)
+    // every user with at least one funnel event appears exactly once
+    val users = graft.Tables(spark, sf()).events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id").distinct().count()
+    assert(r.length.toLong == users)
+    // a user with no view at all can never exceed level 0; a user with a
+    // view is at least level 1
+    val hasView = graft.Tables(spark, sf()).events
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    r.foreach { x =>
+      val (u, lvl) = (x.getLong(0), x.getLong(2))
+      if (hasView(u)) assert(lvl >= 1L, s"user $u has views but level $lvl")
+      else assert(lvl == 0L, s"user $u has no view but level $lvl")
+    }
+  }
+}

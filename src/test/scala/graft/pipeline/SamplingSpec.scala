@@ -58,4 +58,27 @@ class SamplingSpec extends SparkSpec {
     val byTokens = r.sortBy(_.getLong(2)).map(_.getLong(3))
     assert(byTokens.zip(byTokens.tail).forall { case (small, big) => small >= big })
   }
+
+  test("spl03: πps sample is deterministic, sized, and biased toward heavy docs") {
+    val r = graft.Catalog.byName("spl03_weighted_sample").build(spark, sf()).collect()
+    assert(r.length == 100)
+    // re-running selects the identical sample (no RNG anywhere)
+    val again = graft.Catalog.byName("spl03_weighted_sample").build(spark, sf()).collect()
+    assert(r.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // rank really is (u+1)/toks: all ranks positive, ordered
+    val ranks = r.map(_.getDouble(3))
+    assert(ranks.forall(_ > 0d))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a <= b })
+    // probability-proportional-to-size: the sampled docs' mean token count
+    // exceeds the corpus mean (heavier docs draw smaller ranks)
+    val docs = graft.Tables(spark, sf()).documents
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+    val corpusMean = docs.sum.toDouble / docs.length
+    val sampleMean = r.map(_.getLong(2)).sum.toDouble / r.length
+    assert(sampleMean > corpusMean,
+      s"πps bias missing: sample mean $sampleMean <= corpus mean $corpusMean")
+  }
 }
