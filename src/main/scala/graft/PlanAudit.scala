@@ -85,7 +85,12 @@ import org.apache.spark.sql.SparkSession
   * are clean: spl03's take-100-smallest-ranks is a TakeOrderedAndProject,
   * and q49's per-user funnel fold (`aggregate` over the collected, sorted
   * event array — 3-long state, linear in the user's events) runs inside the
-  * post-shuffle projection with no flagged shapes.
+  * post-shuffle projection with no flagged shapes. q50 and ir01 flag only
+  * their 1-row scalar cross joins (q50's anchor-date aggregate, ir01's
+  * (N, avgdl) stats aggregate — the q18/q26 metadata-scale class); q51's
+  * fold is the q49 shape (clean) and uq06's rank selection is
+  * DistributedRank's documented pattern (range partition + per-partition
+  * metadata collect — no flagged shapes in the final plan).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -413,7 +413,107 @@ object Analytics {
             .otherwise(3L).as("step"))
       windowFunnelLevels(e, 86400000000L).orderBy("user_id")
     },
+
+    // ----- q50: retention() — ClickHouse's parametric retention aggregate
+    // (docs: retention(cond1, …, condN) per user: r1 = cond1 held on some
+    // row; rK = cond1 AND condK both held). Conditions here are "active on
+    // anchor day + {0, 1, 3, 7}" with the anchor the in-plan global
+    // min(event date) — never wall-clock (QueryDef parity rules). Distinct
+    // from q16's cohort-join retention: this is the per-user condition
+    // vector, gated on the anchor-day condition exactly as ClickHouse
+    // defines it. Plan: one groupBy(user) with four conditional MAX
+    // aggregates (map-side combine, 4-int state) after a broadcast of the
+    // 1-row anchor scalar — no join against a cohort table, no second
+    // shuffle. At 100 TB the anchor scalar is metadata-scale and the
+    // per-user state is fixed-width, so the whole thing is one exchange.
+    QueryDef.sql(
+      "q50_retention",
+      """WITH a AS (SELECT MIN(CAST(ts AS DATE)) AS a0 FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = a0 THEN 1 ELSE 0 END) AS c0,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = a0 + 1 THEN 1 ELSE 0 END) AS c1,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = a0 + 3 THEN 1 ELSE 0 END) AS c3,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = a0 + 7 THEN 1 ELSE 0 END) AS c7
+        |  FROM events CROSS JOIN a GROUP BY user_id)
+        |SELECT user_id, CAST(c0 AS BIGINT) AS r0,
+        |  CAST(c0 * c1 AS BIGINT) AS r1, CAST(c0 * c3 AS BIGINT) AS r3,
+        |  CAST(c0 * c7 AS BIGINT) AS r7
+        |FROM g ORDER BY user_id""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val anchor = e.agg(min("d").as("a0"))
+      def active(off: Int) =
+        max(when(col("d") === date_add(col("a0"), off), 1L).otherwise(0L))
+      val g = e.crossJoin(broadcast(anchor))
+        .groupBy("user_id")
+        .agg(active(0).as("c0"), active(1).as("c1"),
+          active(3).as("c3"), active(7).as("c7"))
+      g.select(col("user_id"), col("c0").as("r0"),
+          (col("c0") * col("c1")).as("r1"),
+          (col("c0") * col("c3")).as("r3"),
+          (col("c0") * col("c7")).as("r7"))
+        .orderBy("user_id")
+    },
+
+    // ----- q51: sequenceCount('(?1).*(?2)') — ClickHouse's parametric
+    // sequence aggregate counting NON-OVERLAPPING view→purchase occurrences
+    // per user in timestamp order (after a match completes, the search
+    // restarts fresh — ClickHouse's documented non-overlap rule). Same
+    // machinery as q49: one user shuffle, per-user greedy left fold over the
+    // time-sorted events with a 2-slot state [armed, count] — on a view the
+    // fold arms, on a purchase an armed fold counts and disarms. The fold is
+    // linear in the user's events with constant state; the oracle replays
+    // the identical fold via list_reduce, so per-user counts are hash-exact.
+    QueryDef.sql(
+      "q51_sequence_count",
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE event_type WHEN 'view' THEN 1 ELSE 2 END AS step
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |g AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list([ts_us, step] ORDER BY ts_us, event_id) AS evs
+        |  FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(list_prepend([CAST(0 AS BIGINT), 0], evs), (acc, x) -> [
+        |      CASE WHEN x[2] = 1 THEN 1 WHEN acc[1] = 1 THEN 0 ELSE acc[1] END,
+        |      CASE WHEN x[2] = 2 AND acc[1] = 1 THEN acc[2] + 1 ELSE acc[2] END
+        |    ]) AS st
+        |  FROM g)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(st[2] AS BIGINT) AS matches,
+        |  st[2] > 0 AS matched
+        |FROM r ORDER BY user_id""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") === "view", 1L).otherwise(2L).as("step"))
+      sequenceCounts(e).orderBy("user_id")
+    },
   )
+
+  /** q51's per-user non-overlapping view→purchase match count over a
+    * `(user_id, event_id, ts_us, step)` frame (shared with
+    * WindowFunnelSpec's planted sequences). Fold state: [armed, count] —
+    * step 1 arms, step 2 on an armed state counts and disarms.
+    */
+  def sequenceCounts(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("step"))))
+          .as("evs"))
+      .select(col("user_id"), col("n_events"),
+        expr("""aggregate(evs, array(0L, 0L), (acc, x) -> array(
+          CASE WHEN x.step = 1 THEN 1L WHEN acc[0] = 1L THEN 0L ELSE acc[0] END,
+          CASE WHEN x.step = 2 AND acc[0] = 1L THEN acc[1] + 1L ELSE acc[1] END))""")
+          .as("st"))
+      .select(col("user_id"), col("n_events"),
+        col("st")(1).as("matches"), (col("st")(1) > 0L).as("matched"))
 
   /** q49's per-user funnel fold over a `(user_id, event_id, ts_us, step)`
     * frame (shared with WindowFunnelSpec's planted sequences). Slot s of the

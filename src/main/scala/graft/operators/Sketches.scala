@@ -278,5 +278,48 @@ object Sketches {
           max(when(col("q") === 0.99, col("v"))).as("p99_hist"))
         .orderBy("event_type")
     },
+
+    // ----- uq06: EXACT quantiles by global-rank selection — the offline
+    // complement of uq04's mergeable approximation. ClickHouse's
+    // quantileExact materializes the group's values in memory; Spark's
+    // `percentile` aggregate does the same (per-group value buffer — a
+    // 100 TB group OOMs the reducer). The scale-safe exact shape is
+    // two-pass rank selection: (1) a count scalar (one metadata-scale
+    // collect, the sel01/bp02 class), (2) DistributedRank's range-partition
+    // global rank (per-partition row_number + broadcast offsets — never a
+    // single-partition window), then a 3-row broadcast join picks the rows
+    // whose rank equals ceil(q·n) (lower discrete quantile — value at the
+    // smallest rank with cdf ≥ q, so the result is an actual data value,
+    // exact and hash-checkable; no interpolation arithmetic to drift).
+    QueryDef.sql(
+      "uq06_exact_quantile_rank",
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+        |s AS (
+        |  SELECT l_extendedprice AS v,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rk
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT CAST(qq AS DOUBLE) AS q,
+        |    CAST(CEIL(CAST(qq AS DOUBLE) * n) AS BIGINT) AS rank
+        |  FROM (VALUES (0.5), (0.9), (0.99)) vals(qq) CROSS JOIN n)
+        |SELECT q, rank, v AS value
+        |FROM s JOIN t ON s.rk = t.rank ORDER BY q""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val li = Tables(spark, dir).lineitem
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+      // pass 1: the count scalar (1-row driver collect, metadata-scale)
+      val n = li.count()
+      val targets = Seq(0.5, 0.9, 0.99)
+        .map(q => (q, math.ceil(q * n.toDouble).toLong)).toDF("q", "rank")
+      // pass 2: exact global rank, then a 3-row broadcast equi-join — the
+      // rank filter reaches every partition; only 3 rows survive
+      DistributedRank.withGlobalRank(li, "rk",
+          col("v"), col("l_orderkey"), col("l_linenumber"))
+        .join(broadcast(targets), col("rk") === col("rank"))
+        .select(col("q"), col("rank").cast("long").as("rank"), col("v").as("value"))
+        .orderBy("q")
+    },
   )
 }

@@ -225,5 +225,89 @@ object SparseText {
         .select(col("doc_id"), col("rnk"), col("term"), col("wt"))
         .orderBy("doc_id", "rnk")
     },
+
+    // ----- ir01: BM25 ranked retrieval — the query-time complement of
+    // ts03's keyword EXTRACTION: score every document against a fixed
+    // multi-term query with Okapi BM25 (k1 = 1.2, b = 0.75) and return the
+    // top 20. The idf factor is Robertson's RATIONAL form
+    // (N − df + 0.5)/(df + 0.5) — no ln(), the lm01 no-transcendental hash
+    // rule — and the per-term score is a fixed-shape IEEE expression over
+    // exact integers-as-doubles (tf, df, N, dl; avgdl is an exact-integer
+    // sum / N), so both engines produce identical bits. The 3 per-term
+    // scores are PIVOTED to columns and added in one fixed left-to-right
+    // expression — never a SUM over a double whose accumulation order the
+    // engine picks.
+    //
+    // 100 TB shape: the term filter lands BEFORE any shuffle (posting-list
+    // selection — only rows whose term is in the query reach the tf
+    // exchange; everything else dies in the scan's codegen stage), df and
+    // (N, avgdl) are broadcast scalars, and the final top-20 is a
+    // TakeOrderedAndProject (bounded per-partition heaps). The corpus is
+    // never globally sorted and never shuffled beyond the matched postings.
+    QueryDef.sql(
+      "ir01_bm25_retrieval",
+      """WITH dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT f.doc_id, f.term,
+        |    ((n - df + 0.5) / (df + 0.5)) *
+        |      ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * (l.dl / avgdl)))) AS s
+        |  FROM tf f JOIN df USING (term) JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st),
+        |p AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN term = 'vector' THEN s END) AS sv,
+        |    SUM(CASE WHEN term = 'hash' THEN s END) AS sh,
+        |    SUM(CASE WHEN term = 'merge' THEN s END) AS sm,
+        |    CAST(COUNT(*) AS BIGINT) AS matched_terms
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id,
+        |  COALESCE(sv, CAST(0 AS DOUBLE)) + COALESCE(sh, CAST(0 AS DOUBLE))
+        |    + COALESCE(sm, CAST(0 AS DOUBLE)) AS score,
+        |  matched_terms
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+      // SUM(dl)/COUNT — dl is integer-valued, so the sum is exact in any
+      // accumulation order and avgdl is the same double on both engines
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+        (sum("dl") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(Bm25QueryTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val sc = tf
+        .join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"),
+          (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            ((col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))).as("s"))
+      def termScore(t: String) = sum(when(col("term") === t, col("s")))
+      sc.groupBy("doc_id")
+        .agg(termScore("vector").as("sv"), termScore("hash").as("sh"),
+          termScore("merge").as("sm"), count(lit(1)).cast("long").as("matched_terms"))
+        .select(col("doc_id"),
+          (coalesce(col("sv"), lit(0d)) + coalesce(col("sh"), lit(0d))
+            + coalesce(col("sm"), lit(0d))).as("score"),
+          col("matched_terms"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+    },
   )
+
+  /** ir01's fixed query — three mid-frequency corpus terms. Constants, not
+    * confs: the oracle SQL bakes the same literals in.
+    */
+  private val Bm25QueryTerms = Seq("vector", "hash", "merge")
 }

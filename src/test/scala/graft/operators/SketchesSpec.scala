@@ -14,6 +14,21 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("uq06: rank-selected quantiles equal the sorted-collect answer") {
+    val r = Catalog.byName("uq06_exact_quantile_rank").build(spark, sf()).collect()
+    assert(r.length == 3)
+    val vals = Tables(spark, sf()).lineitem
+      .select(org.apache.spark.sql.functions.col("l_extendedprice"))
+      .collect().map(_.getDouble(0)).sorted
+    r.foreach { row =>
+      val (q, rank, v) = (row.getDouble(0), row.getLong(1), row.getDouble(2))
+      assert(rank == math.ceil(q * vals.length).toLong)
+      // ties on l_extendedprice make the rank-TH ORDER — (v, okey, lnum) —
+      // unique but the VALUE at a rank is still the sorted array's element
+      assert(v == vals((rank - 1).toInt), s"q=$q")
+    }
+  }
+
   test("raw HLL union estimate tracks exact distinct (no flag indirection)") {
     val events = Tables(spark, sf()).events
     val est = events

@@ -47,6 +47,45 @@ class WindowFunnelSpec extends SparkSpec {
     assert(r(3L) == 1L, "tie: click (lower event_id) precedes view — no chain")
   }
 
+  /** (user, eventId, tsUs, step∈{1=view,2=purchase}) → per-user match count. */
+  private def seqCounts(rows: Seq[(Long, Long, Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = rows.toDF("user_id", "event_id", "ts_us", "step")
+    Analytics.sequenceCounts(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  test("q51 fold counts non-overlapping view->purchase matches greedily") {
+    val r = seqCounts(Seq(
+      // A: view view purchase purchase -> 1 (second purchase finds no arm)
+      (1L, 1L, 0L, 1L), (1L, 2L, 10L, 1L), (1L, 3L, 20L, 2L), (1L, 4L, 30L, 2L),
+      // B: view purchase view purchase -> 2
+      (2L, 1L, 0L, 1L), (2L, 2L, 10L, 2L), (2L, 3L, 20L, 1L), (2L, 4L, 30L, 2L),
+      // C: purchase before any view -> 0
+      (3L, 1L, 0L, 2L),
+      // D: purchase view -> 0 (nothing after the arm)
+      (4L, 1L, 0L, 2L), (4L, 2L, 10L, 1L),
+      // E: ts tie decided by event_id: view(id1) purchase(id2) same ts -> 1
+      (5L, 1L, 100L, 1L), (5L, 2L, 100L, 2L),
+      // F: ts tie the other way: purchase(id1) view(id2) same ts -> 0
+      (6L, 2L, 100L, 1L), (6L, 1L, 100L, 2L)))
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 0L, 5L -> 1L, 6L -> 0L), r.toString)
+  }
+
+  test("q50 retention rows are gated on the anchor-day condition") {
+    val r = graft.Catalog.byName("q50_retention").build(spark, sf()).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (r0, r1, r3, r7) =
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))
+      for (v <- Seq(r0, r1, r3, r7)) assert(v == 0L || v == 1L)
+      // ClickHouse gating: rK can only be 1 when cond1 (anchor-day) held
+      if (r0 == 0L) assert(r1 == 0L && r3 == 0L && r7 == 0L, x.toString)
+    }
+    // the anchor day itself must retain SOMEONE (events exist on min date)
+    assert(r.exists(_.getLong(1) == 1L))
+  }
+
   test("catalog entry: levels monotone-exhaustive against per-user step presence") {
     import org.apache.spark.sql.functions._
     val r = Catalog.byName("q49_window_funnel").build(spark, sf()).collect()

@@ -25,4 +25,39 @@ class SparseTextSpec extends SparkSpec {
     assert(got.size == 12 && got.values.forall(_ == 1L),
       s"path graph must collapse to cluster 1, got $got")
   }
+
+  test("ir01: BM25 top-20 matches a brute-force recompute of every doc's score") {
+    val got = graft.Catalog.byName("ir01_bm25_retrieval").build(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length == 20)
+    assert(got.map(_._2).zip(got.map(_._2).tail).forall { case (a, b) => a >= b })
+    assert(got.forall { case (_, s, m) => s > 0d && m >= 1L && m <= 3L })
+    // brute-force BM25 over the collected corpus with the same constants
+    val q = Seq("vector", "hash", "merge")
+    val docs = graft.Tables(spark, sf()).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toDouble).sum / n
+    val df = q.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(words: Seq[String]): Double = {
+      val dl = words.length.toDouble
+      q.map { t =>
+        val tf = words.count(_ == t).toDouble
+        if (tf == 0d) 0d
+        else ((n - df(t) + 0.5) / (df(t) + 0.5)) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      }.sum
+    }
+    val want = docs.map { case (id, ws) => (id, score(ws)) }
+      .filter(_._2 > 0d)
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    // same docs in the same order; scores equal to double precision (the
+    // engine sums 3 pivoted terms in fixed order, as does this recompute)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"got ${got.map(_._1).toSeq} want ${want.map(_._1).toSeq}")
+    got.zip(want).foreach { case ((_, gs, _), (_, ws)) =>
+      assert(math.abs(gs - ws) < 1e-12, s"$gs vs $ws")
+    }
+  }
 }
