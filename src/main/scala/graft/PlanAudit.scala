@@ -90,7 +90,11 @@ import org.apache.spark.sql.SparkSession
   * (N, avgdl) stats aggregate — the q18/q26 metadata-scale class); q51's
   * fold is the q49 shape (clean) and uq06's rank selection is
   * DistributedRank's documented pattern (range partition + per-partition
-  * metadata collect — no flagged shapes in the final plan).
+  * metadata collect — no flagged shapes in the final plan). prof01 flags
+  * its four 1-row distinct-count scalars cross-joined onto the 1-row
+  * per-column stat aggregates (metadata-scale by construction); q52's fold
+  * is the q49 shape and uq07's two-level distinct is plain exchanges —
+  * both clean.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

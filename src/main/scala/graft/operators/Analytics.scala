@@ -495,6 +495,49 @@ object Analytics {
           when(col("event_type") === "view", 1L).otherwise(2L).as("step"))
       sequenceCounts(e).orderBy("user_id")
     },
+
+    // ----- q52: exponentialMovingAverage — ClickHouse's EMA aggregate as a
+    // per-user recurrence ema_i = α·v_i + (1−α)·ema_{i−1} over the
+    // time-sorted event values, α = 1/4 (exact in binary, so the fold is a
+    // fixed-shape IEEE expression both engines replay bit-identically —
+    // the q49/q51 fold family, with a [seen, ema] 2-slot state; the first
+    // value seeds the chain). One user shuffle, constant state, linear
+    // fold; the oracle replays the identical fold via list_reduce.
+    QueryDef.sql(
+      "q52_ema",
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list([value, CAST(0 AS DOUBLE)] ORDER BY ts_us, event_id) AS evs
+        |  FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(list_prepend([CAST(0 AS DOUBLE), 0], evs), (acc, x) -> [
+        |      CAST(1 AS DOUBLE),
+        |      CASE WHEN acc[1] = 0 THEN x[1] ELSE 0.25 * x[1] + 0.75 * acc[2] END
+        |    ]) AS st
+        |  FROM g)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, st[2] AS ema
+        |FROM r ORDER BY user_id""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      e.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("value"))))
+            .as("evs"))
+        .select(col("user_id"), col("n_events"),
+          expr("""aggregate(evs, array(0D, 0D), (acc, x) -> array(
+            1D,
+            CASE WHEN acc[0] = 0D THEN x.value ELSE 0.25D * x.value + 0.75D * acc[1] END))""")
+            .as("st"))
+        .select(col("user_id"), col("n_events"), col("st")(1).as("ema"))
+        .orderBy("user_id")
+    },
   )
 
   /** q51's per-user non-overlapping view→purchase match count over a

@@ -321,5 +321,31 @@ object Sketches {
         .select(col("q"), col("rank").cast("long").as("rank"), col("v").as("value"))
         .orderBy("q")
     },
+
+    // ----- uq07: uniqUpTo(N) — ClickHouse's capped exact-distinct aggregate
+    // (exact count while ≤ N, the sentinel N+1 beyond; its point is BOUNDED
+    // per-group state). Spark-first shape: a distinct PRE-AGGREGATION
+    // (groupBy(key, value) — map-side partial combine means each input
+    // partition ships at most its own distinct pairs into the exchange,
+    // never raw rows) followed by a capped count. N = 1000 exercises both
+    // regimes across the SFs: exact below it (sf0.001/0.01 user counts),
+    // capped at the sentinel above (sf0.1's 1,500 users/type). The
+    // `is_exact` flag mirrors ClickHouse's implicit contract: a reading of
+    // N+1 means "more than N", not a count.
+    QueryDef.sql(
+      "uq07_uniq_upto",
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS uniq FROM d GROUP BY 1)
+        |SELECT event_type, LEAST(uniq, 1001) AS uniq_upto, uniq <= 1000 AS is_exact
+        |FROM g ORDER BY event_type""".stripMargin,
+    ) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).cast("long").as("uniq"))
+        .select(col("event_type"),
+          least(col("uniq"), lit(1001L)).as("uniq_upto"),
+          (col("uniq") <= 1000L).as("is_exact"))
+        .orderBy("event_type")
+    },
   )
 }

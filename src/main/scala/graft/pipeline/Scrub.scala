@@ -182,5 +182,66 @@ object Scrub {
           (frac >= 0.30).as("flagged"))
         .orderBy("doc_id")
     },
+
+    // ----- prof01: per-column data profile — the ANALYZE-style QA pass a
+    // pipeline runs before training on a new drop: per column, row count,
+    // null count, EXACT distinct count, and min/max (numeric columns report
+    // numeric bounds; string columns report string bounds — never a double
+    // routed through CAST-to-VARCHAR, whose rendering differs per engine).
+    //
+    // 100 TB shape: one independent single-column aggregation per profiled
+    // column, unioned — each scan's ReadSchema prunes to THAT column (a
+    // 4-column profile reads 4 thin column chunks in parallel jobs, not one
+    // wide scan), and each distinct is a two-level pre-aggregation (the
+    // uq07 shape), never an EXPAND: a single multi-countDistinct agg would
+    // multiply scanned rows by the number of distinct aggregates.
+    QueryDef.sql(
+      "prof01_column_profile",
+      """WITH p AS (
+        |  SELECT 'event_type' AS col_name, COUNT(*) AS n,
+        |    COUNT(*) - COUNT(event_type) AS nulls,
+        |    COUNT(DISTINCT event_type) AS distincts,
+        |    CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+        |    MIN(event_type) AS min_str, MAX(event_type) AS max_str
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'props', COUNT(*), COUNT(*) - COUNT(props), COUNT(DISTINCT props),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN(props), MAX(props)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id),
+        |    CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), COUNT(DISTINCT value),
+        |    MIN(value), MAX(value), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM events)
+        |SELECT col_name, CAST(n AS BIGINT) AS n, CAST(nulls AS BIGINT) AS nulls,
+        |  CAST(distincts AS BIGINT) AS distincts, min_num, max_num, min_str, max_str
+        |FROM p ORDER BY col_name""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+      def profile(c: String, numeric: Boolean) = {
+        // two-level distinct: pre-aggregate on the value (map-side combine
+        // bounds the exchange to per-partition distincts), then count
+        val distincts = e.select(col(c)).filter(col(c).isNotNull).distinct()
+          .agg(count(lit(1)).cast("long").as("distincts")) // COUNT(DISTINCT) skips NULLs
+        e.agg(count(lit(1)).cast("long").as("n"),
+            (count(lit(1)) - count(col(c))).cast("long").as("nulls"),
+            (if (numeric) min(col(c)).cast("double") else lit(null).cast("double")).as("min_num"),
+            (if (numeric) max(col(c)).cast("double") else lit(null).cast("double")).as("max_num"),
+            (if (numeric) lit(null).cast("string") else min(col(c))).as("min_str"),
+            (if (numeric) lit(null).cast("string") else max(col(c))).as("max_str"))
+          .crossJoin(distincts)
+          .select(lit(c).as("col_name"), col("n"), col("nulls"), col("distincts"),
+            col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      }
+      profile("event_type", numeric = false)
+        .unionByName(profile("props", numeric = false))
+        .unionByName(profile("user_id", numeric = true))
+        .unionByName(profile("value", numeric = true))
+        .orderBy("col_name")
+    },
   )
 }

@@ -72,6 +72,25 @@ class WindowFunnelSpec extends SparkSpec {
     assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 0L, 5L -> 1L, 6L -> 0L), r.toString)
   }
 
+  test("q52 EMA equals a hand fold over the per-user purchase history") {
+    val r = graft.Catalog.byName("q52_ema").build(spark, sf()).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.nonEmpty)
+    // independent recompute: collect the purchases, fold in (ts, event_id) order
+    val hist = graft.Tables(spark, sf()).events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "value").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .groupBy(_._1)
+    hist.foreach { case (u, rows) =>
+      val vs = rows.sortBy(x => (x._3, x._2)).map(_._4)
+      val want = vs.tail.foldLeft(vs.head)((acc, v) => 0.25 * v + 0.75 * acc)
+      val (n, got) = r(u)
+      assert(n == vs.length.toLong)
+      assert(got == want, s"user $u: $got vs $want")
+    }
+  }
+
   test("q50 retention rows are gated on the anchor-day condition") {
     val r = graft.Catalog.byName("q50_retention").build(spark, sf()).collect()
     assert(r.nonEmpty)

@@ -239,4 +239,23 @@ class ScrubSpec extends SparkSpec {
     // ±1 projections: each |p_j| ≤ Σ|x_d| ≤ 64·max|x|; and not all zero
     assert(r.exists(x => math.abs(x.getDouble(2)) > 1e-9))
   }
+
+  test("prof01: profile matches independent per-column recomputes") {
+    val r = rows("prof01_column_profile")
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("event_type", "props", "user_id", "value"))
+    val e = graft.Tables(spark, sf()).events
+    val total = e.count()
+    import org.apache.spark.sql.functions.col
+    r.foreach { case (c, row) =>
+      assert(row.getLong(1) == total)
+      assert(row.getLong(2) == e.filter(col(c).isNull).count())
+      assert(row.getLong(3) ==
+        e.filter(col(c).isNotNull).select(c).distinct().count(), s"col $c distincts")
+    }
+    // numeric columns carry numeric bounds, string columns string bounds
+    assert(!r("user_id").isNullAt(4) && r("user_id").isNullAt(6))
+    assert(r("event_type").isNullAt(4) && !r("event_type").isNullAt(6))
+    assert(r("event_type").getString(6) == "click" && r("event_type").getString(7) == "view")
+  }
 }
