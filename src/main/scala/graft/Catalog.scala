@@ -26,6 +26,7 @@ object Catalog {
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++
       pipeline.SparseText.defs ++
+      sources.Layout.defs ++
       streaming.StreamingMVs.defs ++
       streaming.MvCascade.defs ++
       sql.SqlGateway.defs ++

