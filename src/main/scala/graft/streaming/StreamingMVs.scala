@@ -456,6 +456,50 @@ object StreamingMVs {
         .orderBy("event_date", "event_type", "bin")
     },
 
+    // ----- st16: streaming retention MV — q50's per-user condition vector
+    // maintained ON the ingest stream. The anchor day is PINNED at MV
+    // creation from a batch min(date) metadata pass (the st15 edge-pinning
+    // pattern — the anchor is part of the MV definition, not re-derived per
+    // batch, so late or replayed data can never move the cohort), broadcast
+    // onto the stream as a 1-row static frame, and the four conditional
+    // MAXes accumulate per user — order-independent, idempotent
+    // (max of 0/1), so incremental == batch under any partitioning and any
+    // micro-batch split. State is one fixed-width row per user; the gating
+    // products r_k = c0·c_k are computed AT READ, so the state stays a plain
+    // mergeable vector (the A8 State/Merge discipline).
+    QueryDef.sql(
+      "st16_streaming_retention",
+      """WITH a AS (SELECT MIN(CAST(ts AS DATE)) AS a0 FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = a0 THEN 1 ELSE 0 END) AS c0,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = a0 + 1 THEN 1 ELSE 0 END) AS c1,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = a0 + 3 THEN 1 ELSE 0 END) AS c3,
+        |    MAX(CASE WHEN CAST(ts AS DATE) = a0 + 7 THEN 1 ELSE 0 END) AS c7
+        |  FROM events CROSS JOIN a GROUP BY user_id)
+        |SELECT user_id, CAST(c0 AS BIGINT) AS r0,
+        |  CAST(c0 * c1 AS BIGINT) AS r1, CAST(c0 * c3 AS BIGINT) AS r3,
+        |  CAST(c0 * c7 AS BIGINT) AS r7
+        |FROM g ORDER BY user_id""".stripMargin,
+    ) { (spark, dir) =>
+      val anchor = graft.Tables(spark, dir).events
+        .agg(min(to_date(col("ts"))).as("a0")).withColumn("__k", lit(1))
+      def active(off: Int) =
+        max(when(col("d") === date_add(col("a0"), off), 1L).otherwise(0L))
+      val agg = eventsStream(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"), lit(1).as("__k"))
+        .join(broadcast(anchor), "__k") // stream-static, map-side
+        .groupBy("user_id")
+        .agg(active(0).as("c0"), active(1).as("c1"),
+          active(3).as("c3"), active(7).as("c7"))
+      runComplete(spark, agg, s"st16_out_${math.abs(dir.hashCode)}")
+        .select(col("user_id"), col("c0").as("r0"),
+          (col("c0") * col("c1")).as("r1"),
+          (col("c0") * col("c3")).as("r3"),
+          (col("c0") * col("c7")).as("r7"))
+        .orderBy("user_id")
+    },
+
     // ----- st03: gap-based sessionization via session_window (ST6 — the
     // true-session extension of the reference's fixed 30-min buckets; oracle
     // mirrors it with lag + running-sum island detection).

@@ -258,4 +258,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(key).toSet == batch.map(key).toSet,
       "incremental routing diverged from the batch recompute")
   }
+
+  test("st16: streaming retention MV equals q50's batch recompute row-for-row") {
+    val streamed = graft.Catalog.byName("st16_streaming_retention")
+      .build(spark, sf()).collect()
+    val batch = graft.Catalog.byName("q50_retention").build(spark, sf()).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(streamed.map(key).toSeq == batch.map(key).toSeq,
+      "incremental retention diverged from the batch recompute")
+    assert(streamed.nonEmpty)
+  }
 }
