@@ -243,5 +243,55 @@ object Scrub {
         .unionByName(profile("value", numeric = true))
         .orderBy("col_name")
     },
+
+    // ----- gd01: right-to-be-forgotten MV delta — the compliance twin of
+    // px01's PII redaction: given a deletion list of user ids, compute the
+    // corrected (day, type) daily-MV rows WITHOUT a full rebuild. The plan
+    // prunes to AFFECTED GROUPS first (the distinct (day, type) groups the
+    // deleted users ever touched — a semi-join-sized set), then recomputes
+    // old and new aggregates for those groups only; everything the deleted
+    // users never touched is provably untouched and never read twice. At
+    // 100 TB a deletion of k users re-aggregates only the partitions their
+    // events live in (partition pruning on the same day key the MV is
+    // keyed by), not the corpus — deletes cost O(touched groups), not
+    // O(MV). Exact DECIMAL(18,2) money arithmetic both engines.
+    QueryDef.sql(
+      "gd01_gdpr_delete_delta",
+      """WITH del(uid) AS (VALUES (7), (13), (42)),
+        |aff AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, event_type
+        |  FROM events JOIN del ON user_id = uid),
+        |grp AS (
+        |  SELECT CAST(e.ts AS DATE) AS d, e.event_type,
+        |    COUNT(*) AS old_n,
+        |    COUNT(CASE WHEN dl.uid IS NULL THEN 1 END) AS new_n,
+        |    CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS old_value,
+        |    CAST(COALESCE(SUM(CASE WHEN dl.uid IS NULL
+        |      THEN CAST(e.value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS new_value
+        |  FROM events e
+        |  JOIN aff ON CAST(e.ts AS DATE) = aff.d AND e.event_type = aff.event_type
+        |  LEFT JOIN del dl ON e.user_id = dl.uid
+        |  GROUP BY 1, 2)
+        |SELECT d, event_type, CAST(old_n AS BIGINT) AS old_n,
+        |  CAST(new_n AS BIGINT) AS new_n, old_value, new_value
+        |FROM grp ORDER BY d, event_type""".stripMargin,
+    ) { (spark, dir) =>
+      val deleted = Seq(7L, 13L, 42L)
+      val e = Tables(spark, dir).events
+        .select(to_date(col("ts")).as("d"), col("event_type"),
+          col("user_id"), col("value"))
+      // group pruning: only the (day, type) groups the deleted users touched
+      val affected = e.filter(col("user_id").isin(deleted: _*))
+        .select("d", "event_type").distinct()
+      val keep = !col("user_id").isin(deleted: _*)
+      e.join(broadcast(affected), Seq("d", "event_type")) // semi-sized inner join
+        .groupBy("d", "event_type")
+        .agg(count(lit(1)).cast("long").as("old_n"),
+          count(when(keep, 1L)).cast("long").as("new_n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("old_value"),
+          coalesce(sum(when(keep, col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("new_value"))
+        .orderBy("d", "event_type")
+    },
   )
 }

@@ -258,4 +258,32 @@ class ScrubSpec extends SparkSpec {
     assert(r("event_type").isNullAt(4) && !r("event_type").isNullAt(6))
     assert(r("event_type").getString(6) == "click" && r("event_type").getString(7) == "view")
   }
+
+  test("gd01: delete delta covers exactly the touched groups and the deltas reconcile") {
+    import org.apache.spark.sql.functions._
+    val r = rows("gd01_gdpr_delete_delta")
+    assert(r.nonEmpty)
+    val deleted = Seq(7L, 13L, 42L)
+    val e = graft.Tables(spark, sf()).events
+      .select(to_date(col("ts")).as("d"), col("event_type"), col("user_id"), col("value"))
+    // exactly the groups the deleted users touched, no more, no fewer
+    val touched = e.filter(col("user_id").isin(deleted: _*))
+      .select("d", "event_type").distinct().collect()
+      .map(x => (x.getDate(0).toString, x.getString(1))).toSet
+    assert(r.map(x => (x.getDate(0).toString, x.getString(1))).toSet == touched)
+    // per group: old - new equals the deleted users' own contribution
+    val delAgg = e.filter(col("user_id").isin(deleted: _*))
+      .groupBy("d", "event_type")
+      .agg(count(lit(1)).as("dn"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("dv"))
+      .collect()
+      .map(x => (x.getDate(0).toString, x.getString(1)) -> (x.getLong(2), x.getDouble(3)))
+      .toMap
+    r.foreach { x =>
+      val k = (x.getDate(0).toString, x.getString(1))
+      val (dn, dv) = delAgg(k)
+      assert(x.getLong(2) - x.getLong(3) == dn, s"$k row delta")
+      assert(math.abs((x.getDouble(4) - x.getDouble(5)) - dv) < 1e-9, s"$k value delta")
+    }
+  }
 }
