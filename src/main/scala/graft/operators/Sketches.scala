@@ -347,5 +347,48 @@ object Sketches {
           (col("uniq") <= 1000L).as("is_exact"))
         .orderBy("event_type")
     },
+
+    // ----- uq08: EXACT WEIGHTED quantiles (quantileExactWeighted) — the
+    // weighted sibling of uq06: the quantile of l_extendedprice with each
+    // row weighted by its l_quantity is the value at the first crossing of
+    // the cumulative-weight threshold q·W. Same two-pass scale shape:
+    // (1) total-weight scalar (1-row collect), (2) DistributedRank's
+    // running total (range partition + per-partition weight sums +
+    // broadcast prefix offsets — no single-partition window), then the
+    // 3-row threshold frame finds each first crossing with
+    // cum ≥ thr AND cum − w < thr. Weights are integer-valued (cast BIGINT
+    // on both engines), so cumulative sums are exact in any order and the
+    // q·W thresholds are the same doubles on both sides.
+    QueryDef.sql(
+      "uq08_weighted_quantile",
+      """WITH s AS (
+        |  SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS w,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM lineitem),
+        |tot AS (SELECT SUM(CAST(l_quantity AS BIGINT)) AS tot FROM lineitem),
+        |t AS (
+        |  SELECT CAST(qq AS DOUBLE) AS q, CAST(qq AS DOUBLE) * tot AS thr
+        |  FROM (VALUES (0.5), (0.9), (0.99)) vals(qq) CROSS JOIN tot)
+        |SELECT q, v AS value, CAST(cum AS BIGINT) AS cum_weight
+        |FROM s JOIN t ON cum >= thr AND cum - w < thr
+        |ORDER BY q""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val li = Tables(spark, dir).lineitem
+        .select(col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val tot = li.agg(sum("w")).head().getLong(0) // 1-row metadata collect
+      val targets = Seq(0.5, 0.9, 0.99)
+        .map(q => (q, q * tot.toDouble)).toDF("q", "thr")
+      DistributedRank
+        .withRunningTotal(li, "cum", "w", col("v"), col("l_orderkey"), col("l_linenumber"))
+        .crossJoin(broadcast(targets)) // 3 rows; first-crossing filter below
+        .filter(col("cum") >= col("thr") && (col("cum") - col("w")) < col("thr"))
+        .select(col("q"), col("v").as("value"), col("cum").cast("long").as("cum_weight"))
+        .orderBy("q")
+    },
   )
 }

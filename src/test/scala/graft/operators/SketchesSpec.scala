@@ -29,6 +29,24 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("uq08: weighted quantiles equal a sorted-collect weighted scan") {
+    val r = Catalog.byName("uq08_weighted_quantile").build(spark, sf()).collect()
+    assert(r.length == 3)
+    val rows = Tables(spark, sf()).lineitem
+      .selectExpr("l_extendedprice", "CAST(l_quantity AS BIGINT)",
+        "l_orderkey", "CAST(l_linenumber AS BIGINT)").collect()
+      .map(x => (x.getDouble(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(x => (x._1, x._3, x._4))
+    val tot = rows.map(_._2).sum.toDouble
+    r.foreach { row =>
+      val (q, v, cw) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+      val thr = q * tot
+      var cum = 0L
+      val hit = rows.find { x => cum += x._2; cum >= thr }.get
+      assert(hit._1 == v && cum == cw, s"q=$q")
+    }
+  }
+
   test("raw HLL union estimate tracks exact distinct (no flag indirection)") {
     val events = Tables(spark, sf()).events
     val est = events
