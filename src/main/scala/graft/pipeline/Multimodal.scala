@@ -724,5 +724,73 @@ object Multimodal {
           max("frame_no").cast("long").as("last_frame"))
         .orderBy("media_id")
     },
+
+    // ----- mm08: perceptual-hash (aHash) image near-dup — the multimodal ×
+    // dedup crossover: decode the REAL PNG with the codec, sample the
+    // decoded raster on the 8×8 nearest-neighbor grid (mm04's resample
+    // geometry), threshold each sample against the 64-sample mean
+    // (64·v > Σv keeps it integer-exact — no double mean), pack the 64 bits
+    // as (hash_hi, hash_lo) BIGINT halves (bit 63 in one BIGINT would go
+    // sign-ambiguous across engines), then bucket-join on the hash —
+    // near-dups are same-hash groups, NEVER an all-pairs image comparison.
+    // The oracle replays the pixel formula through the identical sample →
+    // threshold → pack pipeline, so every hash is hash-checked; a match
+    // proves codec round-trip + raster sampling + bit packing end-to-end.
+    // At 100 TB the decode+hash is one map-side pass and the bucket join
+    // shuffles 2 BIGINTs per image.
+    QueryDef.sql(
+      "mm08_perceptual_hash_dedup",
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 15 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |smp AS (
+        |  SELECT i.media_id, k.k,
+        |    (i.media_id * 7 + (((k.k % 8) * i.w) // 8) * 3
+        |       + (((k.k // 8) * i.h) // 8) * 5) % 256 AS v
+        |  FROM imgs i, UNNEST(generate_series(0, 63)) AS k(k)),
+        |st AS (SELECT media_id, SUM(v) AS s FROM smp GROUP BY 1),
+        |bits AS (
+        |  SELECT m.media_id,
+        |    CAST(SUM(CASE WHEN m.k >= 32 AND 64 * m.v > t.s
+        |      THEN (CAST(1 AS BIGINT) << (m.k - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(SUM(CASE WHEN m.k < 32 AND 64 * m.v > t.s
+        |      THEN (CAST(1 AS BIGINT) << m.k) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM smp m JOIN st t USING (media_id) GROUP BY 1),
+        |bk AS (SELECT hash_hi, hash_lo, COUNT(*) AS bs FROM bits GROUP BY 1, 2)
+        |SELECT b.media_id, b.hash_hi, b.hash_lo,
+        |  CAST(bk.bs AS BIGINT) AS bucket_size, bk.bs > 1 AS near_dup
+        |FROM bits b JOIN bk USING (hash_hi, hash_lo)
+        |ORDER BY b.media_id""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val hashes = pngMediaTable(spark, dir).mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          val s = Array.tabulate(64) { k =>
+            val x = ((k % 8) * r.width) / 8
+            val y = ((k / 8) * r.height) / 8
+            (img.getRGB(x, y) & 0xFF).toLong
+          }
+          val sum = s.sum
+          var hi = 0L; var lo = 0L; var k = 0
+          while (k < 64) {
+            if (64L * s(k) > sum) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          (r.media_id, hi, lo)
+        }
+      }.toDF("media_id", "hash_hi", "hash_lo")
+      val buckets = hashes.groupBy("hash_hi", "hash_lo")
+        .agg(count(lit(1)).cast("long").as("bucket_size"))
+      hashes.join(buckets, Seq("hash_hi", "hash_lo"))
+        .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+          col("bucket_size"), (col("bucket_size") > 1L).as("near_dup"))
+        .orderBy("media_id")
+    },
   )
 }

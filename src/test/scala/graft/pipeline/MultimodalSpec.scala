@@ -134,4 +134,34 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("mm08: aHash matches a formula recompute; buckets and flags are consistent") {
+    val r = graft.Catalog.byName("mm08_perceptual_hash_dedup").build(spark, sf()).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4)))
+    assert(r.nonEmpty)
+    // independent recompute straight from the pixel FORMULA (never decoding):
+    // a match proves the engine's decode->sample->threshold->pack pipeline
+    val dims = graft.Tables(spark, sf()).documents
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 0"))
+      .selectExpr("doc_id", "n_chars % 64 + 16 AS w", "n_chars % 48 + 15 AS h")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    r.foreach { case (id, hi, lo, _, _) =>
+      val (w, h) = dims(id)
+      val s = Array.tabulate(64) { k =>
+        val x = ((k % 8) * w) / 8; val y = ((k / 8) * h) / 8
+        (id * 7 + x * 3 + y * 5) % 256
+      }
+      val sum = s.sum
+      var ehi = 0L; var elo = 0L
+      for (k <- 0 until 64 if 64L * s(k) > sum)
+        if (k < 32) elo |= 1L << k else ehi |= 1L << (k - 32)
+      assert(hi == ehi && lo == elo, s"media $id hash mismatch")
+    }
+    // bucket bookkeeping: size equals the actual same-hash group size
+    val groups = r.groupBy(x => (x._2, x._3))
+    r.foreach { case (id, hi, lo, bs, nd) =>
+      assert(bs == groups((hi, lo)).length.toLong, s"media $id bucket size")
+      assert(nd == (bs > 1), s"media $id flag")
+    }
+  }
 }
