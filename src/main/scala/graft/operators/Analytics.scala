@@ -538,7 +538,73 @@ object Analytics {
         .select(col("user_id"), col("n_events"), col("st")(1).as("ema"))
         .orderBy("user_id")
     },
+
+    // ----- q53: sequenceMatch with a time constraint —
+    // ClickHouse's '(?1)(?t<=3600)(?2)' family: a view→purchase match now
+    // also requires the purchase within 1 h of its arming view. Exact
+    // semantics implemented (and documented by WindowFunnelSpec's planted
+    // cases): the fold keeps the LATEST view timestamp (the dominance
+    // argument from q49 — of two candidate arming views, the later one is
+    // within-window whenever the earlier is); a purchase with
+    // ts − armed ≤ 1 h counts and CONSUMES the arm (q51's non-overlap
+    // rule); an out-of-window purchase leaves the arm in place (it can
+    // never match later — kept for fold simplicity, semantically inert
+    // since any later purchase is further away; a newer view re-arms).
+    // Same machinery: one user shuffle, 2-slot state, linear fold, oracle
+    // replays via list_reduce.
+    QueryDef.sql(
+      "q53_sequence_match_timed",
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE event_type WHEN 'view' THEN 1 ELSE 2 END AS step
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |g AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list([ts_us, step] ORDER BY ts_us, event_id) AS evs
+        |  FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(list_prepend([CAST(-1 AS BIGINT), 0], evs), (acc, x) -> [
+        |      CASE WHEN x[2] = 1 THEN x[1]
+        |           WHEN x[2] = 2 AND acc[1] >= 0 AND x[1] - acc[1] <= 3600000000 THEN -1
+        |           ELSE acc[1] END,
+        |      CASE WHEN x[2] = 2 AND acc[1] >= 0 AND x[1] - acc[1] <= 3600000000
+        |           THEN acc[2] + 1 ELSE acc[2] END
+        |    ]) AS st
+        |  FROM g)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(st[2] AS BIGINT) AS matches_timed,
+        |  st[2] > 0 AS matched
+        |FROM r ORDER BY user_id""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).events
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") === "view", 1L).otherwise(2L).as("step"))
+      sequenceMatchTimed(e, 3600000000L).orderBy("user_id")
+    },
   )
+
+  /** q53's per-user timed non-overlapping view→purchase match count over a
+    * `(user_id, event_id, ts_us, step)` frame. Fold state:
+    * [latest armed view ts (−1 when none), count].
+    */
+  def sequenceMatchTimed(events: DataFrame, windowUs: Long): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("step"))))
+          .as("evs"))
+      .select(col("user_id"), col("n_events"),
+        expr(s"""aggregate(evs, array(-1L, 0L), (acc, x) -> array(
+          CASE WHEN x.step = 1 THEN x.ts_us
+               WHEN x.step = 2 AND acc[0] >= 0L AND x.ts_us - acc[0] <= ${windowUs}L THEN -1L
+               ELSE acc[0] END,
+          CASE WHEN x.step = 2 AND acc[0] >= 0L AND x.ts_us - acc[0] <= ${windowUs}L
+               THEN acc[1] + 1L ELSE acc[1] END))""")
+          .as("st"))
+      .select(col("user_id"), col("n_events"),
+        col("st")(1).as("matches_timed"), (col("st")(1) > 0L).as("matched"))
 
   /** q51's per-user non-overlapping view→purchase match count over a
     * `(user_id, event_id, ts_us, step)` frame (shared with

@@ -315,25 +315,9 @@ object Curation {
     // identical plan skeleton to lm01, one more tiny aggregate.
     QueryDef.sql(
       "ds01_importance_selection",
-      """WITH bg AS (
-        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> substring(text, i, 2))) AS bg
-        |  FROM documents),
-        |inst AS (SELECT doc_id, lang, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
-        |mr AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_r FROM inst GROUP BY 1),
-        |mt AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_t FROM inst WHERE lang = 'en' GROUP BY 1),
-        |sc AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(COUNT(*) AS BIGINT) AS v FROM mr),
-        |st AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t FROM mt),
-        |p AS (SELECT mr.bg,
-        |    CAST(COALESCE(mt.c_t, 0) + 1 AS DOUBLE) / (st.n_t + sc.v)
-        |  - CAST(mr.c_r + 1 AS DOUBLE) / (sc.n_r + sc.v) AS adv
-        |  FROM mr LEFT JOIN mt USING (bg), sc, st)
-        |SELECT i.doc_id, i.lang,
-        |  CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
-        |  round(SUM(i.c * p.adv) / SUM(i.c), 9) AS importance,
-        |  round(SUM(i.c * p.adv) / SUM(i.c), 9) > 0 AS selected
-        |FROM inst i JOIN p USING (bg)
-        |GROUP BY 1, 2 ORDER BY i.doc_id""".stripMargin,
+      s"""WITH $DsirCtes
+         |SELECT doc_id, lang, n_bigrams, importance, importance > 0 AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin,
     ) { (spark, dir) =>
       val inst = Tables(spark, dir).documents
         .select(col("doc_id"), col("lang"),
@@ -361,5 +345,64 @@ object Curation {
           (m > 0d).as("selected"))
         .orderBy("doc_id")
     },
+
+    // ----- ds02: importance RESAMPLING — the sampling step DSIR actually
+    // takes after scoring (ds01 selects by threshold; the paper resamples
+    // with probability ∝ importance weight). Composition of ds01's scores
+    // with spl03's sequential-Poisson order sampling: a positive weight
+    // w = importance − min(importance) + 1e-9 (min-shift keeps the weight
+    // ordering identical to the score ordering, mirrored exactly in the
+    // oracle — both engines compute the same doubles since importance is
+    // already round(…,9)-pinned), deterministic pseudo-uniform u from the
+    // Knuth hash, rank (u+1)/w, 100 smallest ranks win. No RNG: rerunning
+    // draws the identical sample on any engine. The take-100 is a
+    // TakeOrderedAndProject (bounded heaps); the min scalar is 1-row
+    // broadcast.
+    QueryDef.sql(
+      "ds02_importance_resampling",
+      s"""WITH $DsirCtes,
+         |mn AS (SELECT MIN(importance) AS mn FROM scored),
+         |k AS (
+         |  SELECT s.doc_id, s.lang, s.importance,
+         |    s.importance - mn.mn + 1e-9 AS w,
+         |    ((s.doc_id * $KnuthA) % 1048576 + 1048576) % 1048576 AS u
+         |  FROM scored s CROSS JOIN mn)
+         |SELECT doc_id, lang, importance, CAST(u + 1 AS DOUBLE) / w AS rank
+         |FROM k ORDER BY rank, doc_id LIMIT 100""".stripMargin,
+    ) { (spark, dir) =>
+      val scored = graft.Catalog.byName("ds01_importance_selection").build(spark, dir)
+        .select(col("doc_id"), col("lang"), col("importance"))
+      val mn = scored.agg(min("importance").as("mn"))
+      scored.crossJoin(broadcast(mn))
+        .select(col("doc_id"), col("lang"), col("importance"),
+          ((pmod(col("doc_id") * KnuthA, lit(1048576L)) + 1L).cast("double") /
+            (col("importance") - col("mn") + 1e-9)).as("rank"))
+        .orderBy("rank", "doc_id").limit(100)
+    },
   )
+
+  /** ds01's scoring chain as oracle CTEs ending in
+    * `scored(doc_id, lang, n_bigrams, importance)` — shared with ds02's
+    * resampling oracle.
+    */
+  private lazy val DsirCtes: String =
+    """bg AS (
+      |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 1),
+      |    i -> substring(text, i, 2))) AS bg
+      |  FROM documents),
+      |inst AS (SELECT doc_id, lang, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+      |mr AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_r FROM inst GROUP BY 1),
+      |mt AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_t FROM inst WHERE lang = 'en' GROUP BY 1),
+      |sc AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(COUNT(*) AS BIGINT) AS v FROM mr),
+      |st AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t FROM mt),
+      |p AS (SELECT mr.bg,
+      |    CAST(COALESCE(mt.c_t, 0) + 1 AS DOUBLE) / (st.n_t + sc.v)
+      |  - CAST(mr.c_r + 1 AS DOUBLE) / (sc.n_r + sc.v) AS adv
+      |  FROM mr LEFT JOIN mt USING (bg), sc, st),
+      |scored AS (
+      |  SELECT i.doc_id, i.lang,
+      |    CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
+      |    round(SUM(i.c * p.adv) / SUM(i.c), 9) AS importance
+      |  FROM inst i JOIN p USING (bg)
+      |  GROUP BY 1, 2)""".stripMargin
 }

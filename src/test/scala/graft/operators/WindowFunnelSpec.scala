@@ -72,6 +72,31 @@ class WindowFunnelSpec extends SparkSpec {
     assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 0L, 5L -> 1L, 6L -> 0L), r.toString)
   }
 
+  /** (user, eventId, tsUs, step∈{1=view,2=purchase}) → timed match count (1h). */
+  private def timedCounts(rows: Seq[(Long, Long, Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = rows.toDF("user_id", "event_id", "ts_us", "step")
+    Analytics.sequenceMatchTimed(df, H).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  test("q53 timed matches require the purchase within the window of its arming view") {
+    val r = timedCounts(Seq(
+      // A: in-window -> 1
+      (1L, 1L, 0L, 1L), (1L, 2L, 30L * 60 * 1000000, 2L),
+      // B: out-of-window -> 0 (q51's untimed fold would count this)
+      (2L, 1L, 0L, 1L), (2L, 2L, 2L * H, 2L),
+      // C: dominance — the LATER view arms: purchase at 70min is out of
+      // window from view@0 but within from view@20min -> 1
+      (3L, 1L, 0L, 1L), (3L, 2L, 20L * 60 * 1000000, 1L),
+      (3L, 3L, 70L * 60 * 1000000, 2L),
+      // D: non-overlap — one view, two in-window purchases -> 1 (arm consumed)
+      (4L, 1L, 0L, 1L), (4L, 2L, 10L, 2L), (4L, 3L, 20L, 2L),
+      // E: boundary inclusive -> 1
+      (5L, 1L, 0L, 1L), (5L, 2L, H, 2L)))
+    assert(r == Map(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 1L), r.toString)
+  }
+
   test("q52 EMA equals a hand fold over the per-user purchase history") {
     val r = graft.Catalog.byName("q52_ema").build(spark, sf()).collect()
       .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap

@@ -163,4 +163,23 @@ class CurationSpec extends SparkSpec {
     assert(selEn > selRest,
       s"selected fraction en=$selEn not above rest=$selRest")
   }
+
+  test("ds02: resample is deterministic and biased toward high-importance docs") {
+    val d = graft.Catalog.byName("ds02_importance_resampling")
+    val r = d.build(spark, sf()).collect()
+    assert(r.length == 100)
+    val again = d.build(spark, sf()).collect()
+    assert(r.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq, "not deterministic")
+    // importance resampling: the sample's mean importance must exceed the
+    // corpus mean (weights track the min-shifted importance)
+    val all = graft.Catalog.byName("ds01_importance_selection").build(spark, sf())
+      .collect().map(_.getDouble(3))
+    val corpusMean = all.sum / all.length
+    val sampleMean = r.map(_.getDouble(2)).sum / r.length
+    assert(sampleMean > corpusMean,
+      s"resampling bias missing: sample $sampleMean <= corpus $corpusMean")
+    // ranks are positive and ordered
+    val ranks = r.map(_.getDouble(3))
+    assert(ranks.forall(_ > 0d) && ranks.zip(ranks.tail).forall { case (a, b) => a <= b })
+  }
 }
