@@ -214,20 +214,9 @@ object Dedup {
     // ones; the cap is mirrored here so both engines score the same universe.
     QueryDef.sql(
       "dd02_ngram_jaccard",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(words) - 2, 1)),
-        |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM w),
-        |keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $ShingleDfCap),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
-        |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
-        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(c AS DOUBLE) / (na.ns + nb.ns - c) AS jaccard
-        |FROM common JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
-        |WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5
-        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
+      s"""WITH $jaccardCtes
+         |SELECT doc_a, doc_b, jaccard FROM jtruth
+         |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
     ) { (spark, dir) =>
       ngramJaccardPairs(Tables(spark, dir).documents, threshold = 0.5, dfCap = ShingleDfCap)
     },
@@ -245,6 +234,55 @@ object Dedup {
          |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin,
     ) { (spark, dir) =>
       minhashPairs(spark, dir, threshold = 0.5)
+    },
+
+    // ----- dd13: LSH quality evaluation — precision/recall of dd03's
+    // MinHash pipeline against dd02's exact-Jaccard truth, the tuning
+    // evidence a pipeline owner needs before trusting banded LSH at a scale
+    // where the exact join is unaffordable (ann06 is the same harness for
+    // the dense ANN side). Two stages measured: `banding` = the raw
+    // band-bucket candidate set (what the 32×4 banding surfaces), `confirm`
+    // = candidates whose signature-estimated Jaccard ≥ 0.5 (what dd03
+    // ships). Truth and candidates both recompute in-plan; the metrics are
+    // exact integer counts with round(…,9) ratios. At 100 TB this runs on a
+    // SAMPLE (the truth join is quadratic in the sampled block) — the
+    // harness shape is what matters: it composes the same shared frames.
+    QueryDef.sql(
+      "dd13_lsh_eval",
+      s"""WITH $jaccardCtes,
+         |$minhashCtes,
+         |j AS (
+         |  SELECT m.doc_a, m.doc_b, m.est_jaccard,
+         |    CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS tp
+         |  FROM mest m LEFT JOIN jtruth t USING (doc_a, doc_b)),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM jtruth),
+         |s AS (
+         |  SELECT 'banding' AS stage, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(tp) AS BIGINT) AS tp FROM j
+         |  UNION ALL
+         |  SELECT 'confirm', CAST(COUNT(*) AS BIGINT), CAST(SUM(tp) AS BIGINT)
+         |  FROM j WHERE est_jaccard >= 0.5)
+         |SELECT stage, n_pairs, tp, n_truth,
+         |  round(CAST(tp AS DOUBLE) / n_pairs, 9) AS prec,
+         |  round(CAST(tp AS DOUBLE) / n_truth, 9) AS rec
+         |FROM s CROSS JOIN nt ORDER BY stage""".stripMargin,
+    ) { (spark, dir) =>
+      val truth = graft.Catalog.byName("dd02_ngram_jaccard").build(spark, dir)
+        .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1L))
+      val j = minhashPairs(spark, dir, threshold = 0.0)
+        .join(truth, Seq("doc_a", "doc_b"), "left")
+        .localCheckpoint(true) // feeds both stage aggregates
+      val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("n_pairs"),
+            coalesce(sum("t"), lit(0L)).cast("long").as("tp"))
+          .crossJoin(broadcast(nTruth))
+          .select(lit(name).as("stage"), col("n_pairs"), col("tp"), col("n_truth"),
+            round(col("tp").cast("double") / col("n_pairs"), 9).as("prec"),
+            round(col("tp").cast("double") / col("n_truth"), 9).as("rec"))
+      stage("banding", j)
+        .unionByName(stage("confirm", j.filter(col("est_jaccard") >= 0.5)))
+        .orderBy("stage")
     },
 
     // ----- dd08: INCREMENTAL batch-vs-corpus near-dup check — the shape
@@ -590,6 +628,26 @@ object Dedup {
     * `mest` is the estimated-Jaccard pair frame; shared with pp01's near-dup
     * stage. The 256 permutation constants are embedded as a VALUES relation.
     */
+  /** dd02's exact-Jaccard chain as oracle CTEs ending in
+    * `jtruth(doc_a, doc_b, jaccard)` (threshold 0.5, df-capped shingle
+    * universe) — shared with dd13's evaluation oracle.
+    */
+  // lazy: referenced from `defs` above, which initializes first
+  private[pipeline] lazy val jaccardCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(words) - 2, 1)),
+       |    i -> array_to_string(words[i:i+2], ' ')))) AS s FROM w),
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $ShingleDfCap),
+       |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+       |n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 1),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jtruth AS (
+       |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.ns + nb.ns - c) AS jaccard
+       |  FROM common JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5)""".stripMargin
+
   // lazy: referenced from `defs` above, which initializes first
   private[pipeline] lazy val minhashCtes: String = {
     val permRows = (0 until K).map(j => s"($j, ${hashA(j)}, ${hashB(j)})").mkString(", ")

@@ -199,4 +199,24 @@ class DedupSpec extends SparkSpec {
     assert(verdicts.contains("near_dup") && verdicts.contains("semantic"),
       s"expected near_dup and semantic drops in the roster, got $verdicts")
   }
+
+  test("dd13: eval metrics are internally consistent and match a direct recount") {
+    val r = graft.Catalog.byName("dd13_lsh_eval").build(spark, sf()).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getDouble(5))).toMap
+    assert(r.keySet == Set("banding", "confirm"))
+    val (bp, bt, nTruth, _, _) = r("banding")
+    val (cp, ct, _, cPrec, cRec) = r("confirm")
+    // confirm is a subset of banding on both axes
+    assert(cp <= bp && ct <= bt && bt <= nTruth && ct <= cp)
+    // ratios really are tp/n_pairs and tp/n_truth
+    assert(math.abs(cPrec - ct.toDouble / cp) < 1e-9)
+    assert(math.abs(cRec - ct.toDouble / nTruth) < 1e-9)
+    // direct recount: truth size matches dd02's own output
+    val truth = graft.Catalog.byName("dd02_ngram_jaccard").build(spark, sf()).count()
+    assert(nTruth == truth)
+    // the planted near-dups make banding recall high; confirm can only
+    // drop candidates, not invent them
+    assert(bt.toDouble / nTruth >= 0.9, s"banding recall ${bt.toDouble / nTruth}")
+  }
 }
