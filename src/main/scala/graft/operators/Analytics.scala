@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Refreshable-analytics query family (SURVEY.md §2.3 J5–J11): gap-fill date
@@ -583,6 +584,60 @@ object Analytics {
           unix_micros(col("ts")).as("ts_us"),
           when(col("event_type") === "view", 1L).otherwise(2L).as("step"))
       sequenceMatchTimed(e, 3600000000L).orderBy("user_id")
+    },
+
+    // ----- q54: ORDER BY … WITH FILL + INTERPOLATE — ClickHouse's
+    // gap-filling ORDER BY modifier with carry-forward interpolation
+    // (INTERPOLATE's default carries the previous row's value): the daily
+    // per-region revenue series over January 1996 (TPC-H order dates are
+    // sparse — every region has gap days at every SF), each missing day
+    // materialized from the spine and filled with the last seen revenue
+    // (0 before the first sale), flagged `filled`. Beyond q14's zero-fill:
+    // the fill VALUE is stateful. The carry window runs over the SPINE
+    // (5 regions × 31 days — metadata-scale, never the fact table); revenue
+    // aggregates through DECIMAL(18,2) and the carry happens in DECIMAL, so
+    // the filled values are bit-exact.
+    QueryDef.sql(
+      "q54_with_fill",
+      s"""WITH spine AS (
+         |  SELECT r_name, d::DATE AS d
+         |  FROM region, UNNEST(generate_series(DATE '1996-01-01', DATE '1996-01-31', INTERVAL 1 DAY)) s(d)),
+         |actual AS (
+         |  SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS d,
+         |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-02-01'
+         |  GROUP BY 1, 2)
+         |SELECT s.r_name AS region, s.d,
+         |  CAST(COALESCE(last_value(a.rev IGNORE NULLS) OVER (
+         |    PARTITION BY s.r_name ORDER BY s.d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE) AS revenue,
+         |  a.rev IS NULL AS filled
+         |FROM spine s LEFT JOIN actual a ON a.r_name = s.r_name AND a.d = s.d
+         |ORDER BY region, s.d""".stripMargin,
+    ) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val spine = broadcast(t.region.select(col("r_name")))
+        .crossJoin(spark.range(31).select(
+          date_add(lit(java.sql.Date.valueOf("1996-01-01")), col("id").cast("int")).as("d")))
+      val actual = t.orders
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-02-01")
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), to_date(col("o_orderdate")).as("d"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val w = Window.partitionBy("r_name").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(actual, Seq("r_name", "d"), "left")
+        .select(col("r_name").as("region"), col("d"),
+          coalesce(last(col("rev"), ignoreNulls = true).over(w),
+            lit(0).cast("decimal(18,2)")).cast("double").as("revenue"),
+          col("rev").isNull.as("filled"))
+        .orderBy("region", "d")
     },
   )
 

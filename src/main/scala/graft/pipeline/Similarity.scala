@@ -549,6 +549,53 @@ object Similarity {
          |FROM r WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin,
     ) { (spark, dir) => ivfPqTopK(spark, dir) },
+
+    // ----- ann10: FILTERED vector search — top-k under a metadata
+    // predicate (here: neighbor's document is German, via the mx02
+    // id-coincidence doc↔vec join), the shape every production vector store
+    // must serve ("nearest German documents"). Strategy is
+    // selectivity-driven, and this entry takes the SELECTIVE branch:
+    // PREFILTER + exact cosine over the filtered subset — exact recall by
+    // construction, cost |Q|×|filtered| (the predicate prunes ~6/7 of the
+    // corpus before any vector math; the filter and join sit below the
+    // cosine in the plan). The ExactBaseline guard fires on the FILTERED
+    // count, not the corpus: if the predicate stops being selective, the
+    // entry refuses loudly and names the postfilter path (probe ann02/ann03
+    // buckets, then apply the predicate, accepting its recall loss) — at
+    // 100 TB that decision is the filtered-ANN planner in one sentence.
+    QueryDef.sql(
+      "ann10_filtered_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         |f AS (
+         |  SELECT e.vec_id AS nid, e.embedding AS ne
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang = 'de'),
+         |s AS (
+         |  SELECT qid, nid, ${cosSql("qe", "ne")} AS cosine
+         |  FROM q JOIN f ON nid <> qid),
+         |r AS (SELECT qid, nid, cosine,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk FROM s)
+         |SELECT qid, rnk, nid, cosine FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val docs = Tables(spark, dir).documents
+        .filter(col("lang") === "de").select(col("doc_id").as("nid"))
+      val filtered = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .join(docs, "nid")
+        .localCheckpoint(true) // guard count + search scan share one build
+      ExactBaseline.guard(spark, filtered.count(), "ann10_filtered_topk",
+        "the postfilter path (probe ann02/ann03 buckets, then apply the predicate)")
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+      broadcast(q).join(filtered, col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("qid", "rnk", "nid", "cosine")
+        .orderBy("qid", "rnk")
+    },
   )
 
   /** rp01's ±1f sign row for projected dim `j`: parity of the first hex

@@ -130,6 +130,38 @@ class WindowFunnelSpec extends SparkSpec {
     assert(r.exists(_.getLong(1) == 1L))
   }
 
+  test("q54 WITH FILL: complete spine, carry-forward values, actuals untouched") {
+    import org.apache.spark.sql.functions._
+    val r = graft.Catalog.byName("q54_with_fill").build(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getDate(1).toString, x.getDouble(2), x.getBoolean(3)))
+    assert(r.length == 5 * 31, s"spine incomplete: ${r.length}")
+    assert(r.exists(_._4), "no gaps were filled — threshold lost its point")
+    // carry-forward: a filled day equals the previous day's revenue (0 at the start)
+    r.groupBy(_._1).foreach { case (region, days) =>
+      val sorted = days.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, rev, filled), i) =>
+        if (filled) {
+          val prev = if (i == 0) 0d else sorted(i - 1)._3
+          assert(rev == prev, s"$region day $i filled $rev != carried $prev")
+        }
+      }
+    }
+    // actuals match a direct recompute
+    val t = graft.Tables(spark, sf())
+    val actual = t.orders
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-02-01")
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .collect().map(x => (x.getString(0), x.getDate(1).toString) -> x.getDouble(2)).toMap
+    r.filterNot(_._4).foreach { case (reg, d, rev, _) =>
+      assert(actual((reg, d)) == rev, s"$reg $d actual mismatch")
+    }
+    assert(r.count(!_._4) == actual.size)
+  }
+
   test("catalog entry: levels monotone-exhaustive against per-user step presence") {
     import org.apache.spark.sql.functions._
     val r = Catalog.byName("q49_window_funnel").build(spark, sf()).collect()

@@ -166,4 +166,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r.count(x => exact.contains((x.getLong(0), x.getLong(2)))) > 0,
       "IVF-PQ top-10 shares nothing with the exact ranking of the same cells")
   }
+
+  test("ann10: filtered top-k returns only predicate-passing neighbors, exactly ranked") {
+    import org.apache.spark.sql.functions.col
+    val r = rows("ann10_filtered_topk")
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.nonEmpty && r.map(_._1).distinct.forall(_ < 8))
+    val german = graft.Tables(spark, sf()).documents
+      .filter(col("lang") === "de").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(r.forall(x => german(x._3)), "non-German neighbor leaked through the filter")
+    // per query: 10 rows, rank-ordered by cosine desc
+    r.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q")
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).zip(sorted.map(_._4).tail).forall { case (a, b) => a >= b })
+    }
+    // exactness vs the unfiltered ranking: any German doc in ann01's top-10
+    // must appear in ann10's top-10 at an equal-or-better rank
+    val unfiltered = rows("ann01_topk_bruteforce")
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val filteredRank = r.map(x => (x._1, x._3) -> x._2).toMap
+    unfiltered.filter(x => german(x._3)).foreach { case (q, rk, nid) =>
+      val fr = filteredRank.get((q, nid))
+      assert(fr.exists(_ <= rk), s"query $q: German nid $nid rank $rk unfiltered, $fr filtered")
+    }
+  }
 }
