@@ -386,5 +386,89 @@ object Sampling {
           max("doc_id").cast("long").as("max_doc"))
         .orderBy("shard")
     },
+
+    // ----- mx03: upsampling WITH REPLACEMENT — the >1000‰ branch mx01
+    // clamps away (its comment: "the >1000 case becomes an integer repeat
+    // factor"). Budget = the FULL token total split ∝ √tokens (α = 0.5), so
+    // low-resource sources land ABOVE 1000‰ (integer repeat copies + a
+    // fractional remainder drawn by the deterministic Knuth bucket) and
+    // high-resource sources below it (plain downsample) — exactly the
+    // domain-repetition recipe pretraining mixes use. Copies are emitted
+    // as real rows (explode over sequence(1, n_copies)); rerunning deals
+    // the identical corpus. The Σ√tokens fold is order-pinned (sorted by
+    // source, left fold) as in mx01, so both engines derive the same rate
+    // doubles and hence the same integer repeats.
+    //
+    // 100 TB shape: per-source rates are a |domains|-row broadcast; the
+    // copy explode is map-side with fan-out = the repeat factor (bounded by
+    // the mixing recipe, not the data); nothing shuffles except the final
+    // per-source audit aggregate.
+    QueryDef.sql(
+      "mx03_upsample_repeat",
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len(string_split(text, ' ')) AS toks FROM documents),
+         |per AS (
+         |  SELECT source, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens
+         |  FROM d GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(sqrt(CAST(tokens AS DOUBLE)) ORDER BY source)), (s1, v) -> s1 + v) AS sumw
+         |  FROM per),
+         |r AS (
+         |  SELECT per.source, per.docs, per.tokens,
+         |    1000.0 * total_tokens / (sumw * sqrt(CAST(tokens AS DOUBLE))) AS rate
+         |  FROM per, tot),
+         |c AS (
+         |  SELECT d.doc_id, d.source, d.toks,
+         |    CAST(FLOOR(r.rate / 1000) AS BIGINT)
+         |      + CASE WHEN ((d.doc_id * $KnuthA) % 1000 + 1000) % 1000
+         |               < r.rate - 1000 * FLOOR(r.rate / 1000) THEN 1 ELSE 0 END AS n_copies
+         |  FROM d JOIN r ON d.source = r.source),
+         |e AS (
+         |  SELECT c.source, c.toks FROM c, UNNEST(generate_series(1, c.n_copies)) g(i)
+         |  WHERE c.n_copies >= 1)
+         |SELECT r.source, CAST(r.docs AS BIGINT) AS docs, r.tokens,
+         |  CAST(FLOOR(r.rate) AS BIGINT) AS rate_permille,
+         |  CAST(COALESCE(e.emitted_docs, 0) AS BIGINT) AS emitted_docs,
+         |  CAST(COALESCE(e.emitted_tokens, 0) AS BIGINT) AS emitted_tokens
+         |FROM r LEFT JOIN (
+         |  SELECT source, COUNT(*) AS emitted_docs, SUM(toks) AS emitted_tokens
+         |  FROM e GROUP BY 1) e ON r.source = e.source
+         |ORDER BY r.source""".stripMargin,
+    ) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("toks"))
+      val per = d.groupBy("source")
+        .agg(count(lit(1)).as("docs"), sum("toks").cast("long").as("tokens"))
+      val tot = per.agg(
+        sum("tokens").cast("long").as("total_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("source"),
+            sqrt(col("tokens").cast("double")).as("w")))), x => x.getField("w")),
+          lit(0.0), (s, v) => s + v).as("sumw"))
+      val r = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("docs").cast("long").as("docs"), col("tokens"),
+          (lit(1000.0) * col("total_tokens")
+            / (col("sumw") * sqrt(col("tokens").cast("double")))).as("rate"))
+      val rates = broadcast(r.select("source", "rate"))
+      val copies = d.join(rates, "source")
+        .select(col("source"), col("toks"),
+          (floor(col("rate") / 1000).cast("long") +
+            when(bucket1000 < col("rate") - lit(1000d) * floor(col("rate") / 1000), 1L)
+              .otherwise(0L)).as("n_copies"))
+      val emitted = copies.filter(col("n_copies") >= 1L)
+        .select(col("source"), col("toks"),
+          explode(sequence(lit(1L), col("n_copies"))).as("i"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("emitted_docs"),
+          sum("toks").cast("long").as("emitted_tokens"))
+      r.join(emitted, Seq("source"), "left")
+        .select(col("source"), col("docs"), col("tokens"),
+          floor(col("rate")).cast("long").as("rate_permille"),
+          coalesce(col("emitted_docs"), lit(0L)).as("emitted_docs"),
+          coalesce(col("emitted_tokens"), lit(0L)).as("emitted_tokens"))
+        .orderBy("source")
+    },
   )
 }

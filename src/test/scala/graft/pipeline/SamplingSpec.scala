@@ -59,6 +59,29 @@ class SamplingSpec extends SparkSpec {
     assert(byTokens.zip(byTokens.tail).forall { case (small, big) => small >= big })
   }
 
+  test("mx03: repeat factors follow the rate and copies reconcile per source") {
+    val r = graft.Catalog.byName("mx03_upsample_repeat").build(spark, sf()).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.nonEmpty)
+    // both regimes exercised on this corpus: some sources upsample (>1000‰),
+    // some downsample (<1000‰)
+    assert(r.exists(_._4 >= 1000), "no source above 1000 permille")
+    assert(r.exists(_._4 < 1000), "no source below 1000 permille")
+    r.foreach { case (src, docs, _, rate, emittedDocs, _) =>
+      // emitted copies bounded by the integer repeat bracket
+      val lo = (rate / 1000) * docs
+      val hi = (rate / 1000 + 1) * docs
+      assert(emittedDocs >= lo && emittedDocs <= hi,
+        s"$src: $emittedDocs copies outside [$lo, $hi] for rate $rate")
+    }
+    // global token mass tracks the full-budget design: emitted ≈ corpus total
+    val total = r.map(_._3).sum.toDouble
+    val emitted = r.map(_._6).sum.toDouble
+    assert(math.abs(emitted - total) / total < 0.15,
+      s"emitted token mass $emitted far from budget $total")
+  }
+
   test("spl03: πps sample is deterministic, sized, and biased toward heavy docs") {
     val r = graft.Catalog.byName("spl03_weighted_sample").build(spark, sf()).collect()
     assert(r.length == 100)
