@@ -70,6 +70,29 @@ class LayoutSpec extends SparkSpec {
     assert(key.sorted.sameElements(key), "rows should be sorted by (event_type, ts)")
   }
 
+  test("schema evolution: mergeSchema unifies old and new file versions with null backfill") {
+    import spark.implicits._
+    // v1 writers knew (event_id, value); v2 adds a quality_score column —
+    // the exact evolution an ingest layout sees when a new pipeline stage
+    // starts stamping extra columns into later partitions
+    val root = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "value")
+      .write.parquet(s"$root/event_month=202401")
+    Seq((3L, 30.0, 0.9), (4L, 40.0, 0.2)).toDF("event_id", "value", "quality_score")
+      .write.parquet(s"$root/event_month=202402")
+    val df = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(df.columns.toSet == Set("event_id", "value", "quality_score", "event_month"))
+    val rows = df.collect().map(r =>
+      r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("quality_score"))) None
+         else Some(r.getAs[Double]("quality_score")))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "old files must backfill NULL")
+    assert(rows(3L).contains(0.9) && rows(4L).contains(0.2))
+    // predicates on the evolved column stay pushable and never match old rows
+    val hits = df.filter(col("quality_score") > 0.5).collect()
+    assert(hits.map(_.getAs[Long]("event_id")).toSeq == Seq(3L))
+  }
+
   test("zo01: Morton key is a bijection on the 256x256 grid and tiles are 8x8 squares") {
     val grid = spark.range(256L * 256L)
       .selectExpr("id % 256 AS ux", "id DIV 256 AS dy")
