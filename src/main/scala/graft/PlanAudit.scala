@@ -94,7 +94,12 @@ import org.apache.spark.sql.SparkSession
   * its four 1-row distinct-count scalars cross-joined onto the 1-row
   * per-column stat aggregates (metadata-scale by construction); q52's fold
   * is the q49 shape and uq07's two-level distinct is plain exchanges —
-  * both clean.
+  * both clean. Late session-5 flags, all accounted: q54's BNLJ is the
+  * 5-region × 31-day SPINE cross join (never the fact table); mx03 and
+  * dd13 flag their 1-row scalar cross joins (Σ√tokens / n_truth — the
+  * q18/q26 class); ann10's BNLJ is the broadcast 8-query × filtered-corpus
+  * search itself, the same deliberate exact-scan shape as ann01, guarded
+  * by ExactBaseline on the FILTERED count.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
