@@ -207,5 +207,57 @@ object Decontam {
         |FROM nc n LEFT JOIN mt m ON n.doc_id = m.doc_id
         |ORDER BY n.doc_id""".stripMargin,
     ) { (spark, dir) => bloomContamination(spark, dir) },
+
+    // ----- dc03: SEMANTIC decontamination — the embedding-level net that
+    // catches paraphrase leaks dc01/dc02's n-gram overlap misses (and the
+    // complement of sp02, which quarantines via ts02's LEXICAL clusters).
+    // Benchmark = the same deterministic carve (id % 20 == 0, via the mx02
+    // doc↔vec id coincidence); a corpus vector is contaminated when a
+    // benchmark vector in ITS km01 CELL has cosine ≥ 0.4 (dd05's near-dup
+    // threshold). Blocking through the shared one-Lloyd-round assignment
+    // bounds candidates by cell occupancy — bench×corpus pairs only, never
+    // all-pairs; cross-cell paraphrases are the accepted recall trade,
+    // exactly sd01's. Output: each contaminated corpus doc with its best
+    // benchmark match (max cosine, id tiebreak).
+    //
+    // 100 TB shape: the benchmark side is small by definition → broadcast;
+    // the cell assignment is km01's linear pass; the per-cell join's
+    // partition sizes track cell occupancy (adaptive-K bounds them in
+    // sd01's production form).
+    QueryDef.sql(
+      "dc03_semantic_decontamination",
+      s"""WITH ${Clustering.km01Ctes},
+         |cell AS (SELECT a.vec_id, a.cluster, e.embedding
+         |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |bench AS (SELECT vec_id AS bench_id, cluster, embedding AS be
+         |  FROM cell WHERE vec_id % 20 = 0),
+         |corp AS (SELECT vec_id, cluster, embedding AS ce
+         |  FROM cell WHERE vec_id % 20 <> 0),
+         |hits AS (
+         |  SELECT c.vec_id, c.cluster, b.bench_id,
+         |    ${graft.pipeline.Similarity.cosSql("c.ce", "b.be")} AS cosine
+         |  FROM corp c JOIN bench b USING (cluster)
+         |  WHERE ${graft.pipeline.Similarity.cosSql("c.ce", "b.be")} >= 0.4),
+         |best AS (SELECT vec_id, cluster, bench_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn
+         |  FROM hits)
+         |SELECT vec_id, cluster, bench_id, cosine
+         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    ) { (spark, dir) =>
+      val asg = Clustering.kmeansAssign(spark, dir).select("vec_id", "cluster")
+      val cell = Tables(spark, dir).embeddings.join(asg, "vec_id")
+      val bench = broadcast(cell.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("bench_id"), col("cluster"), col("embedding").as("be")))
+      val corp = cell.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id"), col("cluster"), col("embedding").as("ce"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("bench_id"))
+      corp.join(bench, "cluster")
+        .select(col("vec_id"), col("cluster"),
+          col("bench_id"), VectorOps.cosine(col("ce"), col("be")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("vec_id")
+    },
   )
 }
