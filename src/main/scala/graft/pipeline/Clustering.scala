@@ -140,7 +140,13 @@ object Clustering {
     * same broadcast + one shuffle) to tighten occupancy before the pair
     * stage.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The two-level adaptive-K fine assignment — (vec_id, embedding, cluster,
+    * ccos), clusters sized so expected occupancy ≤ [[TargetOcc]] at ANY
+    * corpus size. Shared blocking structure for sd01 (within-cell dedup
+    * pairs) and dc03 (within-cell bench×corpus contamination probes); the
+    * SQL twin is [[fineAssignCtes]]'s terminal `ff`.
+    */
+  private[pipeline] def fineAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val k = adaptiveK(CorpusMeta.embeddingCount(spark, dir))
     val c = coarseK(k)
@@ -153,7 +159,7 @@ object Clustering {
     val fs = coarse.filter(col("vec_id") < k)
       .select(col("coarse"), col("vec_id").as("fseed_id"), col("embedding").as("fseed_emb"))
     val fw = Window.partitionBy("vec_id").orderBy(desc_nulls_last("fc"), asc_nulls_last("fseed_id"))
-    val m = coarse.join(broadcast(fs), Seq("coarse"), "left")
+    coarse.join(broadcast(fs), Seq("coarse"), "left")
       .withColumn("fc", VectorOps.cosine(col("embedding"), col("fseed_emb")))
       .withColumn("rn", row_number().over(fw))
       .filter(col("rn") === 1)
@@ -161,6 +167,10 @@ object Clustering {
         coalesce(col("fseed_id"), -(col("coarse") + lit(1))).as("cluster"),
         coalesce(col("fc"), col("ccos_c")).as("ccos"))
       .localCheckpoint(true)
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val m = fineAssign(spark, dir)
     val a = m.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("ccos").as("ca"))
     val b = m.select(col("cluster").as("cluster_b"), col("vec_id").as("vec_b"),
@@ -211,7 +221,12 @@ object Clustering {
     * means a centroid-closer twin exists, i.e. this member drops). Shared
     * with dd11's fused dedup-policy oracle.
     */
-  private[pipeline] lazy val sd01Ctes =
+  /** Oracle twin of [[fineAssign]]: the two-level adaptive-K clustering CTE
+    * chain ending in `ff(vec_id, embedding, cluster, ccos)`. Shared by sd01
+    * (which appends the pair/verdict CTEs) and dc03 (which appends the
+    * bench×corpus contamination probe).
+    */
+  private[pipeline] lazy val fineAssignCtes =
     s"""kk AS (SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 512.0) AS BIGINT)) AS k
          |  FROM embeddings),
          |cc AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS c FROM kk),
@@ -245,7 +260,10 @@ object Clustering {
          |    COALESCE(fc, ccos_c) AS ccos FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |      ORDER BY fc DESC NULLS LAST, fseed_id ASC NULLS LAST) AS rn
-         |    FROM fj) WHERE rn = 1),
+         |    FROM fj) WHERE rn = 1)""".stripMargin
+
+  private[pipeline] lazy val sd01Ctes =
+    s"""$fineAssignCtes,
          |p AS (SELECT * FROM (
          |    SELECT a.vec_id AS vec_a, a.ccos AS ca, b.vec_id AS vec_b, b.ccos AS cb,
          |      ${Similarity.cosSql("a.embedding", "b.embedding")} AS pc

@@ -213,46 +213,45 @@ object Decontam {
     // complement of sp02, which quarantines via ts02's LEXICAL clusters).
     // Benchmark = the same deterministic carve (id % 20 == 0, via the mx02
     // doc↔vec id coincidence); a corpus vector is contaminated when a
-    // benchmark vector in ITS km01 CELL has cosine ≥ 0.4 (dd05's near-dup
-    // threshold). Blocking through the shared one-Lloyd-round assignment
-    // bounds candidates by cell occupancy — bench×corpus pairs only, never
-    // all-pairs; cross-cell paraphrases are the accepted recall trade,
-    // exactly sd01's. Output: each contaminated corpus doc with its best
-    // benchmark match (max cosine, id tiebreak).
+    // benchmark vector in ITS CLUSTER has cosine ≥ 0.4 (dd05's near-dup
+    // threshold). Blocking goes through sd01's two-level ADAPTIVE-K fine
+    // assignment (Clustering.fineAssign) — NOT km01's fixed 8 cells: with
+    // fixed K, cell occupancy grows ∝ n and bench×corpus pair mass inside
+    // cells is Θ(n²/K) (first cut measured 5.3× on 3× data at sf3);
+    // adaptive K keeps expected occupancy ≤ 512 so pair mass is linear in
+    // n. Cross-cell paraphrases are the accepted recall trade, exactly
+    // sd01's. Output: each contaminated corpus doc with its best benchmark
+    // match (max cosine, id tiebreak).
     //
-    // 100 TB shape: the benchmark side is small by definition → broadcast;
-    // the cell assignment is km01's linear pass; the per-cell join's
-    // partition sizes track cell occupancy (adaptive-K bounds them in
-    // sd01's production form).
+    // 100 TB shape: a real eval suite is constant-size (MBs) → broadcast;
+    // the assignment is fineAssign's Θ(n^1.5) coarse→fine route; the
+    // per-cell probe join's partition sizes track bounded cell occupancy.
     QueryDef.sql(
       "dc03_semantic_decontamination",
-      s"""WITH ${Clustering.km01Ctes},
-         |cell AS (SELECT a.vec_id, a.cluster, e.embedding
-         |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+      s"""WITH ${Clustering.fineAssignCtes},
          |bench AS (SELECT vec_id AS bench_id, cluster, embedding AS be
-         |  FROM cell WHERE vec_id % 20 = 0),
+         |  FROM ff WHERE vec_id % 20 = 0),
          |corp AS (SELECT vec_id, cluster, embedding AS ce
-         |  FROM cell WHERE vec_id % 20 <> 0),
+         |  FROM ff WHERE vec_id % 20 <> 0),
          |hits AS (
          |  SELECT c.vec_id, c.cluster, b.bench_id,
          |    ${graft.pipeline.Similarity.cosSql("c.ce", "b.be")} AS cosine
          |  FROM corp c JOIN bench b USING (cluster)
          |  WHERE ${graft.pipeline.Similarity.cosSql("c.ce", "b.be")} >= 0.4),
-         |best AS (SELECT vec_id, cluster, bench_id, cosine,
+         |best AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, bench_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn
          |  FROM hits)
          |SELECT vec_id, cluster, bench_id, cosine
          |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     ) { (spark, dir) =>
-      val asg = Clustering.kmeansAssign(spark, dir).select("vec_id", "cluster")
-      val cell = Tables(spark, dir).embeddings.join(asg, "vec_id")
+      val cell = Clustering.fineAssign(spark, dir)
       val bench = broadcast(cell.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id").as("bench_id"), col("cluster"), col("embedding").as("be")))
       val corp = cell.filter(col("vec_id") % 20 =!= 0)
         .select(col("vec_id"), col("cluster"), col("embedding").as("ce"))
       val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("bench_id"))
       corp.join(bench, "cluster")
-        .select(col("vec_id"), col("cluster"),
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
           col("bench_id"), VectorOps.cosine(col("ce"), col("be")).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .withColumn("rn", row_number().over(w))
