@@ -120,8 +120,10 @@ object PlanAudit {
     // but audits at any sfDir must see each entry's own conf
     val initPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val initPartsDefault = spark.conf.getOption(initPartsKey)
+    val verbose = sys.env.contains("SPARK_GRAFT_AUDIT_VERBOSE")
     Catalog.all.foreach { d =>
       try {
+        if (verbose) println(s"[audit] building ${d.name}")
         initPartsDefault match {
           case Some(v) => spark.conf.set(initPartsKey, v)
           case None => spark.conf.unset(initPartsKey)

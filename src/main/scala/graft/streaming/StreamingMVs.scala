@@ -398,16 +398,21 @@ object StreamingMVs {
       require(cents.nonEmpty && cents.length <= 64,
         s"st14 expects KB-scale cell count, got ${cents.length}")
       val stream = embeddingsStream(spark, dir)
-      var bestCell: Column = lit(cents.head._1.toLong)
-      var bestCos: Column =
-        graft.pipeline.VectorOps.cosine(col("embedding"), typedLit(cents.head._2))
-      cents.tail.foreach { case (cellId, c) =>
-        val cos = graft.pipeline.VectorOps.cosine(col("embedding"), typedLit(c))
-        bestCell = when(cos > bestCos, lit(cellId.toLong)).otherwise(bestCell)
-        bestCos = when(cos > bestCos, cos).otherwise(bestCos)
-      }
+      // argmax as array_max over (ccos, -cell) structs — struct ordering
+      // gives max cosine with lowest cell on exact ties (the oracle's
+      // ROW_NUMBER tiebreak). Expression size is LINEAR in K; the earlier
+      // nested-when fold embedded the running best TWICE per cell, growing
+      // the tree exponentially — at K=10 the generated code crossed janino's
+      // 64 KB method limit and the whole stage silently fell back to
+      // interpreted evaluation (caught by PlanAudit's audit run).
+      val scored = array(cents.map { case (cellId, c) =>
+        struct(
+          graft.pipeline.VectorOps.cosine(col("embedding"), typedLit(c)).as("ccos"),
+          lit(-cellId.toLong).as("neg_cell"))
+      }: _*)
+      val best = array_max(scored)
       val agg = stream
-        .select(bestCell.as("cell"), bestCos.as("ccos"))
+        .select((-best.getField("neg_cell")).as("cell"), best.getField("ccos").as("ccos"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_assigned"),
           min(col("ccos")).as("min_cos"), max(col("ccos")).as("max_cos"),
