@@ -1,6 +1,8 @@
 package graft.pipeline
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical similarity and duplicate-cluster resolution — the
@@ -246,63 +248,87 @@ object SparseText {
     // never globally sorted and never shuffled beyond the matched postings.
     QueryDef.sql(
       "ir01_bm25_retrieval",
-      """WITH dl AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-        |  FROM documents),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) / COUNT(*) AS avgdl FROM dl),
-        |tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
-        |  FROM tok WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-        |sc AS (
-        |  SELECT f.doc_id, f.term,
-        |    ((n - df + 0.5) / (df + 0.5)) *
-        |      ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * (l.dl / avgdl)))) AS s
-        |  FROM tf f JOIN df USING (term) JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st),
-        |p AS (
-        |  SELECT doc_id,
-        |    SUM(CASE WHEN term = 'vector' THEN s END) AS sv,
-        |    SUM(CASE WHEN term = 'hash' THEN s END) AS sh,
-        |    SUM(CASE WHEN term = 'merge' THEN s END) AS sm,
-        |    CAST(COUNT(*) AS BIGINT) AS matched_terms
-        |  FROM sc GROUP BY doc_id)
+      s"""WITH $bm25Ctes
         |SELECT doc_id,
         |  COALESCE(sv, CAST(0 AS DOUBLE)) + COALESCE(sh, CAST(0 AS DOUBLE))
         |    + COALESCE(sm, CAST(0 AS DOUBLE)) AS score,
         |  matched_terms
         |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     ) { (spark, dir) =>
-      val docs = Tables(spark, dir).documents
-      val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
-      // SUM(dl)/COUNT — dl is integer-valued, so the sum is exact in any
-      // accumulation order and avgdl is the same double on both engines
-      val stats = dl.agg(count(lit(1)).cast("double").as("n"),
-        (sum("dl") / count(lit(1))).as("avgdl"))
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term").isin(Bm25QueryTerms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val sc = tf
-        .join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"),
-          (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-            ((col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))).as("s"))
-      def termScore(t: String) = sum(when(col("term") === t, col("s")))
-      sc.groupBy("doc_id")
-        .agg(termScore("vector").as("sv"), termScore("hash").as("sh"),
-          termScore("merge").as("sm"), count(lit(1)).cast("long").as("matched_terms"))
+      bm25Matched(spark, dir)
         .select(col("doc_id"),
           (coalesce(col("sv"), lit(0d)) + coalesce(col("sh"), lit(0d))
             + coalesce(col("sm"), lit(0d))).as("score"),
           col("matched_terms"))
         .orderBy(desc("score"), asc("doc_id")).limit(20)
+    },
+
+    // ----- ir02: hybrid retrieval — reciprocal-rank fusion (RRF, k = 60)
+    // of ir01's lexical BM25 arm and a semantic vector arm (query =
+    // embedding of vec_id 0 via the mx02 doc↔vec id coincidence; the query
+    // doc itself excluded). Each arm contributes its top 50 by its own
+    // score (score DESC, id ASC — deterministic), a candidate absent from
+    // an arm contributes 0 from it, and the fused score is the fixed
+    // left-to-right sum 1/(60+r_lex) + 1/(60+r_vec) — exact-integer rank
+    // arithmetic, so both engines produce identical doubles. Output: top
+    // 20 by fused score with both arm ranks (−1 = not retrieved by that
+    // arm).
+    //
+    // 100 TB shape: the lexical arm is ir01's posting-list selection +
+    // TakeOrderedAndProject; the vector arm is a ONE-PASS map-side cosine
+    // against a broadcast 1-row query + TakeOrderedAndProject (|1|×n, not
+    // n² — no ExactBaseline guard needed; the served production form swaps
+    // in ann03/ann09's IVF shortlist, fusion unchanged). Ranking windows
+    // run AFTER each arm's limit-50, on 50-row relations — the
+    // metadata-scale SinglePartition class.
+    QueryDef.sql(
+      "ir02_rrf_hybrid",
+      s"""WITH $bm25Ctes,
+        |lexsc AS (SELECT doc_id,
+        |    COALESCE(sv, CAST(0 AS DOUBLE)) + COALESCE(sh, CAST(0 AS DOUBLE))
+        |      + COALESCE(sm, CAST(0 AS DOUBLE)) AS score
+        |  FROM p),
+        |lex50 AS (SELECT doc_id, score FROM lexsc ORDER BY score DESC, doc_id LIMIT 50),
+        |lexr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM lex50),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |vc AS (SELECT e.vec_id AS doc_id,
+        |    ${Similarity.cosSql("e.embedding", "q.qe")} AS vcos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |vec50 AS (SELECT doc_id, vcos FROM vc ORDER BY vcos DESC, doc_id LIMIT 50),
+        |vecr AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY vcos DESC, doc_id) AS r_vec FROM vec50),
+        |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), CAST(0 AS DOUBLE))
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r_vec), CAST(0 AS DOUBLE)) AS rrf,
+        |    COALESCE(l.r_lex, -1) AS rank_lex, COALESCE(v.r_vec, -1) AS rank_vec
+        |  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rrf, rank_lex, rank_vec
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    ) { (spark, dir) =>
+      val lexW = Window.orderBy(desc("score"), asc("doc_id"))
+      val lexr = bm25Matched(spark, dir)
+        .select(col("doc_id"),
+          (coalesce(col("sv"), lit(0d)) + coalesce(col("sh"), lit(0d))
+            + coalesce(col("sm"), lit(0d))).as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(50)
+        .select(col("doc_id"), row_number().over(lexW).cast("long").as("r_lex"))
+      val emb = Tables(spark, dir).embeddings
+      val q = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+      val vecW = Window.orderBy(desc("vcos"), asc("doc_id"))
+      val vecr = emb.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id").as("doc_id"),
+          VectorOps.cosine(col("embedding"), col("qe")).as("vcos"))
+        .orderBy(desc("vcos"), asc("doc_id")).limit(50)
+        .select(col("doc_id"), row_number().over(vecW).cast("long").as("r_vec"))
+      lexr.join(vecr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0d))
+            + coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0d))).as("rrf"),
+          coalesce(col("r_lex"), lit(-1L)).as("rank_lex"),
+          coalesce(col("r_vec"), lit(-1L)).as("rank_vec"))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(20)
     },
   )
 
@@ -310,4 +336,60 @@ object SparseText {
     * confs: the oracle SQL bakes the same literals in.
     */
   private val Bm25QueryTerms = Seq("vector", "hash", "merge")
+
+  /** ir01's BM25 scoring chain, shared with ir02's lexical arm: ends in
+    * `p(doc_id, sv, sh, sm, matched_terms)` — the per-query-term pivoted
+    * scores (NULL where the term is absent).
+    */
+  private lazy val bm25Ctes =
+    """dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM tok WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT f.doc_id, f.term,
+      |    ((n - df + 0.5) / (df + 0.5)) *
+      |      ((f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * (l.dl / avgdl)))) AS s
+      |  FROM tf f JOIN df USING (term) JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st),
+      |p AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN term = 'vector' THEN s END) AS sv,
+      |    SUM(CASE WHEN term = 'hash' THEN s END) AS sh,
+      |    SUM(CASE WHEN term = 'merge' THEN s END) AS sm,
+      |    CAST(COUNT(*) AS BIGINT) AS matched_terms
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** Spark twin of [[bm25Ctes]]: (doc_id, sv, sh, sm, matched_terms). */
+  private def bm25Matched(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+    // SUM(dl)/COUNT — dl is integer-valued, so the sum is exact in any
+    // accumulation order and avgdl is the same double on both engines
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(Bm25QueryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val sc = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (((col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))).as("s"))
+    def termScore(t: String) = sum(when(col("term") === t, col("s")))
+    sc.groupBy("doc_id")
+      .agg(termScore("vector").as("sv"), termScore("hash").as("sh"),
+        termScore("merge").as("sm"), count(lit(1)).cast("long").as("matched_terms"))
+  }
 }
