@@ -183,6 +183,66 @@ object Scrub {
         .orderBy("doc_id")
     },
 
+    // ----- qf03: WITHIN-doc repetition signals — the Gopher §A.1.1
+    // repetition family (word-count form), complementing qf01 (per-doc
+    // shape rules; its ttr already covers 1 − dup-unigram) and qf02
+    // (CORPUS-level duplication): per doc, the most-frequent unigram's and
+    // bigram's share of instances (top-n-gram concentration) and the
+    // fraction of instances whose n-gram repeats within the SAME doc. A
+    // doc can be corpus-unique yet internally degenerate ("lorem lorem
+    // lorem…") — this is the signal that catches it. Thresholds (top1 ≤
+    // 0.20, top2 ≤ 0.05, dup2 ≤ 0.10) measured to split this corpus
+    // 314/500 keep at sf0.01.
+    //
+    // 100 TB shape: both explodes shuffle keyed (doc_id, gram) — partition
+    // sizes track per-doc distinct grams, never corpus-global gram counts
+    // (qf02's window is the corpus-level one; none here) — then collapse
+    // to one row per doc. Pure two-stage agg, no joins beyond the final
+    // per-doc zip, no window. Bigrams come from the width-parametric
+    // codegen shingle kernel, not an interpreted lambda.
+    QueryDef.sql(
+      "qf03_repetition_signals",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |uni AS (SELECT doc_id, unnest(words) AS t FROM w),
+        |uc AS (SELECT doc_id, t, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+        |us AS (SELECT doc_id, SUM(c) AS n1, MAX(c) AS top1,
+        |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup1 FROM uc GROUP BY 1),
+        |bi AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(words) - 1, 1)),
+        |    i -> array_to_string(words[i:i+1], ' '))) AS t FROM w),
+        |bc AS (SELECT doc_id, t, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, SUM(c) AS n2, MAX(c) AS top2,
+        |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup2 FROM bc GROUP BY 1)
+        |SELECT doc_id, CAST(n1 AS BIGINT) AS n_words,
+        |  CAST(top1 AS DOUBLE) / n1 AS top1_frac,
+        |  CAST(dup1 AS DOUBLE) / n1 AS dup1_frac,
+        |  CAST(top2 AS DOUBLE) / n2 AS top2_frac,
+        |  CAST(dup2 AS DOUBLE) / n2 AS dup2_frac,
+        |  CAST(top1 AS DOUBLE) / n1 <= 0.20 AND CAST(top2 AS DOUBLE) / n2 <= 0.05
+        |    AND CAST(dup2 AS DOUBLE) / n2 <= 0.10 AS keep
+        |FROM us JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      def gramStats(grams: org.apache.spark.sql.Column, pfx: String) =
+        Tables(spark, dir).documents
+          .select(col("doc_id"), explode(grams).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as(s"n$pfx"), max("c").as(s"top$pfx"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(s"dup$pfx"))
+      val us = gramStats(split(col("text"), " "), "1")
+      val bs = gramStats(graft.functions.TextExpressions.wordShingles(col("text"), 2), "2")
+      val t1 = col("top1").cast("double") / col("n1")
+      val d1 = col("dup1").cast("double") / col("n1")
+      val t2 = col("top2").cast("double") / col("n2")
+      val d2 = col("dup2").cast("double") / col("n2")
+      us.join(bs, "doc_id")
+        .select(col("doc_id"), col("n1").cast("long").as("n_words"),
+          t1.as("top1_frac"), d1.as("dup1_frac"),
+          t2.as("top2_frac"), d2.as("dup2_frac"),
+          (t1 <= 0.20 && t2 <= 0.05 && d2 <= 0.10).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // ----- prof01: per-column data profile — the ANALYZE-style QA pass a
     // pipeline runs before training on a new drop: per column, row count,
     // null count, EXACT distinct count, and min/max (numeric columns report
