@@ -596,6 +596,68 @@ object Similarity {
         .select("qid", "rnk", "nid", "cosine")
         .orderBy("qid", "rnk")
     },
+
+    // ----- ann11: hard-negative mining — the contrastive-training data
+    // op: for each anchor query, the top-10 most-similar vectors of a
+    // DIFFERENT label (close in embedding space, different class — the
+    // negatives that actually move an embedding model). Production shape
+    // rides the IVF structure: each query probes its 2 nearest FOREIGN
+    // centroids (own-label cell excluded at the centroid rank), then
+    // exact-cosine ranks only those inverted lists — per-query work is
+    // 2/nlist of the corpus, the ann05 cost class, and every candidate is
+    // a negative by construction (cell label == candidate label ≠ anchor
+    // label), so no post-filter discards paid-for cosines. Cross-cell
+    // negatives are the accepted recall trade, exactly the ann03/ann05
+    // probe trade.
+    QueryDef.sql(
+      "ann11_hard_negatives",
+      s"""WITH dimvals AS (
+         |  SELECT e.label, t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS c
+         |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1, 2),
+         |cent AS (SELECT label, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid FROM dimvals GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |aq AS (
+         |  SELECT q.qid, q.qe, q.qlabel, c.label,
+         |    ${cosSql("q.qe", "c.centroid")} AS ccos
+         |  FROM q, cent c WHERE c.label <> q.qlabel),
+         |assign AS (
+         |  SELECT qid, qe, qlabel, label FROM (
+         |    SELECT aq.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r FROM aq)
+         |  WHERE r <= 2),
+         |s AS (
+         |  SELECT a.qid, CAST(a.qlabel AS BIGINT) AS qlabel,
+         |    CAST(a.label AS BIGINT) AS neg_label, b.vec_id AS nid,
+         |    ${cosSql("a.qe", "b.embedding")} AS cosine
+         |  FROM assign a JOIN embeddings b ON b.label = a.label),
+         |r AS (SELECT qid, qlabel, neg_label, nid, cosine,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rnk FROM s)
+         |SELECT qid, qlabel, rnk, nid, neg_label, cosine FROM r WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val centroids = labelCentroids(e)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+      val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
+      val assigned = q.crossJoin(broadcast(centroids))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("qid"), col("qe"), col("qlabel"), col("label"),
+          VectorOps.cosine(col("qe"), col("centroid")).as("ccos"))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") <= 2)
+        .select("qid", "qe", "qlabel", "label")
+      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label"))
+      val wRank = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+      assigned.join(n, Seq("label"))
+        .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+          col("label").cast("long").as("neg_label"), col("nid"),
+          VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("qid", "qlabel", "rnk", "nid", "neg_label", "cosine")
+        .orderBy("qid", "rnk")
+    },
   )
 
   /** rp01's ±1f sign row for projected dim `j`: parity of the first hex
