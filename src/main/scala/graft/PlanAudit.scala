@@ -100,6 +100,16 @@ import org.apache.spark.sql.SparkSession
   * q18/q26 class); ann10's BNLJ is the broadcast 8-query × filtered-corpus
   * search itself, the same deliberate exact-scan shape as ann01, guarded
   * by ExactBaseline on the FILTERED count.
+  *
+  * Round-9 session-6 batch: dc03 and qf03 are clean (dc03 rides
+  * fineAssign's equi-joins; qf03 is two (doc, gram)-keyed agg chains).
+  * ann11 flags BroadcastNestedLoopJoin — the 8-query × foreign-centroid
+  * probe cross join, the accounted ann03/ann05/km01 class (the search
+  * join itself is label-equi-keyed). ir02 flags BNLJ + SinglePartition —
+  * the 1-row broadcast query vector cross join (q18/q26 class) plus the
+  * rank windows that run AFTER each arm's limit-50 on 50-row relations
+  * (documented in the entry: metadata-scale by construction; the heavy
+  * ranking is TakeOrderedAndProject heaps).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

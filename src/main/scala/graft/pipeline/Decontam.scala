@@ -37,6 +37,26 @@ object Decontam {
     len(new java.io.File(s"$dir/documents.parquet"))
   }
 
+  /** dc02's shingle builder, exposed for st17's streaming twin. */
+  private[graft] def docShingles(text: Column): Column = shingles(text)
+
+  /** Bench-side static artifacts of the streaming decontamination firewall
+    * (st17): the distinct benchmark shingle set and the Bloom blob over it —
+    * exactly dc02's bench build (same repartition-before-explode, same
+    * memoized sizeBits derivation), so the stream probes the identical
+    * filter the batch pass uses.
+    */
+  private[graft] def benchShingleBloom(spark: SparkSession, dir: String): (Array[Byte], DataFrame) = {
+    import graft.functions.BloomExpressions._
+    val bench = Tables(spark, dir).documents.filter(col("doc_id") % 20 === 0)
+    val shB = bench.repartition(col("doc_id"))
+      .select(explode(shingles(col("text"))).as("s")).distinct()
+    val bits = sizeBits(CorpusMeta.benchShingleCount(spark, dir)(shB.count()))
+    val blob = shB.agg(bloomBuild(xxhash64(col("s")), bits, DefaultNumHashes).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    (blob, shB)
+  }
+
   /** Per-corpus-document contamination verdict against the benchmark set. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
