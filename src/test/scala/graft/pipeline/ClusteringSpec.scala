@@ -41,6 +41,33 @@ class ClusteringSpec extends SparkSpec {
     assert(dropped.forall(exact.contains))
   }
 
+  test("dc03: every hit is a true leak, and within-cell recall is total") {
+    val hits = rows("dc03_semantic_decontamination")
+    assert(hits.nonEmpty)
+    // soundness: each reported (corpus, bench) pair must be in dd05's exact
+    // all-pairs >= 0.4 ground truth (either order)
+    val exactPairs = rows("dd05_embedding_neardup")
+      .map(p => (p.getLong(0), p.getLong(1))).toSet
+    hits.foreach { h =>
+      val (c, b) = (h.getLong(0), h.getLong(2))
+      assert(exactPairs.contains((c, b)) || exactPairs.contains((b, c)),
+        s"dc03 reported ($c, $b) which is not an exact >= 0.4 pair")
+    }
+    // completeness: every exact corpus x bench pair that SHARES a fine cell
+    // must surface its corpus member (dc03's stated recall contract — the
+    // only accepted misses are cross-cell)
+    val cell = Clustering.fineAssign(spark, sf()).select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flagged = hits.map(_.getLong(0)).toSet
+    exactPairs.foreach { case (a, b) =>
+      def check(corpus: Long, bench: Long): Unit =
+        if (corpus % 20 != 0 && bench % 20 == 0 && cell(corpus) == cell(bench))
+          assert(flagged.contains(corpus),
+            s"corpus $corpus shares cell ${cell(corpus)} with bench $bench but was not flagged")
+      check(a, b); check(b, a)
+    }
+  }
+
   test("sd01: adaptive K derivation matches the oracle's integer arithmetic") {
     assert(Clustering.adaptiveK(1) == 8L)
     assert(Clustering.adaptiveK(4096) == 8L)
