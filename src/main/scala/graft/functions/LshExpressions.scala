@@ -48,6 +48,17 @@ object LshExpressions {
     */
   def polyFold(a: Column): Column =
     ColumnBridge.column(ArrayLongPolyFold(ColumnBridge.expression(a)))
+
+  /** Row-local MinHash signature: sig_j = min over hashes h of
+    * (a_j·h + b_j) mod p — the stateless ingest-time form of the batch
+    * explode + K-min-aggregates build (Dedup.signatures), value-identical
+    * because min over the same multiset is order-free. One codegen kernel
+    * call per row; Structured Streaming gets the signature as a plain map
+    * (no aggregation), leaving the query's single streaming-agg slot free.
+    */
+  def minhashSig(hashes: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(hashes),
+      a.toArray, b.toArray, p))
 }
 
 case class ArrayLongPolyFold(child: Expression) extends UnaryExpression {
@@ -192,6 +203,53 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
        """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinhashSignature(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression {
+
+  require(a.length == b.length && a.nonEmpty, "minhash perm arrays must match and be non-empty")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig requires array<long>, got ${dt.catalogString}")
+  }
+
+  /** Public for the generated code path. Long arithmetic matches the batch
+    * aggregate's codegen exactly (JVM long mul/add/rem — a·h + b < 2^62 for
+    * the P = 2^31−1 family, so no wrap in practice either way).
+    */
+  def compute(arr: ArrayData): ArrayData = {
+    val k = a.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(x: Any): Any = compute(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("minhashKernel", this, classOf[MinhashSignature].getName)
+      s"${ev.value} = $ref.compute($x);"
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -125,6 +125,54 @@ object Dedup {
       transform(shingleExpr(col("text")),
         s => graft.functions.TextExpressions.polyHash(s)).as("hashes"))
 
+  /** The banded keys of a signature as an in-row array (band_id implied by
+    * position): polyFold over each RowsPerBand slice — the same fold every
+    * batch band build inlines.
+    */
+  private def bandArray(sig: Column): Column =
+    transform(sequence(lit(0), lit(NumBands - 1)), b =>
+      graft.functions.LshExpressions.polyFold(
+        slice(sig, b * RowsPerBand + 1, lit(RowsPerBand))))
+
+  /** st18's static side — the standing corpus's band index and signature
+    * table (the "maintained bucketed index" dd08's 100 TB posture names),
+    * built ONCE at MV creation from the corpus carve (doc_id % 10 ≠ 0).
+    */
+  private[graft] def corpusIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val corpus = Tables(spark, dir).documents.filter(col("doc_id") % 10 =!= 0)
+    val sigs = signatures(shingleHashes(corpus)).localCheckpoint(true)
+    val bands = sigs.select(col("doc_id"), posexplode(bandArray(col("sig"))))
+      .toDF("corpus_id", "band_id", "band_hash")
+    (bands, sigs.toDF("corpus_id", "sig_c"))
+  }
+
+  /** st18's streaming plan: each arriving batch doc (one row = one doc) gets
+    * its signature from the ROW-LOCAL codegen kernel (minhashSig — no
+    * aggregation, so the query's single streaming-agg slot stays free for
+    * the verdict), probes the static band index, and folds its candidates to
+    * the best corpus match via max(struct(est, −corpus_id)) — the same
+    * (est DESC, corpus ASC) tiebreak as dd08's ROW_NUMBER. Band collisions
+    * may duplicate a (doc, corpus) candidate; est is identical per copy, so
+    * the max-fold absorbs them without dd08's pre-DISTINCT (a second
+    * streaming aggregation, which Spark forbids).
+    */
+  private[graft] def streamingDedupProbe(spark: SparkSession, dir: String,
+      stream: DataFrame): DataFrame = {
+    val (corpusBands, corpusSigs) = corpusIndex(spark, dir)
+    val s = shingleHashes(stream).select(col("doc_id"),
+      graft.functions.LshExpressions.minhashSig(col("hashes"), hashA, hashB, P).as("sig"))
+    val sb = s.select(col("doc_id"), col("sig"), posexplode(bandArray(col("sig"))))
+      .toDF("doc_id", "sig", "band_id", "band_hash")
+    sb.join(corpusBands, Seq("band_id", "band_hash"))
+      .join(corpusSigs, "corpus_id")
+      .select(col("doc_id"), col("corpus_id"),
+        (graft.functions.LshExpressions.eqCount(col("sig"), col("sig_c"))
+          .cast("double") / K).as("est"))
+      .filter(col("est") >= 0.5)
+      .groupBy("doc_id")
+      .agg(max(struct(col("est"), (-col("corpus_id")).as("neg"))).as("best"))
+  }
+
   /** Candidate near-dup pairs via banded LSH + signature-estimated Jaccard. */
   private[pipeline] def minhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     // localCheckpoint, not cache: 3 consumers (bands, sig_a, sig_b), and the
@@ -649,7 +697,7 @@ object Dedup {
        |  WHERE CAST(c AS DOUBLE) / (na.ns + nb.ns - c) >= 0.5)""".stripMargin
 
   // lazy: referenced from `defs` above, which initializes first
-  private[pipeline] lazy val minhashCtes: String = {
+  private[graft] lazy val minhashCtes: String = {
     val permRows = (0 until K).map(j => s"($j, ${hashA(j)}, ${hashB(j)})").mkString(", ")
     s"""mw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
        |msh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -577,6 +577,56 @@ object StreamingMVs {
         .orderBy("doc_id")
     },
 
+    // ----- st18: streaming near-dup firewall — dd08's incremental
+    // batch-vs-corpus probe with the batch side arriving as a STREAM,
+    // making the "maintained corpus band index" of dd08's 100 TB posture
+    // literal: the standing corpus's band index + signature table are
+    // built once at MV creation (Dedup.corpusIndex — pin-at-creation,
+    // like st15/st16/st17's static sides), each arriving doc computes its
+    // MinHash signature via the ROW-LOCAL codegen kernel (no aggregation
+    // spent on it), probes the index band-equi-keyed, and the single
+    // streaming aggregation folds candidates to the best corpus match.
+    // The no-match roster join happens on the materialized result.
+    // Incremental == batch because per-doc max is order-free; the oracle
+    // is dd08's verbatim.
+    //
+    // 100 TB shape: only the arriving batch shuffles (band-key equi join
+    // against the bucketed index); per-batch state is one row per arriving
+    // doc — the MV being built.
+    QueryDef.sql(
+      "st18_streaming_neardup_probe",
+      s"""WITH ${graft.pipeline.Dedup.minhashCtes},
+         |hits AS (SELECT
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS batch_id,
+         |    CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_id,
+         |    est_jaccard
+         |  FROM mest
+         |  WHERE est_jaccard >= 0.5 AND (doc_a % 10 = 0) <> (doc_b % 10 = 0)),
+         |best AS (SELECT batch_id, corpus_id, est_jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY batch_id
+         |      ORDER BY est_jaccard DESC, corpus_id) AS rn
+         |  FROM hits)
+         |SELECT d.doc_id,
+         |  COALESCE(b.corpus_id, -1) AS matched_corpus_doc,
+         |  COALESCE(b.est_jaccard, 0.0) AS est_jaccard,
+         |  b.corpus_id IS NOT NULL AS is_dup
+         |FROM documents d LEFT JOIN best b ON b.batch_id = d.doc_id AND b.rn = 1
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val agg = graft.pipeline.Dedup.streamingDedupProbe(spark, dir,
+        documentsStream(spark, dir).filter(col("doc_id") % 10 === 0))
+      val res = runComplete(spark, agg, s"st18_out_${math.abs(dir.hashCode)}")
+      graft.Tables(spark, dir).documents.filter(col("doc_id") % 10 === 0)
+        .select("doc_id")
+        .join(res, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(-col("best.neg"), lit(-1L)).as("matched_corpus_doc"),
+          coalesce(col("best.est"), lit(0.0)).as("est_jaccard"),
+          col("best").isNotNull.as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // ----- st03: gap-based sessionization via session_window (ST6 — the
     // true-session extension of the reference's fixed 30-min buckets; oracle
     // mirrors it with lag + running-sum island detection).

@@ -82,6 +82,21 @@ class KernelEquivalenceSpec extends SparkSpec {
       size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), b => b)).as("hof")))
   }
 
+  test("MinhashSignature == transform(perms, array_min) HOF formulation") {
+    import spark.implicits._
+    val p = 2147483647L
+    val a = Seq(3L, 7L, 11L, 1000000006L)
+    val b = Seq(0L, 5L, p - 1L, 42L)
+    val hashes = Seq.fill(80)(Seq.fill(1 + rnd.nextInt(20))(rnd.nextLong(p).abs))
+      .toDF("hashes")
+    val hof = transform(lit(a.indices.toArray), j =>
+      array_min(transform(col("hashes"), h =>
+        (element_at(lit(a.toArray), j + 1) * h + element_at(lit(b.toArray), j + 1)) % p)))
+    assertColsEqual(hashes.select(
+      LshExpressions.minhashSig(col("hashes"), a, b, p).as("kernel"),
+      hof.as("hof")))
+  }
+
   test("HyperplaneBuckets == nested transform/aggregate/zip_with formulation") {
     import spark.implicits._
     val L = 3
