@@ -39,6 +39,49 @@ object Curation {
   // corpus's own model) falls below this is out-of-distribution text.
   private[pipeline] val Lm01Flag = 0.25
 
+  /** lm01's oracle chain ending in `lmsc(doc_id, n_bigrams, avg_prob,
+    * min_prob)` — the per-doc naturalness scores, shared with cur01's
+    * curriculum ranking.
+    */
+  private lazy val lm01Ctes: String =
+    """bg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+      |    i -> substring(text, i, 2))) AS bg
+      |  FROM documents),
+      |inst AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |model AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_bg FROM inst GROUP BY 1),
+      |uni AS (SELECT substring(bg, 1, 1) AS c1, CAST(SUM(c_bg) AS BIGINT) AS c_uni
+      |  FROM model GROUP BY 1),
+      |p AS (SELECT m.bg, CAST(c_bg AS DOUBLE) / c_uni AS prob
+      |  FROM model m JOIN uni u ON substring(m.bg, 1, 1) = u.c1),
+      |lmsc AS (SELECT i.doc_id,
+      |    CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
+      |    round(SUM(i.c * p.prob) / SUM(i.c), 9) AS avg_prob,
+      |    MIN(p.prob) AS min_prob
+      |  FROM inst i JOIN p ON i.bg = p.bg
+      |  GROUP BY i.doc_id)""".stripMargin
+
+  /** Spark twin of [[lm01Ctes]]'s `lmsc`: (doc_id, n_bigrams, avg_prob,
+    * min_prob).
+    */
+  private def lmScored(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val inst = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.charBigrams(col("text"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the model AND the scoring join
+    val model = inst.groupBy("bg").agg(sum("c").cast("long").as("c_bg"))
+    val uni = model.groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum("c_bg").cast("long").as("c_uni"))
+    val p = model.join(uni, substring(col("bg"), 1, 1) === col("c1"))
+      .select(col("bg"), (col("c_bg").cast("double") / col("c_uni")).as("prob"))
+    inst.join(broadcast(p), "bg")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_bigrams"),
+        round(sum(col("c") * col("prob")) / sum("c"), 9).as("avg_prob"),
+        min("prob").as("min_prob"))
+  }
+
   /** dd09's core over any `(doc_id, text)` frame (shared with CurationSpec's
     * planted-duplicate cases).
     */
@@ -117,41 +160,42 @@ object Curation {
     // scoring join never shuffles the corpus.
     QueryDef.sql(
       "lm01_char_bigram_model",
-      s"""WITH bg AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
-         |    i -> substring(text, i, 2))) AS bg
-         |  FROM documents),
-         |inst AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-         |model AS (SELECT bg, CAST(SUM(c) AS BIGINT) AS c_bg FROM inst GROUP BY 1),
-         |uni AS (SELECT substring(bg, 1, 1) AS c1, CAST(SUM(c_bg) AS BIGINT) AS c_uni
-         |  FROM model GROUP BY 1),
-         |p AS (SELECT m.bg, CAST(c_bg AS DOUBLE) / c_uni AS prob
-         |  FROM model m JOIN uni u ON substring(m.bg, 1, 1) = u.c1)
-         |SELECT i.doc_id,
-         |  CAST(SUM(i.c) AS BIGINT) AS n_bigrams,
-         |  round(SUM(i.c * p.prob) / SUM(i.c), 9) AS avg_prob,
-         |  MIN(p.prob) AS min_prob,
-         |  round(SUM(i.c * p.prob) / SUM(i.c), 9) < $Lm01Flag AS flagged
-         |FROM inst i JOIN p ON i.bg = p.bg
-         |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin,
+      s"""WITH $lm01Ctes
+         |SELECT doc_id, n_bigrams, avg_prob, min_prob,
+         |  avg_prob < $Lm01Flag AS flagged
+         |FROM lmsc ORDER BY doc_id""".stripMargin,
     ) { (spark, dir) =>
-      val inst = Tables(spark, dir).documents
-        .select(col("doc_id"),
-          explode(graft.functions.TextExpressions.charBigrams(col("text"))).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // feeds the model AND the scoring join
-      val model = inst.groupBy("bg").agg(sum("c").cast("long").as("c_bg"))
-      val uni = model.groupBy(substring(col("bg"), 1, 1).as("c1"))
-        .agg(sum("c_bg").cast("long").as("c_uni"))
-      val p = model.join(uni, substring(col("bg"), 1, 1) === col("c1"))
-        .select(col("bg"), (col("c_bg").cast("double") / col("c_uni")).as("prob"))
-      val avg = round(sum(col("c") * col("prob")) / sum("c"), 9)
-      inst.join(broadcast(p), "bg")
-        .groupBy("doc_id")
-        .agg(sum("c").cast("long").as("n_bigrams"),
-          avg.as("avg_prob"),
-          min("prob").as("min_prob"),
-          (avg < Lm01Flag).as("flagged"))
+      lmScored(spark, dir)
+        .select(col("doc_id"), col("n_bigrams"), col("avg_prob"), col("min_prob"),
+          (col("avg_prob") < Lm01Flag).as("flagged"))
+        .orderBy("doc_id")
+    },
+
+    // ----- cur01: curriculum phase assignment — order the corpus by the
+    // lm01 naturalness score (easy/most-natural first, the standard
+    // curriculum-learning schedule) and cut it into 3 equal-rank training
+    // phases: phase = ⌊(rank−1)·3 / n⌋. Ranking is DistributedRank's
+    // range-partition + broadcast-offsets global rank — no
+    // single-partition window (the uq06/sel01 discipline); n is a 1-row
+    // metadata scalar (the sel01 budget class). The phase cut is exact
+    // integer arithmetic on the rank, so both engines agree bit-for-bit.
+    QueryDef.sql(
+      "cur01_curriculum_phases",
+      s"""WITH $lm01Ctes,
+         |r AS (SELECT doc_id, avg_prob,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY avg_prob DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM lmsc),
+         |nn AS (SELECT COUNT(*) AS n FROM lmsc)
+         |SELECT doc_id, avg_prob, rnk,
+         |  CAST(((rnk - 1) * 3) // n AS BIGINT) AS phase
+         |FROM r, nn ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      val sc = lmScored(spark, dir).select(col("doc_id"), col("avg_prob"))
+      val n = sc.count() // 1-row metadata scalar (sel01's budget class)
+      graft.operators.DistributedRank
+        .withGlobalRank(sc, "rnk", col("avg_prob").desc, col("doc_id"))
+        .select(col("doc_id"), col("avg_prob"), col("rnk").cast("long").as("rnk"),
+          expr(s"((rnk - 1) * 3) div $n").cast("long").as("phase"))
         .orderBy("doc_id")
     },
 
