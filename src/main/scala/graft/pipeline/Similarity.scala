@@ -658,6 +658,82 @@ object Similarity {
         .select("qid", "qlabel", "rnk", "nid", "neg_label", "cosine")
         .orderBy("qid", "rnk")
     },
+
+    // ----- tp01: contrastive triplet mining — the (anchor, positive,
+    // negative) roster an embedding-model trainer consumes. Positives are
+    // the anchor's top-3 SAME-label neighbors (its own IVF cell — the
+    // inverted list is the candidate set, no centroid probe needed);
+    // negatives are ann11's top-3 hard negatives (2 nearest FOREIGN
+    // cells); rank r pairs with rank r, and the margin pos_cos − neg_cos
+    // is a fixed-order subtraction of already-bit-identical doubles. A
+    // positive margin means the anchor's class structure survives the
+    // mining — the quantity a trainer monitors.
+    //
+    // 100 TB shape: both arms are label-equi-keyed inverted-list scans
+    // (the ann03/ann11 cost class); the rank-r join is 24 rows.
+    QueryDef.sql(
+      "tp01_contrastive_triplets",
+      s"""WITH dimvals AS (
+         |  SELECT e.label, t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS c
+         |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1, 2),
+         |cent AS (SELECT label, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid FROM dimvals GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |pos AS (SELECT qid, nid AS pos_id, cosine AS pos_cos, rnk FROM (
+         |  SELECT q.qid, b.vec_id AS nid,
+         |    ${cosSql("q.qe", "b.embedding")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("q.qe", "b.embedding")} DESC, b.vec_id) AS rnk
+         |  FROM q JOIN embeddings b ON b.label = q.qlabel AND b.vec_id <> q.qid)
+         |  WHERE rnk <= 3),
+         |aq AS (
+         |  SELECT q.qid, q.qe, q.qlabel, c.label,
+         |    ${cosSql("q.qe", "c.centroid")} AS ccos
+         |  FROM q, cent c WHERE c.label <> q.qlabel),
+         |assign AS (
+         |  SELECT qid, qe, label FROM (
+         |    SELECT aq.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r FROM aq)
+         |  WHERE r <= 2),
+         |neg AS (SELECT qid, nid AS neg_id, cosine AS neg_cos, rnk FROM (
+         |  SELECT a.qid, b.vec_id AS nid,
+         |    ${cosSql("a.qe", "b.embedding")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY a.qid
+         |      ORDER BY ${cosSql("a.qe", "b.embedding")} DESC, b.vec_id) AS rnk
+         |  FROM assign a JOIN embeddings b ON b.label = a.label)
+         |  WHERE rnk <= 3)
+         |SELECT p.qid, CAST(p.rnk AS BIGINT) AS rnk, p.pos_id, p.pos_cos,
+         |  n.neg_id, n.neg_cos, p.pos_cos - n.neg_cos AS margin
+         |FROM pos p JOIN neg n ON p.qid = n.qid AND p.rnk = n.rnk
+         |ORDER BY p.qid, rnk""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlabel"))
+      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label"))
+      val wq = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+      val pos = broadcast(q).join(n, col("label") === col("qlabel") && col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= 3)
+        .select(col("qid"), col("nid").as("pos_id"), col("cosine").as("pos_cos"), col("rnk"))
+      val centroids = labelCentroids(e)
+      val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
+      val assigned = q.crossJoin(broadcast(centroids))
+        .filter(col("label") =!= col("qlabel"))
+        .select(col("qid"), col("qe"), col("label"),
+          VectorOps.cosine(col("qe"), col("centroid")).as("ccos"))
+        .withColumn("r", row_number().over(wAssign))
+        .filter(col("r") <= 2)
+        .select("qid", "qe", "label")
+      val neg = assigned.join(n, Seq("label"))
+        .select(col("qid"), col("nid"), VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= 3)
+        .select(col("qid"), col("nid").as("neg_id"), col("cosine").as("neg_cos"), col("rnk"))
+      pos.join(neg, Seq("qid", "rnk"))
+        .select(col("qid"), col("rnk").cast("long").as("rnk"),
+          col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+          (col("pos_cos") - col("neg_cos")).as("margin"))
+        .orderBy("qid", "rnk")
+    },
   )
 
   /** rp01's ±1f sign row for projected dim `j`: parity of the first hex
