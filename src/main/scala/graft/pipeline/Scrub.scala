@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus scrubbing/gating operators a training-data pipeline runs before
@@ -241,6 +242,57 @@ object Scrub {
           t2.as("top2_frac"), d2.as("dup2_frac"),
           (t1 <= 0.20 && t2 <= 0.05 && d2 <= 0.10).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ----- prof02: per-SOURCE data card — the dataset-documentation rollup
+    // a corpus release ships (Datasheets/Data Cards practice): per source,
+    // volume (docs, tokens), the dominant language, and mean quality under
+    // the sel01/tx02 scoring formula. avg_quality is round(Σq/n, 9) — the
+    // ts01/lm01 rule absorbing SUM(double) accumulation-order drift.
+    //
+    // 100 TB shape: quality and token counts are map-side per-row
+    // expressions; the only shuffles are keyed (source) and (source, lang)
+    // — reducer state is |sources| / |sources × langs| rows, metadata-scale
+    // however big the corpus. The dominant-language window runs on the
+    // already-aggregated (source, lang) counts, not the data.
+    QueryDef.sql(
+      "prof02_source_datacard",
+      s"""WITH ${TextAnalysis.qualityCtes},
+        |t AS (SELECT doc_id, source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |sl AS (SELECT source, lang, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang, ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY c DESC, lang) AS rn FROM sl) WHERE rn = 1),
+        |agg AS (SELECT t.source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    round(SUM(quality_score) / COUNT(*), 9) AS avg_quality
+        |  FROM t JOIN qs USING (doc_id) GROUP BY 1)
+        |SELECT a.source, a.n_docs, a.total_tokens, a.avg_quality, top.top_lang
+        |FROM agg a JOIN top USING (source) ORDER BY a.source""".stripMargin,
+    ) { (spark, dir) =>
+      val words = split(col("text"), " ")
+      val ttr = size(array_distinct(words)).cast("double") / size(words)
+      val swr = graft.functions.TextExpressions
+        .countInSet(words, TextAnalysis.stopEn).cast("double") / size(words)
+      val nWords = size(words)
+      val quality = ttr * 0.5 + swr * 0.3 +
+        when(nWords >= 20 && nWords <= 1000, 0.2).otherwise(0.0)
+      val t = Tables(spark, dir).documents
+        .select(col("source"), col("lang"), nWords.cast("long").as("n_tokens"),
+          quality.as("quality_score"))
+      val wTop = Window.partitionBy("source").orderBy(desc("c"), asc("lang"))
+      val top = t.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      val agg = t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          round(sum("quality_score") / count(lit(1)), 9).as("avg_quality"))
+      agg.join(top, "source")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("avg_quality"), col("top_lang"))
+        .orderBy("source")
     },
 
     // ----- prof01: per-column data profile — the ANALYZE-style QA pass a
