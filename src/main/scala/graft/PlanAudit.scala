@@ -110,6 +110,14 @@ import org.apache.spark.sql.SparkSession
   * rank windows that run AFTER each arm's limit-50 on 50-row relations
   * (documented in the entry: metadata-scale by construction; the heavy
   * ranking is TakeOrderedAndProject heaps).
+  *
+  * Round-9 session-6 late batch: st17/st18/cur01/prof02/qf03 are clean
+  * (the streaming firewalls are equi-keyed stream-static joins + one agg;
+  * cur01 is DistributedRank's documented pattern; prof02's window runs on
+  * |sources×langs| aggregated rows). tp01 flags BroadcastNestedLoopJoin —
+  * the 8-anchor broadcast joins (own-cell positives on label=qlabel with
+  * nid<>qid, and the foreign-centroid probe), the accounted
+  * ann03/ann05/ann11 class.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
