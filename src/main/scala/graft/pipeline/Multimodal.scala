@@ -301,21 +301,36 @@ object Multimodal {
       .select(
         col("doc_id").as("media_id"),
         (col("n_chars") % 400 + 100).cast("int").as("n_samples"))
+      // repartition BEFORE the encode: the single-file documents scan is one
+      // split, so without it every WAV in the corpus is encoded in ONE task
+      // (the dc02 explode lesson; measured on mm09 — 4.6× on 3× data at sf3
+      // purely from the serial encode+decode chain). Explicit partition
+      // count: the pre-encode rows are a few MB however many clips follow,
+      // so AQE would coalesce a bare repartition(col) right back to one task.
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
       .as[(Long, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, n) =>
           val rate = 8000
-          val data = new Array[Byte](n)
+          // Canonical 44-byte RIFF/WAVE header written by hand: the encode
+          // side is FIXTURE construction, not the operator under test (the
+          // decode still goes through the real AudioSystem codec), and
+          // AudioSystem.write's per-call provider machinery serialized the
+          // whole corpus encode across threads — mm06 measured 5.0× on 3×
+          // data at sf3 with zero gain from added tasks until this writer
+          // replaced it. Format fields match what AudioSystem.write
+          // produced: PCM (tag 1), mono, 8-bit, 8 kHz.
+          val buf = java.nio.ByteBuffer.allocate(44 + n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(rate).putInt(rate)
+            .putShort(1).putShort(8)
+            .put("data".getBytes("US-ASCII")).putInt(n)
           var i = 0
-          while (i < n) { data(i) = ((id * 11 + i * 13) % 256).toByte; i += 1 }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, rate, 8, 1, 1, rate, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          WavRow(id, rate, n, bos.toByteArray)
+          while (i < n) { buf.put(((id * 11 + i * 13) % 256).toByte); i += 1 }
+          WavRow(id, rate, n, buf.array())
         }
       }
   }
@@ -325,13 +340,36 @@ object Multimodal {
     * decoded samples with a position-weighted checksum so truncated or
     * shifted streams cannot match.
     */
+  /** The JDK's real WAV codec, resolved ONCE per partition through the
+    * public [[javax.sound.sampled.spi.AudioFileReader]] SPI instead of per
+    * clip through `AudioSystem.getAudioInputStream`: AudioSystem's static
+    * path takes a global synchronized provider lookup on EVERY call, which
+    * serialized the whole corpus decode — measured at sf3 (150 k clips),
+    * adding tasks made mm06 SLOWER (7.6 s serial → 13.8 s at 32 tasks) until
+    * this resolver removed the shared lock. Same codec object
+    * (com.sun.media.sound.WaveFileReader), same parse, zero contention.
+    */
+  private def wavReader(): javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      if (r.getClass.getSimpleName.startsWith("Wave")) return r
+    }
+    throw new IllegalStateException("no WAVE AudioFileReader provider on this JDK")
+  }
+
   def decodeAudioStats(media: Dataset[WavRow]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media
-      .repartition(col("media_id"))
+      // explicit count: the clip payloads are tens of MB at test scales, so
+      // AQE coalesces a bare repartition(col) to ONE task and the whole
+      // corpus decodes serially (mm06 read 4.7× on 3× data at sf3)
+      .repartition(media.sparkSession.sparkContext.defaultParallelism, col("media_id"))
       .mapPartitions { rows =>
+        val reader = wavReader()
         rows.map { r =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          val ais = reader.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
           val fmt = ais.getFormat
           // encoding matters too: signed 8-bit PCM would pass a size/channel
@@ -790,6 +828,80 @@ object Multimodal {
       hashes.join(buckets, Seq("hash_hi", "hash_lo"))
         .select(col("media_id"), col("hash_hi"), col("hash_lo"),
           col("bucket_size"), (col("bucket_size") > 1L).as("near_dup"))
+        .orderBy("media_id")
+    },
+
+    // ----- mm09: audio-fingerprint near-dup — mm08's audio twin: decode
+    // the REAL WAV with the codec, split the PCM stream into 16 windows by
+    // the integer rule w = ⌊i·16 / n⌋ (the same formula on both engines, so
+    // boundary samples land identically), set bit w when the window's mean
+    // amplitude exceeds the overall mean (n·Σ_w > total·len_w — all-integer,
+    // no double mean), and bucket-join on the 16-bit fingerprint — same-
+    // fingerprint groups are the near-dups, never an all-pairs audio
+    // comparison. The oracle replays the sample formula through the
+    // identical window → threshold → pack pipeline, so a hash match proves
+    // the container parse + PCM decode + windowing end-to-end. At 100 TB
+    // the decode+fingerprint is one map-side pass; the bucket join shuffles
+    // one BIGINT per clip.
+    QueryDef.sql(
+      "mm09_audio_fingerprint_dedup",
+      """WITH auds AS (
+        |  SELECT doc_id AS media_id, CAST(n_chars % 400 + 100 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (
+        |  SELECT a.media_id, a.n, i.i,
+        |    (a.media_id * 11 + i.i * 13) % 256 AS v,
+        |    (i.i * 16) // a.n AS w
+        |  FROM auds a, UNNEST(generate_series(0, a.n - 1)) AS i(i)),
+        |win AS (SELECT media_id, n, w, SUM(v) AS sw, COUNT(*) AS lw
+        |  FROM smp GROUP BY 1, 2, 3),
+        |tot AS (SELECT media_id, SUM(sw) AS s FROM win GROUP BY 1),
+        |fp AS (SELECT w.media_id,
+        |    CAST(SUM(CASE WHEN w.n * w.sw > t.s * w.lw
+        |      THEN (CAST(1 AS BIGINT) << CAST(w.w AS INT)) ELSE 0 END) AS BIGINT) AS fingerprint
+        |  FROM win w JOIN tot t USING (media_id) GROUP BY 1),
+        |bk AS (SELECT fingerprint, COUNT(*) AS bs FROM fp GROUP BY 1)
+        |SELECT f.media_id, f.fingerprint, CAST(bk.bs AS BIGINT) AS bucket_size,
+        |  bk.bs > 1 AS near_dup
+        |FROM fp f JOIN bk USING (fingerprint)
+        |ORDER BY f.media_id""".stripMargin,
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val fps = wavMediaTable(spark, dir).mapPartitions { rows =>
+        val reader = wavReader() // per-partition SPI resolve — see decodeAudioStats
+        rows.map { r =>
+          val ais = reader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+            s"unexpected decoded format for media ${r.media_id}: $fmt")
+          val buf = ais.readAllBytes()
+          val n = buf.length
+          val sw = new Array[Long](16)
+          val lw = new Array[Long](16)
+          var tot = 0L
+          var i = 0
+          while (i < n) {
+            val w = ((i.toLong * 16) / n).toInt
+            val v = (buf(i) & 0xff).toLong
+            sw(w) += v; lw(w) += 1; tot += v
+            i += 1
+          }
+          var fp = 0L
+          var w = 0
+          while (w < 16) {
+            if (n.toLong * sw(w) > tot * lw(w)) fp |= 1L << w
+            w += 1
+          }
+          (r.media_id, fp)
+        }
+      }.toDF("media_id", "fingerprint")
+      val buckets = fps.groupBy("fingerprint")
+        .agg(count(lit(1)).cast("long").as("bucket_size"))
+      fps.join(buckets, Seq("fingerprint"))
+        .select(col("media_id"), col("fingerprint"), col("bucket_size"),
+          (col("bucket_size") > 1L).as("near_dup"))
         .orderBy("media_id")
     },
   )
