@@ -58,6 +58,11 @@ object Bench {
       // default 128 MB puts a whole ≤128 MB single-file table in ONE task,
       // serializing every map-side operator regardless of core count
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // open-cost floor below the split target: the default 4 MB makes
+      // maxSplitBytes = max(4m, bytesPerCore), so a well-compressed 22 MB
+      // table yields only ~6 splits on 32 cores and CPU-heavy map stages
+      // (tx05's regex pair: 8.6 s at sf3) serialize on them
+      .config("spark.sql.files.openCostInBytes", "1m")
       // all-pairs exact-baseline ceiling (dd05/ann01): default guards at 10 k
       // rows; a scale run that deliberately wants the exact baselines (e.g.
       // sf1's 20 k embeddings) raises it via env — visible in the command

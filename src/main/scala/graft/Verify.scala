@@ -22,6 +22,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // row-group-sized splits — see Bench.scala (single-task scan pitfall)
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // open-cost floor below the split target: the default 4 MB makes
+      // maxSplitBytes = max(4m, bytesPerCore), so a well-compressed 22 MB
+      // table yields only ~6 splits on 32 cores and CPU-heavy map stages
+      // (tx05's regex pair: 8.6 s at sf3) serialize on them
+      .config("spark.sql.files.openCostInBytes", "1m")
       // exact-baseline (dd05/ann01) ceiling — overridable for deliberate
       // scale runs, same knob as Bench (ADVICE r5)
       .config(graft.pipeline.ExactBaseline.ConfKey,

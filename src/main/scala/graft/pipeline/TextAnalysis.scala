@@ -170,10 +170,17 @@ object TextAnalysis {
         trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("clean"))
       val f = n.withColumn("kept",
         graft.functions.TextExpressions.filterNotInSet(split(col("clean"), " "), stopEn))
+      // materialize the FINAL (small) projection before the global sort:
+      // RangePartitioning's boundary-sampling job re-executes the child, so
+      // an unmaterialized sort tail paid the whole regex map twice (DiagMap
+      // at sf3: 8.3 s map → 17.0 s with orderBy). The checkpoint stores the
+      // ~100 B/doc output columns, not the text — the dc02
+      // materialize-once-vs-recompute-twice trade, on the cheap side.
       f.select(col("doc_id"), col("lang"),
         length(col("clean")).cast("long").as("clean_chars"),
         size(col("kept")).cast("long").as("kept_words"),
         concat_ws(" ", slice(col("kept"), 1, 8)).as("preview"))
+        .localCheckpoint(true)
         .orderBy("doc_id")
     },
 

@@ -105,17 +105,24 @@ object GenScale {
 
     def write(df: DataFrame, table: String): Unit = {
       val tmp = s"$dst/__tmp_$table"
-      // 8 MB row groups (default 128 MB): a single-FILE table is the layout
+      // 1 MB row groups (default 128 MB): a single-FILE table is the layout
       // contract, but a single-ROW-GROUP table cannot be split — Spark
       // assigns a row group to the split holding its start, so every
       // map-side operator ran in ONE task however many cores the session
       // had (caught by px01's 4.4×-on-3× sf3 curve: a pure regex map op
-      // gained nothing from 32 cores). Real 100 TB tables have thousands
-      // of row groups/files; 8 MB groups make the scale-up data splittable
-      // the way production data is (pairs with maxPartitionBytes=8m in
-      // Bench/Verify).
+      // gained nothing from 32 cores). The r8 fix set 8 MB, but
+      // parquet.block.size bounds the writer's BUFFERED (encoded +
+      // dictionary-compressed) bytes, and this corpus compresses ~15×:
+      // documents at sf1 still came out as ONE row group and embeddings as
+      // one even at sf3 (caught in r9 by tx05's 4.1×-on-3× isolated curve —
+      // the regex map gained nothing from 32 cores, again). 1 MB buffered
+      // ≈ the 8 MB-of-input granule actually intended, giving every table
+      // at least ~cores splits from sf1 up. Real 100 TB tables have
+      // thousands of row groups/files; this makes the scale-up data
+      // splittable the way production data is (pairs with
+      // maxPartitionBytes=8m in Bench/Verify).
       df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", 8L * 1024 * 1024)
+        .option("parquet.block.size", 1L * 1024 * 1024)
         .parquet(tmp)
       // single-file layout, like the driver's testdata
       val conf = spark.sessionState.newHadoopConf()
