@@ -89,6 +89,42 @@ object Bench {
     // teardown noise in the file, not to "fix" a failure that isn't one.
     redirectLogsToFile("target/bench_spark.log")
 
+    // Codegen-fallback gate (r9 verdict item 8 — st14's silent 64 KB janino
+    // overflow cost 6.6× and hid in WARN logs): WholeStageCodegenExec logs
+    // every fallback ("Whole-stage codegen disabled for plan" on compile
+    // failure; "…whole-stage codegen was disabled for this plan" on the
+    // huge-method bytecode limit) — redirectLogsToFile routes that logger at
+    // INFO to its own file, and every entry's materialization diffs the
+    // fallback count, so a recurrence fails loudly WITH the entry named and
+    // the artifact carries the total.
+    val codegenLogPath = java.nio.file.Paths.get("target/bench_codegen.log")
+    def codegenFallbacks: Long =
+      if (!java.nio.file.Files.exists(codegenLogPath)) 0L
+      else {
+        val src = scala.io.Source.fromFile(codegenLogPath.toFile)
+        try src.getLines().count(_.contains("disabled for")) finally src.close()
+      }
+    val fallbackEntries = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def gateCodegen[T](stage: String)(body: => T): T = {
+      val before = codegenFallbacks
+      val r = body
+      val delta = codegenFallbacks - before
+      if (delta > 0) {
+        fallbackEntries.updateWith(stage)(v => Some(v.getOrElse(0L) + delta))
+        System.err.println(s"[bench] CODEGEN FALLBACK: $stage triggered $delta " +
+          s"whole-stage fallback(s) — interpreted hot path; see target/bench_codegen.log")
+      }
+      r
+    }
+
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillisNow: Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
+    def heapUsedMb: Long =
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1024 * 1024)
+
     // SPARK_GRAFT_BENCH_ONLY=dd07_x,dc02_y: time just those entries (targeted
     // scale-curve runs for new entries without re-benching the whole
     // catalog). Ingest and cascade setup are skipped unless a selected entry
@@ -100,7 +136,7 @@ object Bench {
       n.startsWith("st") || n.startsWith("pr") || n.startsWith("sq")))
 
     val eps =
-      if (only.isEmpty) ingestEventsPerSec(spark)
+      if (only.isEmpty) gateCodegen("ingest_probe")(ingestEventsPerSec(spark))
       else IngestStats(-1.0, -1.0, -1.0)
     Residency.release(spark)
 
@@ -114,17 +150,31 @@ object Bench {
     // 6-MV cascade plus the per-dir heavyweight streams (st02 upsert sink,
     // st10 stream-stream join) — their catalog entries then time the
     // maintained-result READ, which is what a serving query would pay.
+    // GC/heap counters around the setup phase (r9 verdict item 5: the
+    // cascade's full-session wall is ~2× its targeted-run wall, uniformly
+    // across members — these counters name whether the inflation is GC time
+    // from the ingest probe's leftover heap or genuine compute)
+    val setupGc0 = gcMillisNow
+    val setupHeap0 = heapUsedMb
     val setupT0 = System.nanoTime()
     val streamingSetup =
       if (!needsCascade) -1.0
       else try {
-        graft.streaming.MvCascade.run(spark, sfDir)
-        graft.streaming.StreamingMVs.warm(spark, sfDir)
-        (System.nanoTime() - setupT0) / 1e9
+        gateCodegen("streaming_setup") {
+          graft.streaming.MvCascade.run(spark, sfDir)
+          graft.streaming.StreamingMVs.warm(spark, sfDir)
+          (System.nanoTime() - setupT0) / 1e9
+        }
       }
       catch { case e: Throwable =>
         System.err.println(s"[bench] cascade setup failed: ${e.getMessage}"); -1.0
       }
+    val setupGcMs = gcMillisNow - setupGc0
+    val setupHeap1 = heapUsedMb
+    if (streamingSetup >= 0)
+      System.err.println(f"[bench] streaming setup: gc=${setupGcMs} ms " +
+        f"(${setupGcMs / 10.0 / streamingSetup}%.1f%% of wall), " +
+        f"heap ${setupHeap0} -> ${setupHeap1} MB")
     if (streamingSetup >= 0)
       graft.streaming.MvCascade.setupBreakdown(sfDir).foreach { case (n, c) =>
         System.err.println(f"[bench] cascade $n%-22s wall=${c.wallSec}%7.1f s busy=${c.busySec}%7.1f s batches=${c.batches}")
@@ -139,7 +189,7 @@ object Bench {
     val initPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val initPartsDefault = spark.conf.get(initPartsKey)
 
-    def materialize(name: String): Double = {
+    def materialize(name: String): Double = gateCodegen(name) {
       spark.conf.set(initPartsKey, initPartsDefault)
       val t0 = System.nanoTime()
       val secs =
@@ -162,7 +212,10 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val rounds = 3
+    // SPARK_GRAFT_BENCH_ROUNDS=1: single-pass mode for the very long full
+    // scale drives (sf10's full catalog is hours at min-of-3); the artifact
+    // records `runs` so a 1-round figure can never masquerade as min-of-3.
+    val rounds = sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(3)
     val samples: Map[String, Seq[Double]] =
       (1 to rounds).flatMap(_ => names.map(n => n -> materialize(n)))
         .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
@@ -185,8 +238,19 @@ object Bench {
       .map { case (n, c) =>
         s""""$n":{"wall":${math.round(c.wallSec * 10) / 10.0},"busy":${math.round(c.busySec * 10) / 10.0},"batches":${c.batches}}"""
       }.mkString("{", ",", "}")
+    // per-stream maintenance seconds for the maintained streaming indexes
+    // (st14–st18 serve reads are in `queries`; this is their build cost)
+    val streamMvs = graft.streaming.StreamingMVs.maintenanceBreakdown(sfDir)
+      .map { case (n, s) => s""""$n":${math.round(s * 10) / 10.0}""" }
+      .mkString("{", ",", "}")
+    val fallbacksJson = fallbackEntries
+      .map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
+    val codegenTotal = codegenFallbacks
+    if (codegenTotal > 0)
+      System.err.println(s"[bench] CODEGEN GATE FAILED: $codegenTotal whole-stage " +
+        s"fallback(s) across the catalog (offenders: ${fallbackEntries.keys.mkString(", ")})")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"cascade_mvs":$cascadeBreakdown,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"sf":"$sfDir"}"""
     // The driver keeps only a bounded (~2000-char) stdout tail and parses the
     // JSON line out of it; the full-name two-map line above is ~6 KB and has
     // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —
@@ -199,7 +263,7 @@ object Bench {
           .mkString("{", ",", "}")
       else fmtMap(n => math.round(minOf(n) * 1000) / 1000.0)
     val compactLine =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"codegen_fallbacks":$codegenTotal,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)
@@ -242,6 +306,16 @@ object Bench {
            |appender.file.append = false
            |appender.file.layout.type = PatternLayout
            |appender.file.layout.pattern = %d{HH:mm:ss.SSS} %p %c: %m%n%ex
+           |appender.cg.type = File
+           |appender.cg.name = CodegenFile
+           |appender.cg.fileName = target/bench_codegen.log
+           |appender.cg.append = false
+           |appender.cg.layout.type = PatternLayout
+           |appender.cg.layout.pattern = %d{HH:mm:ss.SSS} %p: %m%n
+           |logger.wscg.name = org.apache.spark.sql.execution.WholeStageCodegenExec
+           |logger.wscg.level = info
+           |logger.wscg.additivity = false
+           |logger.wscg.appenderRef.cg.ref = CodegenFile
            |""".stripMargin)
       org.apache.logging.log4j.core.config.Configurator.reconfigure(cfg.toUri)
     } catch { case e: Throwable =>
@@ -260,10 +334,18 @@ object Bench {
     * spread%}, and a spread above 10 % of the median is flagged loudly in
     * the artifact and on stderr rather than silently shipped.
     */
+  private final case class IngestWindow(eps: Double, rows: Long, batches: Long, gcMs: Long)
   private final case class IngestStats(median: Double, min: Double, max: Double,
-      overall: Double = -1.0) {
+      overall: Double = -1.0, windows: Seq[IngestWindow] = Seq.empty) {
     def spreadPct: Double =
       if (median <= 0) -1.0 else math.round((max - min) / median * 1000) / 10.0
+    // per-window {eps, batches, gc} in the artifact (r9 verdict item 6): a
+    // contended-session window is attributable on sight — a slow window with
+    // FEWER batches lost a batch quantum; same batches with high gc lost
+    // time inside them.
+    def windowsJson: String = windows.map(w =>
+      s"""{"eps":${math.round(w.eps * 10) / 10.0},"rows":${w.rows},"batches":${w.batches},"gc_ms":${w.gcMs}}""")
+      .mkString("[", ",", "]")
   }
 
   private def ingestEventsPerSec(spark: SparkSession): IngestStats = {
@@ -272,11 +354,18 @@ object Bench {
     // rolling buffer (~100 entries), and with ProcessingTime(0) more batches
     // than that can elapse between two reads — differencing it undercounts
     // (even negatively) once early batches roll out of the window.
+    //
+    // Both listeners filter on the ingest query's OWN runId (ADVICE r9): the
+    // session's listener bus carries QueryProgress events from EVERY stream,
+    // so a concurrently-running stream (a future refactor overlapping the
+    // cascade, a leaked warm stream) would silently pollute the counters.
+    val ingestRunId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    def isIngest(runId: java.util.UUID): Boolean = runId == ingestRunId.get()
     val totalRows = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        totalRows.addAndGet(e.progress.numInputRows)
+        if (isIngest(e.progress.runId)) totalRows.addAndGet(e.progress.numInputRows)
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
@@ -284,6 +373,9 @@ object Bench {
       val q = graft.streaming.Ingest.generatedMinuteMv(spark, rowsPerBatch = 50000)
         .writeStream.outputMode("update").format("noop")
         .trigger(Trigger.ProcessingTime(0)).start()
+      // runId is fixed at start; publish it before the first progress event
+      // can fire (the first micro-batch takes far longer than this store)
+      ingestRunId.set(q.runId)
       // warm-up: wait (bounded) for the first processed batch before timing,
       // so slow stream startup under load doesn't read as zero throughput
       val warmDeadline = System.currentTimeMillis() + 30000
@@ -304,7 +396,7 @@ object Bench {
       val batchListener = new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-          batches.incrementAndGet()
+          if (isIngest(e.progress.runId)) batches.incrementAndGet()
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
       spark.streams.addListener(batchListener)
@@ -324,9 +416,10 @@ object Bench {
         // per-window rows/batches/GC named in the log localizes whether a
         // slow window lost a micro-batch (fewer batches) or lost time
         // inside batches (GC/compaction) — the two look identical in ev/s.
-        System.err.println(f"[bench] ingest window $i: ${rows / secs}%.0f ev/s " +
-          f"(${rows} rows, ${batches.get() - batches0} batches, gc=${gcMillis - gc0} ms)")
-        rows / secs
+        val w = IngestWindow(rows / secs, rows, batches.get() - batches0, gcMillis - gc0)
+        System.err.println(f"[bench] ingest window $i: ${w.eps}%.0f ev/s " +
+          f"(${w.rows} rows, ${w.batches} batches, gc=${w.gcMs} ms)")
+        w
       }
       spark.streams.removeListener(batchListener)
       q.stop()
@@ -336,9 +429,9 @@ object Bench {
       // quantum IS the observed 5 k min-median gap, GC flat across
       // windows). `overall` spans all three windows — quantization 1/30
       // of a batch — and is the unquantized headline companion.
-      val sorted = windows.sorted.map(e => math.round(e * 10) / 10.0)
-      val overall = math.round(windows.sum / 3 * 10) / 10.0
-      val stats = IngestStats(sorted(1), sorted.head, sorted.last, overall)
+      val sorted = windows.map(_.eps).sorted.map(e => math.round(e * 10) / 10.0)
+      val overall = math.round(windows.map(_.eps).sum / 3 * 10) / 10.0
+      val stats = IngestStats(sorted(1), sorted.head, sorted.last, overall, windows)
       if (stats.spreadPct > 10.0)
         System.err.println(f"[bench] WARNING: ingest window spread ${stats.spreadPct}%.1f%% " +
           f"of median exceeds the 10%% repeatability target (windows: ${sorted.mkString(", ")})")

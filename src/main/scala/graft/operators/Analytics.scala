@@ -51,26 +51,46 @@ object Analytics {
       Seq(keyCol), "__neg_item", itemCol, cap)
       .drop("__neg_item", "rnk")
 
-  /** Upper bound on q17's capped pair mass Σ_u C(min(basket_u, cap), 2) —
-    * the per-JOB shuffle-sizing input (SCALE §0c: input-byte-derived reducer
-    * counts undershoot q17's ~22× shuffle amplification at sf10, so the pair
-    * aggregation's reducer count must derive from the PAIR mass, the way a
-    * cluster operator sizes an individual job's shuffle). Bounds the distinct
-    * basket by the RAW per-user (lineitem ⋈ orders) row count, so the
-    * estimate costs one narrow count-by-customer — no dedup heap, ~1/5 of
-    * q17's first stage — and memoizes per (dir, parquet fingerprint), making
+  /** Upper bound on a capped pair mass Σ_k C(min(basket_k, cap), 2) —
+    * the per-JOB shuffle-sizing input for the basket self-joins (SCALE §0c:
+    * input-byte-derived reducer counts undershoot q17's ~22× shuffle
+    * amplification at sf10, so the pair aggregation's reducer count must
+    * derive from the PAIR mass, the way a cluster operator sizes an
+    * individual job's shuffle). Bounds the distinct basket by the RAW
+    * per-key row count, so the estimate costs one narrow count-by-key — no
+    * dedup heap — and memoizes per (dir, parquet fingerprint, tag), making
     * it free across Bench's min-of-3 rounds. Over-estimation only
     * over-provisions reducers, which AQE coalesces back by measured bytes;
     * under-provisioning is what spills (the r8 62 GB event).
+    *
+    * coalesce(sum, 0): SUM over an empty keyed relation is one NULL row —
+    * getLong would NPE and the memoized scalar would re-throw on every
+    * Bench/Verify round (ADVICE r9).
     */
+  private[graft] def pairMassUpperBound(spark: SparkSession, dir: String,
+      tag: String, cap: Int)(perKeyCounts: Tables => DataFrame): Long =
+    graft.pipeline.CorpusMeta.tableScalar(dir, "lineitem", tag) {
+      val capped = least(col("n"), lit(cap.toLong))
+      perKeyCounts(Tables(spark, dir))
+        .select(coalesce(sum(capped * (capped - 1)), lit(0L)).as("m")) // /2 below: `/` is double div
+        .head.getLong(0) / 2
+    }
+
+  /** q17's pair mass: baskets keyed by USER over lineitem ⋈ orders. */
   private[graft] def q17PairMassUpperBound(spark: SparkSession, dir: String): Long =
-    graft.pipeline.CorpusMeta.tableScalar(dir, "lineitem", "q17PairMass") {
-      val t = Tables(spark, dir)
-      val capped = least(col("n"), lit(BasketCapPerUser.toLong))
+    pairMassUpperBound(spark, dir, "q17PairMass", BasketCapPerUser) { t =>
       t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
-        .select(sum(capped * (capped - 1)).as("m")) // /2 below: `/` is double div
-        .head.getLong(0) / 2
+    }
+
+  /** q15's pair mass: baskets keyed by ORDER over lineitem alone — one
+    * narrow count-by-orderkey scan (r9 verdict item 1: q15 read 3.4× on 3×
+    * at sf1→sf3 because only q17 sized its pair shuffle; Bench/Verify reset
+    * the conf per entry, so q15 never rode q17's raise).
+    */
+  private[graft] def q15PairMassUpperBound(spark: SparkSession, dir: String): Long =
+    pairMassUpperBound(spark, dir, "q15PairMass", PairCapPerOrder) { t =>
+      t.lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
     }
 
   /** ~1 M groups ≈ 64 MB of final-agg hash state per reducer — the bound the
@@ -88,10 +108,10 @@ object Analytics {
     * catalog entry, so the raise is scoped to this job — the local[] stand-in
     * for per-job `spark.sql.shuffle.partitions` on a cluster.
     */
-  private def sizePairShuffle(spark: SparkSession, dir: String): Unit = {
+  private def sizePairShuffle(spark: SparkSession, pairMass: Long): Unit = {
     val per = spark.conf.getOption(PairGroupsPerReducerKey).map(_.toLong)
       .getOrElse(PairGroupsPerReducerDefault)
-    val want = math.min(1024L, q17PairMassUpperBound(spark, dir) / per).toInt
+    val want = math.min(1024L, pairMass / per).toInt
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val cur = spark.conf.getOption(key).map(_.toInt).getOrElse(0)
     if (want > cur) spark.conf.set(key, want.toString)
@@ -167,6 +187,11 @@ object Analytics {
       val items = capBasket(
         t.lineitem.select("l_orderkey", "l_partkey"),
         "l_orderkey", "l_partkey", PairCapPerOrder)
+      // q15's pair aggregation is the same near-no-reduction shape as q17's
+      // (r9: 3.4× on 3× at sf1→sf3 with input-derived reducers only) — size
+      // THIS job's reducer count from the order-keyed capped pair mass, the
+      // identical mechanism q17 proved (see the long comment there).
+      sizePairShuffle(spark, q15PairMassUpperBound(spark, dir))
       val a = items.toDF("o", "part_a")
       val b = items.toDF("o", "part_b")
       val pa = t.part.select(col("p_partkey").as("pa_key"), col("p_name").as("part_a_name"))
@@ -292,7 +317,7 @@ object Analytics {
       // because OSS Spark 4.1 offers no runtime split of a non-skewed
       // oversized aggregation partition (AQE splits only skewed join
       // sides), so the bound must be set before the shuffle is planned.
-      sizePairShuffle(spark, dir)
+      sizePairShuffle(spark, q17PairMassUpperBound(spark, dir))
       val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("both_count"))

@@ -179,8 +179,25 @@ object Sketches {
         .localCheckpoint(true) // 20 rows; feeds the result AND the kth scalar
       // N from a doc-level metadata aggregate (split width, no explode) —
       // pass 1 in a real deployment carries this alongside the summaries
-      val totals = docs.agg(sum(size(split(col("text"), " "))).cast("long").as("n"))
+      val totals = docs.agg(
+        coalesce(sum(size(split(col("text"), " "))), lit(0L)).cast("long").as("n"))
       val kth = top.agg(min("freq").cast("long").as("kth"))
+      // Coverage guard (ADVICE r9): when kth·(cap+1) ≤ N the MG union is no
+      // longer a proven superset of every possible top-20 term, so the
+      // candidate-only top-20 COULD silently omit a true heavy hitter — rows
+      // otherwise presented as exact. Refuse loudly (the ExactBaseline-guard
+      // doctrine: a scale regime the sketch can't certify must fail, not
+      // ship a maybe-wrong answer); the remedy is raising MgCapacity, which
+      // tightens the bound linearly. Two 1-row scalars — metadata-scale.
+      // SketchesSpec proves the refusal fires on a corpus that breaks the
+      // bound and that the green path is unchanged.
+      val nVal = totals.head.getLong(0)
+      val kthVal = kth.head.getAs[Any](0) match { case null => 0L; case v: Long => v }
+      require(nVal == 0L || kthVal * (MgCapacity + 1L) > nVal,
+        s"uq05_heavy_hitters: Misra-Gries coverage NOT guaranteed at this scale " +
+          s"(kth_freq=$kthVal x ${MgCapacity + 1} <= N=$nVal): the candidate-only " +
+          s"top-20 could omit a true heavy hitter. Raise Sketches.MgCapacity " +
+          s"(bound is linear in capacity) instead of shipping a possibly-inexact top-K.")
       top.crossJoin(broadcast(totals)).crossJoin(broadcast(kth))
         .select(col("word"), col("freq"),
           (col("kth") * 2049L > col("n")).as("guaranteed"))

@@ -409,7 +409,7 @@ object Curation {
          |k AS (
          |  SELECT s.doc_id, s.lang, s.importance,
          |    s.importance - mn.mn + 1e-9 AS w,
-         |    ((s.doc_id * $KnuthA) % 1048576 + 1048576) % 1048576 AS u
+         |    (((s.doc_id % 1048576 + 1048576) % 1048576) * $KnuthA) % 1048576 AS u
          |  FROM scored s CROSS JOIN mn)
          |SELECT doc_id, lang, importance, CAST(u + 1 AS DOUBLE) / w AS rank
          |FROM k ORDER BY rank, doc_id LIMIT 100""".stripMargin,
@@ -419,7 +419,7 @@ object Curation {
       val mn = scored.agg(min("importance").as("mn"))
       scored.crossJoin(broadcast(mn))
         .select(col("doc_id"), col("lang"), col("importance"),
-          ((pmod(col("doc_id") * KnuthA, lit(1048576L)) + 1L).cast("double") /
+          ((pmod(pmod(col("doc_id"), lit(1048576L)) * KnuthA, lit(1048576L)) + 1L).cast("double") /
             (col("importance") - col("mn") + 1e-9)).as("rank"))
         .orderBy("rank", "doc_id").limit(100)
     },

@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  // Knuth's multiplicative constant; doc_id ≤ ~1e9 keeps the product far
-  // from int64 overflow. pmod(...) gives a uniform pseudo-key in [0, 1000).
+  // Knuth's multiplicative constant. MODULO-FIRST everywhere (ADVICE r9):
+  // (id mod M)·A ≡ id·A (mod M), and reducing the id before the multiply
+  // keeps the product ≤ (M−1)·A — overflow-immune at ANY id, where the
+  // direct id·A form silently wraps in Spark but RAISES in DuckDB for ids
+  // above ~3.47e9 (a latent engine divergence at 100 TB id ranges). Same
+  // fix sp01/sp02/pp03 took in r9 (Curation.KnuthA scaladoc).
   private val KnuthA = 2654435761L
-  private def bucket1000 = pmod(col("doc_id") * KnuthA, lit(1000L))
+  private def bucket1000 = pmod(pmod(col("doc_id"), lit(1000L)) * KnuthA, lit(1000L))
+  // oracle-side twin of bucket1000 (doc_id is non-negative, so the inner
+  // (x % m + m) % m wrap only defends hypothetical negative ids)
+  private def bucket1000Sql(idExpr: String) =
+    s"((($idExpr % 1000 + 1000) % 1000) * $KnuthA) % 1000"
 
   // per-language sampling rates in permille: downsample dominant languages,
   // keep the tail — class-balance reweighting by deterministic selection
@@ -33,7 +41,7 @@ object Sampling {
     QueryDef.sql(
       "spl01_stratified_sample",
       s"""WITH b AS (
-         |  SELECT doc_id, lang, ((doc_id * $KnuthA) % 1000 + 1000) % 1000 AS bkt
+         |  SELECT doc_id, lang, ${bucket1000Sql("doc_id")} AS bkt
          |  FROM documents),
          |r(lang, permille) AS (VALUES ${ratesPermille.map { case (l, p) => s"('$l', $p)" }.mkString(", ")})
          |SELECT b.doc_id, b.lang
@@ -59,7 +67,7 @@ object Sampling {
     QueryDef.sql(
       "spl02_reservoir_per_group",
       s"""WITH b AS (
-         |  SELECT doc_id, lang, ((doc_id * $KnuthA) % 1000 + 1000) % 1000 AS bkt
+         |  SELECT doc_id, lang, ${bucket1000Sql("doc_id")} AS bkt
          |  FROM documents),
          |r AS (
          |  SELECT doc_id, lang, bkt,
@@ -165,7 +173,7 @@ object Sampling {
          |s AS (
          |  SELECT d.source, COUNT(*) AS sampled_docs, CAST(SUM(d.toks) AS BIGINT) AS sampled_tokens
          |  FROM d JOIN r ON d.source = r.source
-         |  WHERE ((d.doc_id * $KnuthA) % 1000 + 1000) % 1000 < r.permille
+         |  WHERE ${bucket1000Sql("d.doc_id")} < r.permille
          |  GROUP BY 1)
          |SELECT r.source, r.docs, r.tokens, r.permille,
          |  COALESCE(s.sampled_docs, 0) AS sampled_docs,
@@ -242,7 +250,7 @@ object Sampling {
          |s AS (
          |  SELECT dc.cluster, COUNT(*) AS sampled_docs, CAST(SUM(dc.toks) AS BIGINT) AS sampled_tokens
          |  FROM dc JOIN r ON dc.cluster = r.cluster
-         |  WHERE ((dc.doc_id * $KnuthA) % 1000 + 1000) % 1000 < r.permille
+         |  WHERE ${bucket1000Sql("dc.doc_id")} < r.permille
          |  GROUP BY 1)
          |SELECT r.cluster, r.docs, r.tokens, r.permille,
          |  COALESCE(s.sampled_docs, 0) AS sampled_docs,
@@ -295,7 +303,7 @@ object Sampling {
       s"""WITH k AS (
          |  SELECT doc_id, lang,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-         |    ((doc_id * $KnuthA) % 1048576 + 1048576) % 1048576 AS u
+         |    (((doc_id % 1048576 + 1048576) % 1048576) * $KnuthA) % 1048576 AS u
          |  FROM documents)
          |SELECT doc_id, lang, toks,
          |  CAST(u + 1 AS DOUBLE) / toks AS rank
@@ -304,7 +312,7 @@ object Sampling {
       Tables(spark, dir).documents
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("toks"),
-          pmod(col("doc_id") * KnuthA, lit(1048576L)).as("u"))
+          pmod(pmod(col("doc_id"), lit(1048576L)) * KnuthA, lit(1048576L)).as("u"))
         .select(col("doc_id"), col("lang"), col("toks"),
           ((col("u") + 1L).cast("double") / col("toks")).as("rank"))
         .orderBy("rank", "doc_id").limit(100)
@@ -422,7 +430,7 @@ object Sampling {
          |c AS (
          |  SELECT d.doc_id, d.source, d.toks,
          |    CAST(FLOOR(r.rate / 1000) AS BIGINT)
-         |      + CASE WHEN ((d.doc_id * $KnuthA) % 1000 + 1000) % 1000
+         |      + CASE WHEN ${bucket1000Sql("d.doc_id")}
          |               < r.rate - 1000 * FLOOR(r.rate / 1000) THEN 1 ELSE 0 END AS n_copies
          |  FROM d JOIN r ON d.source = r.source),
          |e AS (

@@ -222,10 +222,21 @@ object MvCascade {
     // though awaitTermination is called in sequence.
     val t0 = System.nanoTime()
     val endNs = TrieMap[java.util.UUID, Long]()
+    // busy/batches accumulate IN the listener, keyed by runId: recentProgress
+    // is a bounded rolling buffer (default 100 entries), so a member running
+    // more micro-batches than that would silently undercount — the exact
+    // superlinear member this breakdown exists to localize (ADVICE r9).
+    val busyMs = TrieMap[java.util.UUID, Long]()
+    val batchN = TrieMap[java.util.UUID, Long]()
     val term = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val trig = e.progress.durationMs
+          .getOrDefault("triggerExecution", java.lang.Long.valueOf(0L)).longValue
+        busyMs.updateWith(e.progress.runId) { v => Some(v.getOrElse(0L) + trig) }
+        batchN.updateWith(e.progress.runId) { v => Some(v.getOrElse(0L) + 1L) }
+      }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         endNs.put(e.runId, System.nanoTime())
     }
@@ -248,9 +259,9 @@ object MvCascade {
     try {
       breakdowns.put(dir, queries.map { case (name, q) =>
         val wall = endNs.get(q.runId).map(e => (e - t0) / 1e9).getOrElse(-1.0)
-        val busy = q.recentProgress.map(
-          _.durationMs.getOrDefault("triggerExecution", java.lang.Long.valueOf(0L)).longValue.toDouble).sum / 1e3
-        name -> MvSetupCost(wall, busy, q.recentProgress.length.toLong)
+        name -> MvSetupCost(wall,
+          busyMs.getOrElse(q.runId, 0L) / 1e3,
+          batchN.getOrElse(q.runId, 0L))
       })
     } finally spark.streams.removeListener(term)
     // MVs complete for `dir` → eligible for transparent aggregate routing

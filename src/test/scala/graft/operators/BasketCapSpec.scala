@@ -78,6 +78,47 @@ class BasketCapSpec extends SparkSpec {
     assert(ub <= exact * 20, s"bound $ub uselessly loose vs $exact")
   }
 
+  test("q15 pair-mass estimate upper-bounds the exact capped order-basket mass") {
+    registerViews()
+    val ub = Analytics.q15PairMassUpperBound(spark, sf())
+    val exact = spark.sql(
+      s"""SELECT SUM(c * (c - 1)) DIV 2 FROM (
+         |  SELECT l_orderkey, LEAST(COUNT(DISTINCT l_partkey), ${Analytics.PairCapPerOrder}) AS c
+         |  FROM lineitem GROUP BY l_orderkey)""".stripMargin).head.getLong(0)
+    assert(exact > 0, "test data produced no pairs")
+    assert(ub >= exact, s"upper bound $ub below exact mass $exact")
+    assert(ub <= exact * 20, s"bound $ub uselessly loose vs $exact")
+  }
+
+  test("q15 raises the AQE initial partition count per its pair mass (r9 verdict #1)") {
+    registerViews()
+    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val mass = Analytics.q15PairMassUpperBound(spark, sf())
+    try {
+      spark.conf.set(Analytics.PairGroupsPerReducerKey, "1")
+      spark.conf.set(initKey, "4")
+      Catalog.byName("q15_market_basket").build(spark, sf())
+      assert(spark.conf.get(initKey).toInt == math.min(1024L, mass).toInt)
+      spark.conf.unset(Analytics.PairGroupsPerReducerKey)
+      spark.conf.set(initKey, "4")
+      Catalog.byName("q15_market_basket").build(spark, sf())
+      assert(spark.conf.get(initKey).toInt == 4)
+    } finally {
+      spark.conf.unset(Analytics.PairGroupsPerReducerKey)
+      spark.conf.unset(initKey)
+    }
+  }
+
+  test("pair-mass estimate returns 0 (not NPE) on an empty keyed relation") {
+    // ADVICE r9: SUM over zero rows is one NULL row — the memoized scalar
+    // must come back 0, not throw on getLong
+    import org.apache.spark.sql.functions._
+    val mass = Analytics.pairMassUpperBound(spark, sf(), "emptyMassTest", 64) { t =>
+      t.lineitem.filter(lit(false)).groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    }
+    assert(mass == 0L)
+  }
+
   test("q17 raises the AQE initial partition count per its pair mass, never lowers") {
     registerViews()
     val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"

@@ -122,6 +122,23 @@ class SketchesSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("uq05 refuses loudly when the MG coverage bound cannot certify the top-20") {
+    // flat corpus: 50k distinct words, each once -> N=50000, kth freq=1,
+    // 1 * 2049 <= 50000 — the candidate-only top-20 is NOT provably exact,
+    // so the entry must refuse (ADVICE r9), not ship a maybe-wrong answer
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_uq05_flat").toString
+    (0 until 500).map { d =>
+      (d.toLong, (0 until 100).map(w => s"w${d}_$w").mkString(" "), "en", "syn", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Catalog.byName("uq05_heavy_hitters").build(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("coverage NOT guaranteed"))
+    assert(ex.getMessage.contains("MgCapacity"))
+  }
+
   test("uq05 Misra-Gries: evictions fire and the superset guarantee holds on a skewed toy") {
     // 10k distinct terms, zipf-ish skew, capacity 64 — domain is 156x the
     // capacity, so the decrement-all path runs constantly

@@ -200,6 +200,23 @@ class DedupSpec extends SparkSpec {
       s"expected near_dup and semantic drops in the roster, got $verdicts")
   }
 
+  test("dd14: sampled confirm is deterministic and internally consistent") {
+    val run1 = graft.Catalog.byName("dd14_sampled_confirm").build(spark, sf()).collect()
+    assert(run1.length == 1)
+    val r = run1.head
+    val (cands, sampled, confirmed, est) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    // the 10% hash gate can only shrink, never invent
+    assert(sampled <= cands && confirmed <= sampled)
+    assert(est >= 0.0 && (sampled == 0 || est <= cands.toDouble))
+    // candidate universe matches dd06's (same bucket construction)
+    val full = graft.Catalog.byName("dd06_embedding_neardup_lsh").build(spark, sf()).count()
+    assert(confirmed <= full, "sample confirmed more dups than the full confirm found")
+    // deterministic: the Knuth-hash draw selects the identical sample
+    val run2 = graft.Catalog.byName("dd14_sampled_confirm").build(spark, sf()).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+  }
+
   test("dd13: eval metrics are internally consistent and match a direct recount") {
     val r = graft.Catalog.byName("dd13_lsh_eval").build(spark, sf()).collect()
       .map(x => x.getString(0) ->
