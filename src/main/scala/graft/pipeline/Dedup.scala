@@ -518,44 +518,45 @@ object Dedup {
 
     // ----- dd14: SAMPLED exact-confirm — dd06's 100 TB operating posture for
     // the confirm stage (r9 verdict item 7; the doctrine dd13 pins in-code:
-    // "at 100 TB you run this evaluation over a SAMPLE"). dd06's residual
-    // cost is the exact-cosine confirmation of every LSH candidate in the
-    // near-threshold pair-mass regime; a pipeline that only needs the DUP
-    // RATE (to monitor corpus health, tune LSH params, or decide whether a
-    // full confirm is worth scheduling) confirms a deterministic Knuth-hash
-    // 10% sample of candidate PAIRS and extrapolates. The sample key is the
-    // modulo-first overflow-immune form on a pair fingerprint, so the same
-    // pairs are drawn on any engine and any run — making even the SAMPLED
-    // estimate hash-checkable. The per-pair signal stays the EXACT cosine
-    // (rp01's signature-derived estimate was measured and rejected: σ=0.255
-    // per-pair noise, SCALE §0c.4); what's sampled is which pairs pay it.
-    // Recall/cost operating curve vs the full confirm: SCALE.md §0e.
+    // "at 100 TB you run this evaluation over a SAMPLE"). A pipeline that
+    // only needs the DUP RATE (to monitor corpus health, tune LSH params, or
+    // decide whether a full confirm is worth scheduling) draws a
+    // deterministic Knuth-hash 10% sample of candidate PAIRS and pays the
+    // exact cosine only on the sample. The sample gate sits INSIDE the
+    // candidate build, BEFORE the cross-table DISTINCT — the pair key is a
+    // pure function of the pair, so sample-then-distinct ≡ distinct-then-
+    // sample, and the gate is a map-side filter on the bucket join's output:
+    // the candidate-dedup exchange (dd06's dominant cost beyond the shared
+    // LSH build — measured, SCALE §0e) shrinks 10× along with the confirm.
+    // The sample key is the modulo-first overflow-immune form on a pair
+    // fingerprint, so the same pairs are drawn on any engine and any run —
+    // making even the SAMPLED estimate hash-checkable. The per-pair signal
+    // stays the EXACT cosine (rp01's signature-derived estimate was measured
+    // and rejected: σ=0.255 per-pair noise, SCALE §0c.4); what's sampled is
+    // which pairs pay it. est_dups/est_candidates are the 10× Horvitz-
+    // Thompson expansions. Accuracy/cost operating curve: SCALE.md §0e.
     QueryDef.sql(
       "dd14_sampled_confirm",
       s"""WITH ${Similarity.bucketCtes},
          |cands AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bk a JOIN bk b ON b.table_id = a.table_id AND b.bucket = a.bucket
-         |   AND a.vec_id < b.vec_id),
-         |samp AS (
-         |  SELECT vec_a, vec_b FROM cands
-         |  WHERE ((((vec_a % 1048576) * 1048583 + (vec_b % 1048576)) % 1000)
+         |   AND a.vec_id < b.vec_id
+         |  WHERE ((((a.vec_id % 1048576) * 1048583 + (b.vec_id % 1048576)) % 1000)
          |         * 2654435761) % 1000 < 100),
          |conf AS (
          |  SELECT s.vec_a, s.vec_b,
          |    ${Similarity.cosSql("ea.embedding", "eb.embedding")} AS cosine
-         |  FROM samp s
+         |  FROM cands s
          |  JOIN embeddings ea ON ea.vec_id = s.vec_a
          |  JOIN embeddings eb ON eb.vec_id = s.vec_b),
-         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cands),
          |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
          |    CAST(COALESCE(SUM(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_confirmed
          |  FROM conf)
-         |SELECT nc.n_candidates, ns.n_sampled, ns.n_confirmed,
-         |  CASE WHEN ns.n_sampled = 0 THEN CAST(0 AS DOUBLE)
-         |       ELSE CAST(ns.n_confirmed AS DOUBLE) * nc.n_candidates / ns.n_sampled
-         |  END AS est_dups
-         |FROM nc, ns""".stripMargin,
+         |SELECT n_sampled, n_confirmed,
+         |  n_sampled * 10 AS est_candidates,
+         |  CAST(n_confirmed AS DOUBLE) * 10 AS est_dups
+         |FROM ns""".stripMargin,
     ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
       val bk = Similarity.buckets(e,
@@ -563,31 +564,28 @@ object Dedup {
         CorpusMeta.embeddingMeans(spark, dir))
       val a = bk.toDF("vec_a", "table_id", "bucket")
       val b = bk.toDF("vec_b", "table_id", "bucket")
-      // same candidate construction as dd06 — two consumers (count + sample)
-      // share the distinct's exchange via ReusedExchange, so the bucket join
-      // runs once (the q15/q17 shared-exchange pattern)
-      val cands = a.join(b, Seq("table_id", "bucket"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
-      val nc = cands.agg(count(lit(1)).cast("long").as("n_candidates"))
       // modulo-first pair fingerprint: (vec % 2^20) terms keep every product
       // inside int64 at ANY id (the Sampling.KnuthA doctrine)
       val sampleKey = pmod(
         pmod(pmod(col("vec_a"), lit(1048576L)) * 1048583L
           + pmod(col("vec_b"), lit(1048576L)), lit(1000L)) * 2654435761L, lit(1000L))
+      // sample gate BEFORE the distinct: map-side on the bucket join's
+      // output, so only the drawn 10% ever reaches the dedup exchange
+      val sampled = a.join(b, Seq("table_id", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(sampleKey < 100)
+        .select("vec_a", "vec_b").distinct()
       val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      val conf = cands.filter(sampleKey < 100)
+      val conf = sampled
         .join(ea, "vec_a").join(eb, "vec_b")
         .select(VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
-      val ns = conf.agg(count(lit(1)).cast("long").as("n_sampled"),
+      conf.agg(count(lit(1)).cast("long").as("n_sampled"),
         coalesce(sum(when(col("cosine") >= 0.4, 1L).otherwise(0L)), lit(0L))
           .cast("long").as("n_confirmed"))
-      nc.crossJoin(broadcast(ns))
-        .select(col("n_candidates"), col("n_sampled"), col("n_confirmed"),
-          when(col("n_sampled") === 0L, lit(0.0))
-            .otherwise(col("n_confirmed").cast("double") * col("n_candidates")
-              / col("n_sampled")).as("est_dups"))
+        .select(col("n_sampled"), col("n_confirmed"),
+          (col("n_sampled") * 10L).as("est_candidates"),
+          (col("n_confirmed").cast("double") * 10L).as("est_dups"))
     },
 
     // ----- dd07: survivor selection — the step that turns near-dup CLUSTERS

@@ -204,12 +204,12 @@ class DedupSpec extends SparkSpec {
     val run1 = graft.Catalog.byName("dd14_sampled_confirm").build(spark, sf()).collect()
     assert(run1.length == 1)
     val r = run1.head
-    val (cands, sampled, confirmed, est) =
+    val (sampled, confirmed, estCands, estDups) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
     // the 10% hash gate can only shrink, never invent
-    assert(sampled <= cands && confirmed <= sampled)
-    assert(est >= 0.0 && (sampled == 0 || est <= cands.toDouble))
-    // candidate universe matches dd06's (same bucket construction)
+    assert(confirmed <= sampled)
+    assert(estCands == sampled * 10 && estDups == confirmed.toDouble * 10)
+    // sample confirms are a subset of dd06's full confirm set
     val full = graft.Catalog.byName("dd06_embedding_neardup_lsh").build(spark, sf()).count()
     assert(confirmed <= full, "sample confirmed more dups than the full confirm found")
     // deterministic: the Knuth-hash draw selects the identical sample

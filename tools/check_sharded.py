@@ -151,7 +151,7 @@ def check_lsh_bucket_family(name, sql, sfdir, outdir, workdir):
     """dd06 / dd14: hyperplane-LSH bucket chain + entry-specific tail after
     the `cands` CTE (dd06: exact-cosine confirm; dd14: sampled confirm)."""
     tail_marker = ("SELECT vec_a, vec_b, cosine"
-                   if name.startswith("dd06") else "samp AS")
+                   if name.startswith("dd06") else "conf AS")
     pre_cands, _, _ = slice_between(sql, "WITH hh AS", "cands AS")
     bk_with = pre_cands.rstrip().rstrip(",")
     run_stage(sfdir, workdir, [
