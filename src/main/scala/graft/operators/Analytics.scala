@@ -45,7 +45,7 @@ object Analytics {
     * exchange on `keyCol` replaces the old distinct-(key,item) exchange PLUS
     * the top-K exchange — the r6→r7 fix for the basket caps' sf0.1 cost.
     */
-  private[operators] def capBasket(df: org.apache.spark.sql.DataFrame, keyCol: String, itemCol: String, cap: Int) =
+  private[graft] def capBasket(df: org.apache.spark.sql.DataFrame, keyCol: String, itemCol: String, cap: Int) =
     graft.plans.TopKPerGroup.topKDistinct(
       df.withColumn("__neg_item", -col(itemCol)),
       Seq(keyCol), "__neg_item", itemCol, cap)
