@@ -111,6 +111,13 @@ import org.apache.spark.sql.SparkSession
   * (documented in the entry: metadata-scale by construction; the heavy
   * ranking is TakeOrderedAndProject heaps).
   *
+  * Round-10 audit: dd14 flags SinglePartition — the final 1-row
+  * (n_sampled, n_confirmed) scalar aggregate (the q18/q26 metadata-scale
+  * class); its heavy stages (bucket join, sampled distinct, confirm join)
+  * are all key-partitioned exchanges. st14–st18 now audit through their
+  * maintained-MV serve reads; the maintenance streams carry the same plans
+  * the r9 audit accounted for.
+  *
   * Round-9 session-6 late batch: st17/st18/cur01/prof02/qf03 are clean
   * (the streaming firewalls are equi-keyed stream-static joins + one agg;
   * cur01 is DistributedRank's documented pattern; prof02's window runs on
