@@ -135,25 +135,16 @@ object Bench {
     val needsCascade = only.forall(_.exists(n =>
       n.startsWith("st") || n.startsWith("pr") || n.startsWith("sq")))
 
-    val eps =
-      if (only.isEmpty) gateCodegen("ingest_probe")(ingestEventsPerSec(spark))
-      else IngestStats(-1.0, -1.0, -1.0)
-    Residency.release(spark)
-
-    // JVM/codegen/parquet-footer warm-up (not reported)
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).write
-      .format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    Residency.release(spark)
-
-    // One-time streaming machinery, timed apart from the read entries: the
-    // 6-MV cascade plus the per-dir heavyweight streams (st02 upsert sink,
-    // st10 stream-stream join) — their catalog entries then time the
-    // maintained-result READ, which is what a serving query would pay.
-    // GC/heap counters around the setup phase (r9 verdict item 5: the
-    // cascade's full-session wall is ~2× its targeted-run wall, uniformly
-    // across members — these counters name whether the inflation is GC time
-    // from the ingest probe's leftover heap or genuine compute)
+    // One-time streaming machinery FIRST, in the still-clean session (r10
+    // verdict item 6: at sf10 the cascade ran ~3× slower AFTER the ingest
+    // probe — near-equal STW GC but a 100 GB JVM whose old-gen shape after
+    // the probe costs G1 concurrent-cycle CPU the counters can't see; the
+    // production posture never co-hosts the two, so the setup number users
+    // quote should be the clean-session one). The 6-MV cascade plus the
+    // per-dir heavyweight streams (st02 upsert sink, st10 stream-stream
+    // join) — their catalog entries then time the maintained-result READ,
+    // which is what a serving query would pay. GC/heap counters retained
+    // around the phase so the reorder's effect is itself in the artifact.
     val setupGc0 = gcMillisNow
     val setupHeap0 = heapUsedMb
     val setupT0 = System.nanoTime()
@@ -179,6 +170,27 @@ object Bench {
       graft.streaming.MvCascade.setupBreakdown(sfDir).foreach { case (n, c) =>
         System.err.println(f"[bench] cascade $n%-22s wall=${c.wallSec}%7.1f s busy=${c.busySec}%7.1f s batches=${c.batches}")
       }
+    Residency.release(spark)
+
+    // Heap settle between the two streaming-heavy phases: the cascade leaves
+    // a grown old gen; without a full collection the ingest probe would pay
+    // the same cross-phase G1 coupling in the other direction.
+    System.gc(); Thread.sleep(2000); System.gc()
+
+    // Ingest throughput probe AFTER the cascade (was first until r10; the
+    // original r2 rationale — leaked checkpoint blocks starving the stream —
+    // is covered by Residency.release + the resident-RDD assert, and the
+    // probe's own warm-up + 3-window median absorbs heap-shape drag, whereas
+    // the cascade's setup number demonstrably does not).
+    val eps =
+      if (only.isEmpty) gateCodegen("ingest_probe")(ingestEventsPerSec(spark))
+      else IngestStats(-1.0, -1.0, -1.0)
+    Residency.release(spark)
+
+    // JVM/codegen/parquet-footer warm-up (not reported)
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     Residency.release(spark)
 
     // Entries may RAISE the AQE initial shuffle-partition count for their own
@@ -363,7 +375,15 @@ object Bench {
     def isIngest(runId: java.util.UUID): Boolean = runId == ingestRunId.get()
     val totalRows = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      // Capture the runId HERE (ADVICE r10): onQueryStarted fires
+      // synchronously on the bus before any progress event, so the id is
+      // published before the first batch can count — no window where an
+      // instant first batch would be dropped by the isIngest filter. CAS
+      // from null: only the FIRST stream started after this listener
+      // registers is the probe (nothing else starts during it), and a
+      // hypothetical second start can't steal the slot.
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        ingestRunId.compareAndSet(null, e.runId)
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         if (isIngest(e.progress.runId)) totalRows.addAndGet(e.progress.numInputRows)
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -373,9 +393,11 @@ object Bench {
       val q = graft.streaming.Ingest.generatedMinuteMv(spark, rowsPerBatch = 50000)
         .writeStream.outputMode("update").format("noop")
         .trigger(Trigger.ProcessingTime(0)).start()
-      // runId is fixed at start; publish it before the first progress event
-      // can fire (the first micro-batch takes far longer than this store)
-      ingestRunId.set(q.runId)
+      // belt-and-braces: if the started event somehow didn't land yet, the
+      // CAS from the main thread publishes the same id
+      ingestRunId.compareAndSet(null, q.runId)
+      assert(ingestRunId.get() == q.runId,
+        s"ingest probe runId mismatch: listener saw ${ingestRunId.get()}, started ${q.runId}")
       // warm-up: wait (bounded) for the first processed batch before timing,
       // so slow stream startup under load doesn't read as zero throughput
       val warmDeadline = System.currentTimeMillis() + 30000

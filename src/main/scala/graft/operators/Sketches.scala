@@ -156,12 +156,15 @@ object Sketches {
     // domain is 156× the capacity.
     QueryDef.sql(
       "uq05_heavy_hitters",
-      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      // MgCapacity+1 interpolated (not hardcoded) so the guard below, this
+      // oracle, and the emitted `guaranteed` column move together when the
+      // capacity is retuned (ADVICE r10)
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
         |c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY 1),
         |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM c),
         |top AS (SELECT word, freq FROM c ORDER BY freq DESC, word LIMIT 20),
         |g AS (SELECT CAST(MIN(freq) AS BIGINT) AS kth FROM top)
-        |SELECT top.word, top.freq, (g.kth * 2049 > t.n) AS guaranteed
+        |SELECT top.word, top.freq, (g.kth * ${MgCapacity + 1} > t.n) AS guaranteed
         |FROM top, t, g ORDER BY freq DESC, word""".stripMargin,
     ) { (spark, dir) =>
       import spark.implicits._
@@ -200,7 +203,7 @@ object Sketches {
           s"(bound is linear in capacity) instead of shipping a possibly-inexact top-K.")
       top.crossJoin(broadcast(totals)).crossJoin(broadcast(kth))
         .select(col("word"), col("freq"),
-          (col("kth") * 2049L > col("n")).as("guaranteed"))
+          (col("kth") * (MgCapacity + 1L) > col("n")).as("guaranteed"))
         .orderBy(desc("freq"), asc("word"))
     },
 

@@ -19,6 +19,13 @@ object Windows {
   val defs: Seq[QueryDef] = Seq(
 
     // ----- q21: per-group top-N via row_number (W1 — sample_queries.sql:321–329).
+    // The query keeps the user-facing window idiom, but it PLANS through
+    // WindowTopKRewrite (r10 verdict item 3: the naive plan sorts whole
+    // groups on |brands| = 25 reducers — 4.02× on 3.33× at sf3→sf10 with 31
+    // cores idle, the one named scale-killer; the bounded-heap rewrite is
+    // oracle-proven at q39 and its curve at q37). The naive window PLAN
+    // itself stays covered: q25 runs row_number un-rewritten (different
+    // idiom shape), and TopKPerGroupSpec pins the rewrite's equivalence.
     QueryDef.sql(
       "q21_top_parts_per_brand",
       s"""WITH rev AS (
@@ -41,9 +48,14 @@ object Windows {
           sum(dec(li("l_extendedprice")) * (lit(1) - dec(li("l_discount")))).cast("double").as("revenue"),
           count(lit(1)).as("line_count"))
       val w = Window.partitionBy("p_brand").orderBy(desc("revenue"), asc("p_partkey"))
-      rev.withColumn("rnk", row_number().over(w).cast("long"))
+      // rnk stays the bare window attribute through the filter (the rewrite's
+      // match shape); the long cast happens above the rewritten region
+      val windowed = rev.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
+        .select(col("p_brand"), col("p_partkey"), col("p_name"),
+          col("revenue"), col("line_count"), col("rnk").cast("long").as("rnk"))
         .orderBy("p_brand", "rnk")
+      graft.plans.TopKPerGroup.withAutoRewrite(windowed)
     },
 
     // ----- q22: percentiles + deciles (W2/W3 — RFM scoring, 05:83–85,

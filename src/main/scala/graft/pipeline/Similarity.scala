@@ -53,11 +53,16 @@ object Similarity {
   private[pipeline] val HMin = 8
   private[pipeline] val HMax = 20
   private[pipeline] val TargetOcc = 8
-  private[pipeline] def adaptiveBits(n: Long): Int = {
+  /** Generalized over the occupancy target (r10 verdict item 4's geometry
+    * sweep — DiagDd06Sweep): smaller occ → more leading bits → finer buckets
+    * → fewer candidates, traded against recall at the confirm threshold.
+    */
+  private[graft] def adaptiveBitsFor(n: Long, occ: Int): Int = {
     var h = HMin
-    while (h < HMax && (1L << h) * TargetOcc < n) h += 1
+    while (h < HMax && (1L << h) * occ < n) h += 1
     h
   }
+  private[pipeline] def adaptiveBits(n: Long): Int = adaptiveBitsFor(n, TargetOcc)
   private def planeSign(i: Long): Double =
     if ((((i * 2654435761L) % 4294967296L) & 65536L) == 0L) 1.0 else -1.0
   private val planes: Seq[Seq[Seq[Double]]] =

@@ -46,6 +46,19 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(q37 == q21 && q21.nonEmpty)
   }
 
+  test("q21 plans through the bounded-heap rewrite, not a whole-group sort") {
+    // r10 verdict item 3: q21's naive window plan was the one named
+    // scale-killer (25 brand reducers each sorting the full group at sf10);
+    // the entry now plans through WindowTopKRewrite — pin that here so a
+    // refactor can't silently put the sort back
+    val plan = Catalog.byName("q21_top_parts_per_brand").build(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"q21 rewrite did not fire:\n$plan")
+    assert(plan.contains("TopKPerGroupPartial"),
+      s"q21 map-side partial pass missing:\n$plan")
+    assert(!plan.contains("WindowExec"), s"q21 fell back to a window sort:\n$plan")
+  }
+
   test("optimizer rule rewrites the window idiom onto the bounded-heap operator") {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, sf())

@@ -97,8 +97,20 @@ def spark_cols(outdir, name):
     return cols
 
 
+def distinct_ids(sfdir, workdir, parquet, col):
+    """Shard ids actually present in a staged file (ADVICE r10: hardcoding
+    n_bands/n_tables would silently drop shards — and produce spurious engine
+    FAILs — if the Scala constants ever change)."""
+    rows = run_stage(sfdir, workdir, [
+        f"SELECT DISTINCT {col} FROM '{workdir}/{parquet}' ORDER BY 1"
+    ])
+    ids = [int(r[0]) for r in rows]
+    assert ids, f"no {col} values in {parquet}"
+    return ids
+
+
 # ---------------------------------------------------------------- minhash ---
-def staged_minhash(sql, sfdir, workdir, n_bands=32):
+def staged_minhash(sql, sfdir, workdir):
     """Stage the shared minhash chain: sigs.parquet, bands.parquet, per-band
     candidate files, and return SQL snippets for msgl/mcand views that read
     them — semantics identical to the original CTEs."""
@@ -116,7 +128,7 @@ def staged_minhash(sql, sfdir, workdir, n_bands=32):
     ])
     mcand_chunk, _, _ = slice_between(sql, "mcand AS", "mest AS")
     mcand_sel = cte_body(mcand_chunk, "mcand")
-    for b in range(n_bands):
+    for b in distinct_ids(sfdir, workdir, "bands.parquet", "band_id"):
         run_stage(sfdir, workdir, [
             f"CREATE VIEW mbands AS SELECT * FROM '{workdir}/bands.parquet' WHERE band_id = {b}",
             f"COPY ({mcand_sel}) TO '{workdir}/cand_{b}.parquet'",
@@ -160,7 +172,7 @@ def check_lsh_bucket_family(name, sql, sfdir, outdir, workdir):
     ])
     cands_chunk = sql[sql.index("cands AS"):sql.index(tail_marker)]
     cands_sel = cte_body(cands_chunk, "cands")
-    for t in range(6):
+    for t in distinct_ids(sfdir, workdir, "bk.parquet", "table_id"):
         run_stage(sfdir, workdir, [
             f"CREATE VIEW bk AS SELECT * FROM '{workdir}/bk.parquet' WHERE table_id = {t}",
             f"COPY ({cands_sel}) TO '{workdir}/cand_{t}.parquet'",
