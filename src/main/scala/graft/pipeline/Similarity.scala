@@ -97,16 +97,22 @@ object Similarity {
     * [[buckets]] does. Dot products are ±1-weighted sums of the double-cast
     * floats; summation order is immaterial for the sign test away from
     * |dot| ≈ 1e-15 (the values are O(1)).
+    *
+    * Geometry-parameterized (r10 verdict item 4): `lp` tables × occupancy
+    * target `occ`. The plane-sign indexing (l·HMax+h)·64+d is unchanged for
+    * l < lp, so a reduced-table oracle reconstructs a strict subset of the
+    * default plane set — exactly what the Spark side's `table_id < lp`
+    * filter scans. [[bucketCtes]] is the shipping (L, TargetOcc) instance.
     */
-  private[pipeline] val bucketCtes = {
+  private[graft] def bucketCtesFor(lp: Int, occ: Int): String = {
     val hCases = (HMin until HMax)
-      .map(h => s"WHEN COUNT(*) <= ${(1L << h) * TargetOcc} THEN $h").mkString(" ")
+      .map(h => s"WHEN COUNT(*) <= ${(1L << h) * occ} THEN $h").mkString(" ")
     s"""hh AS (SELECT CASE $hCases ELSE $HMax END AS h FROM embeddings),
        |sgn AS (
        |  SELECT l, h, d,
        |    CASE WHEN (((((l*$HMax+h)*64+d) * 2654435761) % 4294967296) & 65536) = 0
        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
-       |  FROM generate_series(0, ${L - 1}) tl(l),
+       |  FROM generate_series(0, ${lp - 1}) tl(l),
        |       generate_series(0, ${HMax - 1}) th(h),
        |       generate_series(0, 63) td(d)),
        |mu AS (
@@ -125,6 +131,8 @@ object Similarity {
        |bk AS (
        |  SELECT vec_id, table_id, sg >> ($HMax - hh.h) AS bucket FROM sig, hh)""".stripMargin
   }
+
+  private[pipeline] val bucketCtes = bucketCtesFor(L, TargetOcc)
 
   /** Sequential-fold cosine between two list expressions — the SQL twin of
     * [[VectorOps.cosine]] (identical left-to-right double fold).

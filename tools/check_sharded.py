@@ -228,6 +228,10 @@ def check_dd07(name, sql, sfdir, outdir, workdir, n_shards=16):
 HANDLERS = {
     "dd03_minhash_lsh": check_minhash_family,
     "dd08_incremental_dedup": check_minhash_family,
+    # st18 is dd08's oracle shape with the probe side streamed — same CTE
+    # markers, same per-band decomposition (r10 verdict item 8: its sf10
+    # oracle was the one the single-process replay couldn't reach)
+    "st18_streaming_neardup_probe": check_minhash_family,
     "pp01_corpus_pipeline": check_minhash_family,
     "dd06_embedding_neardup_lsh": check_lsh_bucket_family,
     "dd14_sampled_confirm": check_lsh_bucket_family,
