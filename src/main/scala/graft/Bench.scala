@@ -193,11 +193,11 @@ object Bench {
     catch { case _: Throwable => () }
     Residency.release(spark)
 
-    // Entries may RAISE the AQE initial shuffle-partition count for their own
-    // job (q17 sizes its pair shuffle from the capped pair mass — the local[]
-    // stand-in for per-job shuffle sizing on a cluster); reset to the
-    // input-derived session default before each entry so the raise never
-    // leaks into a neighbor's timing.
+    // Defensive conf hygiene: no catalog entry mutates the AQE initial
+    // shuffle-partition count anymore (r11 removed q17's pair-mass raise
+    // after the A/B in SCALE.md §0f.3), but the reset stays so a future
+    // entry-scoped conf experiment can never leak into a neighbor's timing
+    // (BasketCapSpec pins that q15/q17 leave the conf untouched).
     val initPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val initPartsDefault = spark.conf.get(initPartsKey)
 

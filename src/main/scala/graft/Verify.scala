@@ -35,7 +35,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // per-job shuffle-sizing raises (q17) reset before each entry — see Bench
+    // defensive per-entry conf reset (no entry mutates it since r11) — see Bench
     val initPartsKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     val initPartsDefault = spark.conf.get(initPartsKey)
     SparkEntry.queries

@@ -51,71 +51,27 @@ object Analytics {
       Seq(keyCol), "__neg_item", itemCol, cap)
       .drop("__neg_item", "rnk")
 
-  /** Upper bound on a capped pair mass Σ_k C(min(basket_k, cap), 2) —
-    * the per-JOB shuffle-sizing input for the basket self-joins (SCALE §0c:
-    * input-byte-derived reducer counts undershoot q17's ~22× shuffle
-    * amplification at sf10, so the pair aggregation's reducer count must
-    * derive from the PAIR mass, the way a cluster operator sizes an
-    * individual job's shuffle). Bounds the distinct basket by the RAW
-    * per-key row count, so the estimate costs one narrow count-by-key — no
-    * dedup heap — and memoizes per (dir, parquet fingerprint, tag), making
-    * it free across Bench's min-of-3 rounds. Over-estimation only
-    * over-provisions reducers, which AQE coalesces back by measured bytes;
-    * under-provisioning is what spills (the r8 62 GB event).
+  /** REMOVED in round 11: the r9/r10 pair-mass shuffle sizing
+    * (pairMassUpperBound + sizePairShuffle — raise this job's AQE
+    * initialPartitionNum to pairMass/1M reducers, the local[] stand-in for
+    * per-job shuffle sizing). A monotonic isolated-process min-of-3 A/B
+    * falsified its premise on this box (SCALE.md §0f.3):
     *
-    * coalesce(sum, 0): SUM over an empty keyed relation is one NULL row —
-    * getLong would NPE and the memoized scalar would re-throw on every
-    * Bench/Verify round (ADVICE r9).
+    *   q17 sf10: 150 parts (input-derived, no raise) 155.1 s
+    *             433 parts 270.3 s · 1024 parts 324.6 s
+    *   q17 sf3:   39 parts 37.6 s · 394 parts 38.7 s
+    *
+    * On a fixed-width box, reducers beyond the input-derived count add only
+    * task scheduling + shuffle-file overhead: concurrency is pinned at the
+    * core count, and the per-reducer aggregation state the sizing tried to
+    * bound (1 M groups ≈ 64 MB) spills GRACEFULLY at 8 M groups/reducer —
+    * the map-side partial, not the reducer hash map, owns the spill
+    * (§0f.0's slice A/B: the whole stage's residual is 32-thread memory
+    * contention, distribution-safe). On a real cluster, per-job reducer
+    * sizing belongs to the scheduler (reducer count tracks executor slots,
+    * which DO grow with the job); encoding it as a local conf raise was
+    * modeling a resource the box doesn't have.
     */
-  private[graft] def pairMassUpperBound(spark: SparkSession, dir: String,
-      tag: String, cap: Int)(perKeyCounts: Tables => DataFrame): Long =
-    graft.pipeline.CorpusMeta.tableScalar(dir, "lineitem", tag) {
-      val capped = least(col("n"), lit(cap.toLong))
-      perKeyCounts(Tables(spark, dir))
-        .select(coalesce(sum(capped * (capped - 1)), lit(0L)).as("m")) // /2 below: `/` is double div
-        .head.getLong(0) / 2
-    }
-
-  /** q17's pair mass: baskets keyed by USER over lineitem ⋈ orders. */
-  private[graft] def q17PairMassUpperBound(spark: SparkSession, dir: String): Long =
-    pairMassUpperBound(spark, dir, "q17PairMass", BasketCapPerUser) { t =>
-      t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
-    }
-
-  /** q15's pair mass: baskets keyed by ORDER over lineitem alone — one
-    * narrow count-by-orderkey scan (r9 verdict item 1: q15 read 3.4× on 3×
-    * at sf1→sf3 because only q17 sized its pair shuffle; Bench/Verify reset
-    * the conf per entry, so q15 never rode q17's raise).
-    */
-  private[graft] def q15PairMassUpperBound(spark: SparkSession, dir: String): Long =
-    pairMassUpperBound(spark, dir, "q15PairMass", PairCapPerOrder) { t =>
-      t.lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-    }
-
-  /** ~1 M groups ≈ 64 MB of final-agg hash state per reducer — the bound the
-    * r8 spill analysis says each reducer must respect (12 M groups/reducer
-    * spilled 62 GB at sf3; DiagQ17's A/B halved the spill at 512 reducers).
-    * A conf (not a hardcode) so the spec can prove the raise fires without
-    * sf3-sized data, and an operator can retune per cluster memory.
-    */
-  private[graft] val PairGroupsPerReducerKey = "spark.graft.q17.groupsPerReducer"
-  private val PairGroupsPerReducerDefault = 1000000L
-
-  /** Raise the session's AQE initial shuffle-partition count to what the
-    * pair mass demands, never lowering it below the input-derived session
-    * default. Bench/Verify reset the conf to that default before every
-    * catalog entry, so the raise is scoped to this job — the local[] stand-in
-    * for per-job `spark.sql.shuffle.partitions` on a cluster.
-    */
-  private def sizePairShuffle(spark: SparkSession, pairMass: Long): Unit = {
-    val per = spark.conf.getOption(PairGroupsPerReducerKey).map(_.toLong)
-      .getOrElse(PairGroupsPerReducerDefault)
-    val want = math.min(1024L, pairMass / per).toInt
-    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    val cur = spark.conf.getOption(key).map(_.toInt).getOrElse(0)
-    if (want > cur) spark.conf.set(key, want.toString)
-  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -187,11 +143,6 @@ object Analytics {
       val items = capBasket(
         t.lineitem.select("l_orderkey", "l_partkey"),
         "l_orderkey", "l_partkey", PairCapPerOrder)
-      // q15's pair aggregation is the same near-no-reduction shape as q17's
-      // (r9: 3.4× on 3× at sf1→sf3 with input-derived reducers only) — size
-      // THIS job's reducer count from the order-keyed capped pair mass, the
-      // identical mechanism q17 proved (see the long comment there).
-      sizePairShuffle(spark, q15PairMassUpperBound(spark, dir))
       val a = items.toDF("o", "part_a")
       val b = items.toDF("o", "part_b")
       val pa = t.part.select(col("p_partkey").as("pa_key"), col("p_name").as("part_a_name"))
@@ -309,15 +260,13 @@ object Analytics {
       // Spark's fixed partial+final shape; its spill is bounded per-task
       // and the reducer-side maps are what had to shrink.
       //
-      // Fourth decade (sf10): input-derived sizing undershoots — the pair
-      // shuffle amplifies input ~22×, so per-reducer state re-crossed the
-      // memory line (5.9× on 3.33×, SCALE §0c). Hence sizePairShuffle
-      // below: THIS job's reducer count derives from the capped pair mass
-      // Σ C(min(basket, cap), 2) — a memoized one-row metadata aggregate —
-      // because OSS Spark 4.1 offers no runtime split of a non-skewed
-      // oversized aggregation partition (AQE splits only skewed join
-      // sides), so the bound must be set before the shuffle is planned.
-      sizePairShuffle(spark, q17PairMassUpperBound(spark, dir))
+      // Fourth decade (sf10): round 11 A/B'd the r9/r10 pair-mass reducer
+      // raise here and REMOVED it — input-derived reducers (150) run this
+      // entry 155.1 s min-of-3 isolated where the 1024-raise ran 324.6 s
+      // (monotonic: 433 reducers → 270.3 s; sf3 equally prefers no raise,
+      // 37.6 vs 38.7 s). See the class-level note above and SCALE.md §0f.3;
+      // the remaining fourth-decade residual is 32-thread memory contention,
+      // measured distribution-safe by the §0f.0 slice A/B.
       val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("both_count"))

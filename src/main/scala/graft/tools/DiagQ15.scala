@@ -40,8 +40,12 @@ object DiagQ15 {
     val t = graft.Tables(spark, dir)
     val cap = graft.operators.Analytics.PairCapPerOrder
 
-    // masses first (cheap, names the governing quantities)
-    val mass = graft.operators.Analytics.q15PairMassUpperBound(spark, dir)
+    // mass first (cheap, names the governing quantity; inline since r11
+    // removed the sizing machinery this used to share)
+    val capped = least(col("n"), lit(cap.toLong))
+    val mass = t.lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .select(coalesce(sum(capped * (capped - 1)), lit(0L)).as("m"))
+      .head.getLong(0) / 2
     println(s"[diag] capped pair-mass upper bound = $mass")
 
     def items = graft.operators.Analytics.capBasket(

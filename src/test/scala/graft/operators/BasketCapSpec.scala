@@ -61,84 +61,19 @@ class BasketCapSpec extends SparkSpec {
     }
   }
 
-  test("q17 pair-mass estimate upper-bounds the exact capped pair mass") {
-    registerViews()
-    val ub = Analytics.q17PairMassUpperBound(spark, sf())
-    // exact mass from the capped DISTINCT baskets (what the pair join emits)
-    val exact = spark.sql(
-      s"""SELECT SUM(c * (c - 1)) DIV 2 FROM (
-         |  SELECT user_id, LEAST(COUNT(DISTINCT part_id), ${Analytics.BasketCapPerUser}) AS c
-         |  FROM (SELECT o_custkey AS user_id, l_partkey AS part_id
-         |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-         |  GROUP BY user_id)""".stripMargin).head.getLong(0)
-    assert(exact > 0, "test data produced no pairs")
-    assert(ub >= exact, s"upper bound $ub below exact mass $exact")
-    // raw-count bound stays in the same decade at this (replicated-TPCH)
-    // duplication level — a 100× overshoot would defeat the sizing's point
-    assert(ub <= exact * 20, s"bound $ub uselessly loose vs $exact")
-  }
-
-  test("q15 pair-mass estimate upper-bounds the exact capped order-basket mass") {
-    registerViews()
-    val ub = Analytics.q15PairMassUpperBound(spark, sf())
-    val exact = spark.sql(
-      s"""SELECT SUM(c * (c - 1)) DIV 2 FROM (
-         |  SELECT l_orderkey, LEAST(COUNT(DISTINCT l_partkey), ${Analytics.PairCapPerOrder}) AS c
-         |  FROM lineitem GROUP BY l_orderkey)""".stripMargin).head.getLong(0)
-    assert(exact > 0, "test data produced no pairs")
-    assert(ub >= exact, s"upper bound $ub below exact mass $exact")
-    assert(ub <= exact * 20, s"bound $ub uselessly loose vs $exact")
-  }
-
-  test("q15 raises the AQE initial partition count per its pair mass (r9 verdict #1)") {
+  test("pair entries leave the session AQE partition conf untouched") {
+    // round 11 removed the r9/r10 pair-mass reducer raise after a monotonic
+    // A/B showed input-derived reducers beat every raise at sf3 AND sf10
+    // (Analytics class comment; SCALE.md §0f.3). Pin the absence: building
+    // q15/q17 must not mutate the session's initialPartitionNum.
     registerViews()
     val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    val mass = Analytics.q15PairMassUpperBound(spark, sf())
     try {
-      spark.conf.set(Analytics.PairGroupsPerReducerKey, "1")
       spark.conf.set(initKey, "4")
       Catalog.byName("q15_market_basket").build(spark, sf())
-      assert(spark.conf.get(initKey).toInt == math.min(1024L, mass).toInt)
-      spark.conf.unset(Analytics.PairGroupsPerReducerKey)
-      spark.conf.set(initKey, "4")
-      Catalog.byName("q15_market_basket").build(spark, sf())
-      assert(spark.conf.get(initKey).toInt == 4)
-    } finally {
-      spark.conf.unset(Analytics.PairGroupsPerReducerKey)
-      spark.conf.unset(initKey)
-    }
-  }
-
-  test("pair-mass estimate returns 0 (not NPE) on an empty keyed relation") {
-    // ADVICE r9: SUM over zero rows is one NULL row — the memoized scalar
-    // must come back 0, not throw on getLong
-    import org.apache.spark.sql.functions._
-    val mass = Analytics.pairMassUpperBound(spark, sf(), "emptyMassTest", 64) { t =>
-      t.lineitem.filter(lit(false)).groupBy("l_orderkey").agg(count(lit(1)).as("n"))
-    }
-    assert(mass == 0L)
-  }
-
-  test("q17 raises the AQE initial partition count per its pair mass, never lowers") {
-    registerViews()
-    val initKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    val mass = Analytics.q17PairMassUpperBound(spark, sf())
-    try {
-      // groups-per-reducer = 1 makes the tiny sf0.001 mass demand >4
-      // partitions, proving the raise fires
-      spark.conf.set(Analytics.PairGroupsPerReducerKey, "1")
-      spark.conf.set(initKey, "4")
       Catalog.byName("q17_product_affinity").build(spark, sf())
-      assert(spark.conf.get(initKey).toInt == math.min(1024L, mass).toInt)
-      // and with the default 1M groups/reducer the tiny mass demands 0 —
-      // the session default must be left alone (never lowered)
-      spark.conf.unset(Analytics.PairGroupsPerReducerKey)
-      spark.conf.set(initKey, "4")
-      Catalog.byName("q17_product_affinity").build(spark, sf())
-      assert(spark.conf.get(initKey).toInt == 4)
-    } finally {
-      spark.conf.unset(Analytics.PairGroupsPerReducerKey)
-      spark.conf.unset(initKey)
-    }
+      assert(spark.conf.get(initKey).toInt == 4,
+        "a pair entry silently re-grew the per-job reducer raise")
+    } finally spark.conf.unset(initKey)
   }
 }
