@@ -67,8 +67,13 @@ object DiagDd06Sweep {
         .select("vec_a", "vec_b")
     }
 
-    // baseline found set, pinned once (the recall denominator)
-    val base = confirmed(Similarity.L, Similarity.TargetOcc).localCheckpoint(true)
+    // baseline found set, pinned once to parquet (the recall denominator;
+    // localCheckpoint blocks would not survive the per-point Residency
+    // release below)
+    val basePath = s"target/dd06_sweep_base_$n"
+    confirmed(Similarity.L, Similarity.TargetOcc)
+      .write.mode("overwrite").parquet(basePath)
+    val base = spark.read.parquet(basePath)
     val nBase = base.count()
     println(s"[sweep] baseline confirmed dups = $nBase")
 
