@@ -613,6 +613,46 @@ object Analytics {
           col("rev").isNull.as("filled"))
         .orderBy("region", "d")
     },
+
+    // ----- q55: maxIntersections / maxIntersectionsPosition — ClickHouse's
+    // interval-overlap aggregate (peak concurrency): over per-(user, day)
+    // activity spans [first event, last event), the maximum number of spans
+    // open at once and the instant the peak is first reached. Sweep-line,
+    // collapsed to per-timestamp net deltas FIRST (ends apply before starts
+    // at the same instant — half-open spans — so the peak at t is exactly
+    // the cumulative net through t; collapsing removes any dependence on
+    // intra-timestamp orderings and makes the prefix sum well-defined on
+    // ties). The global prefix sum is DistributedRank.withRunningTotal —
+    // range-partitioned offsets, no single-partition window — so the plan
+    // holds at 100 TB where a naive `SUM OVER (ORDER BY ts)` serializes
+    // onto one reducer. Peak instant: min ts among rows carrying the max.
+    QueryDef.sql(
+      "q55_peak_concurrency",
+      """WITH iv AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS s, MAX(ts) AS e
+        |  FROM events GROUP BY 1, 2 HAVING MIN(ts) < MAX(ts)),
+        |pts AS (
+        |  SELECT s AS ts, 1 AS delta FROM iv
+        |  UNION ALL SELECT e AS ts, -1 AS delta FROM iv),
+        |net AS (SELECT ts, CAST(SUM(delta) AS BIGINT) AS net FROM pts GROUP BY 1),
+        |run AS (SELECT ts, SUM(net) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS conc FROM net),
+        |mx AS (SELECT MAX(conc) AS mxc FROM run)
+        |SELECT CAST(mx.mxc AS BIGINT) AS max_concurrency, MIN(run.ts) AS at_ts
+        |FROM run, mx WHERE run.conc = mx.mxc
+        |GROUP BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+        .filter(col("s") < col("e"))
+      val pts = iv.select(col("s").as("ts"), lit(1L).as("delta"))
+        .unionAll(iv.select(col("e").as("ts"), lit(-1L).as("delta")))
+      val net = pts.groupBy("ts").agg(sum(col("delta")).as("net"))
+      val run = DistributedRank.withRunningTotal(net, "conc", "net", col("ts"))
+      run.join(broadcast(run.agg(max(col("conc")).as("mxc"))), col("conc") === col("mxc"))
+        .groupBy(col("mxc").cast("long").as("max_concurrency"))
+        .agg(min(col("ts")).as("at_ts"))
+    },
   )
 
   /** q53's per-user timed non-overlapping view→purchase match count over a

@@ -747,6 +747,75 @@ object Similarity {
           (col("pos_cos") - col("neg_cos")).as("margin"))
         .orderBy("qid", "rnk")
     },
+
+    // ----- knn01: kNN label-agreement eval — the label-noise screen a
+    // training-data pipeline runs before trusting a labeled embedding set
+    // (Confident-Learning-class: a vector whose 10 nearest neighbors
+    // majority-vote a DIFFERENT label is a mislabeling candidate; the
+    // per-label agreement rate is the label-quality scorecard). Query set is
+    // a deterministic 5% slice (vec_id % 20 = 0 — at corpus scale you audit
+    // a sample, never re-rank every vector); neighbors come from the 2
+    // nearest IVF cells (ann05's probe posture — centroid assign is a
+    // broadcast cross of |labels| rows, the candidate scan touches
+    // 2/nlist of the corpus, never all-pairs). Majority vote ties break to
+    // the smaller label on both engines.
+    QueryDef.sql(
+      "knn01_knn_label_eval",
+      s"""WITH dimvals AS (
+         |  SELECT e.label, t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS c
+         |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1, 2),
+         |cent AS (SELECT label, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid FROM dimvals GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, label AS own_label
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |aq AS (
+         |  SELECT q.qid, q.qe, q.own_label, c.label,
+         |    ${cosSql("q.qe", "c.centroid")} AS ccos
+         |  FROM q, cent c),
+         |assign AS (
+         |  SELECT qid, qe, own_label, label FROM (
+         |    SELECT aq.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r FROM aq)
+         |  WHERE r <= 2),
+         |s AS (
+         |  SELECT a.qid, a.own_label, b.vec_id AS nid, b.label AS nlabel,
+         |    ${cosSql("a.qe", "b.embedding")} AS cosine
+         |  FROM assign a JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.qid),
+         |r AS (SELECT qid, own_label, nlabel,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM s),
+         |votes AS (SELECT qid, own_label, nlabel, COUNT(*) AS cnt
+         |  FROM r WHERE rnk <= 10 GROUP BY 1, 2, 3),
+         |maj AS (SELECT qid, own_label, nlabel FROM (
+         |  SELECT v.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, nlabel) AS vr FROM votes v)
+         |  WHERE vr = 1)
+         |SELECT CAST(own_label AS BIGINT) AS label, COUNT(*) AS n_queries,
+         |  CAST(SUM(CASE WHEN nlabel = own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN nlabel <> own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM maj GROUP BY 1 ORDER BY label""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val centroids = labelCentroids(e)
+      val q = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("own_label"))
+      val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
+      val assigned = q.crossJoin(broadcast(centroids))
+        .select(col("qid"), col("qe"), col("own_label"), col("label"),
+          VectorOps.cosine(col("qe"), col("centroid")).as("ccos"))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") <= 2)
+        .select("qid", "qe", "own_label", "label")
+      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label"))
+      val wRank = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+      val top = assigned.join(n, Seq("label")).filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("own_label"), col("label").as("nlabel"), col("nid"),
+          VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+        .withColumn("rnk", row_number().over(wRank)).filter(col("rnk") <= 10)
+      val votes = top.groupBy("qid", "own_label", "nlabel").agg(count(lit(1)).as("cnt"))
+      val wVote = Window.partitionBy("qid").orderBy(desc("cnt"), asc("nlabel"))
+      val maj = votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+      maj.groupBy(col("own_label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("nlabel") === col("own_label"), 1L).otherwise(0L)).as("n_correct"),
+          sum(when(col("nlabel") =!= col("own_label"), 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy("label")
+    },
   )
 
   /** rp01's ±1f sign row for projected dim `j`: parity of the first hex
