@@ -644,16 +644,28 @@ object Analytics {
       val ev = Tables(spark, dir).events
       val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
         .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
-        .filter(col("s") < col("e"))
-      val pts = iv.select(col("s").as("ts"), lit(1L).as("delta"))
-        .unionAll(iv.select(col("e").as("ts"), lit(-1L).as("delta")))
-      val net = pts.groupBy("ts").agg(sum(col("delta")).as("net"))
-      val run = DistributedRank.withRunningTotal(net, "conc", "net", col("ts"))
-      run.join(broadcast(run.agg(max(col("conc")).as("mxc"))), col("conc") === col("mxc"))
-        .groupBy(col("mxc").cast("long").as("max_concurrency"))
-        .agg(min(col("ts")).as("at_ts"))
+      peakFromSpans(iv)
     },
   )
+
+  /** q55/st19's sweep over a frame of `(s, e)` span endpoints: half-open
+    * semantics (an end at instant t applies before a start at t — zero-length
+    * spans dropped), per-timestamp net-delta collapse, then the
+    * [[DistributedRank.withRunningTotal]] global prefix sum (no
+    * single-partition window). Returns one row
+    * `(max_concurrency BIGINT, at_ts)` — the peak span overlap and the first
+    * instant it is reached.
+    */
+  private[graft] def peakFromSpans(spans: DataFrame): DataFrame = {
+    val iv = spans.filter(col("s") < col("e"))
+    val pts = iv.select(col("s").as("ts"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("e").as("ts"), lit(-1L).as("delta")))
+    val net = pts.groupBy("ts").agg(sum(col("delta")).as("net"))
+    val run = DistributedRank.withRunningTotal(net, "conc", "net", col("ts"))
+    run.join(broadcast(run.agg(max(col("conc")).as("mxc"))), col("conc") === col("mxc"))
+      .groupBy(col("mxc").cast("long").as("max_concurrency"))
+      .agg(min(col("ts")).as("at_ts"))
+  }
 
   /** q53's per-user timed non-overlapping view→purchase match count over a
     * `(user_id, event_id, ts_us, step)` frame. Fold state:

@@ -291,7 +291,23 @@ object StreamingMVs {
     retentionMv(spark, dir)
     decontamMv(spark, dir)
     neardupProbeMv(spark, dir)
+    concurrencyMv(spark, dir)
   }
+
+  /** st19's maintained MV: per-(user, day) activity-span endpoints. min/max
+    * are order-free mergeable states (the A8 State/Merge discipline), so a
+    * late or replayed event can only widen its own span — incremental ==
+    * batch under any micro-batch split. State is one fixed-width row per
+    * (user, day); the q55 sweep over the spans runs AT READ, over MV-sized
+    * input, never the event history.
+    */
+  def concurrencyMv(spark: SparkSession, dir: String): DataFrame =
+    maintainOnce(spark, dir, "st19_concurrency") {
+      eventsStream(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("ts"))
+        .groupBy("user_id", "d")
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    }
 
   /** st14's maintained MV: streaming IVF cell routing. Centroids are pinned
     * at MV creation (the index definition), the stream is the maintenance.
@@ -713,6 +729,33 @@ object StreamingMVs {
           coalesce(col("best.est"), lit(0.0)).as("est_jaccard"),
           col("best").isNotNull.as("is_dup"))
         .orderBy("doc_id")
+    },
+
+    // ----- st19: streaming peak-concurrency MV — q55's maxIntersections
+    // served from state maintained ON the ingest stream. The stream keeps
+    // only per-(user, day) span endpoints (min/max — order-free mergeable
+    // states, the st16 pattern), so incremental == batch by construction;
+    // the sweep-line (net-delta collapse + DistributedRank prefix sum) runs
+    // AT READ over the MV's |users × days| rows, never the event history.
+    // Oracle: q55's formulation verbatim — the maintained spans are the
+    // same min/max the batch pass computes.
+    QueryDef.sql(
+      "st19_streaming_concurrency",
+      """WITH iv AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, MIN(ts) AS s, MAX(ts) AS e
+        |  FROM events GROUP BY 1, 2 HAVING MIN(ts) < MAX(ts)),
+        |pts AS (
+        |  SELECT s AS ts, 1 AS delta FROM iv
+        |  UNION ALL SELECT e AS ts, -1 AS delta FROM iv),
+        |net AS (SELECT ts, CAST(SUM(delta) AS BIGINT) AS net FROM pts GROUP BY 1),
+        |run AS (SELECT ts, SUM(net) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS conc FROM net),
+        |mx AS (SELECT MAX(conc) AS mxc FROM run)
+        |SELECT CAST(mx.mxc AS BIGINT) AS max_concurrency, MIN(run.ts) AS at_ts
+        |FROM run, mx WHERE run.conc = mx.mxc
+        |GROUP BY 1""".stripMargin,
+    ) { (spark, dir) =>
+      // serve read of the maintained span MV (see ivfRoutingMv note)
+      graft.operators.Analytics.peakFromSpans(concurrencyMv(spark, dir))
     },
 
     // ----- st03: gap-based sessionization via session_window (ST6 — the

@@ -269,4 +269,15 @@ class StreamingSpec extends SparkSpec {
       "incremental retention diverged from the batch recompute")
     assert(streamed.nonEmpty)
   }
+
+  test("st19: streaming peak-concurrency MV equals q55's batch recompute") {
+    val streamed = graft.Catalog.byName("st19_streaming_concurrency")
+      .build(spark, sf()).collect()
+    val batch = graft.Catalog.byName("q55_peak_concurrency").build(spark, sf()).collect()
+    assert(streamed.length == 1 && batch.length == 1)
+    assert(streamed(0).getLong(0) == batch(0).getLong(0),
+      s"incremental peak ${streamed(0)} diverged from batch ${batch(0)}")
+    assert(streamed(0).getTimestamp(1) == batch(0).getTimestamp(1),
+      s"incremental peak instant ${streamed(0)} diverged from batch ${batch(0)}")
+  }
 }
