@@ -802,11 +802,14 @@ object Similarity {
         .withColumn("r", row_number().over(wAssign)).filter(col("r") <= 2)
         .select("qid", "qe", "own_label", "label")
       val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label"))
-      val wRank = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
-      val top = assigned.join(n, Seq("label")).filter(col("nid") =!= col("qid"))
+      // top-10 via the bounded-heap operator, not a window: with a 5% query
+      // slice each qid group holds 2/nlist of the corpus — a row_number sort
+      // buffers whole groups, the heap keeps 10 rows/group with a map-side
+      // partial pass (q37's plan; ordering identical: cosine DESC, nid ASC)
+      val scored = assigned.join(n, Seq("label")).filter(col("nid") =!= col("qid"))
         .select(col("qid"), col("own_label"), col("label").as("nlabel"), col("nid"),
           VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
-        .withColumn("rnk", row_number().over(wRank)).filter(col("rnk") <= 10)
+      val top = graft.plans.TopKPerGroup.topK(scored, Seq("qid"), "cosine", "nid", 10)
       val votes = top.groupBy("qid", "own_label", "nlabel").agg(count(lit(1)).as("cnt"))
       val wVote = Window.partitionBy("qid").orderBy(desc("cnt"), asc("nlabel"))
       val maj = votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
