@@ -125,6 +125,15 @@ import org.apache.spark.sql.SparkSession
   * the 8-anchor broadcast joins (own-cell positives on label=qlabel with
   * nid<>qid, and the foreign-centroid probe), the accounted
   * ann03/ann05/ann11 class.
+  *
+  * Round-11 audit: q55 and st19 flag SinglePartition — the final 1-row
+  * max-concurrency scalar aggregate over the (already per-ts-collapsed)
+  * prefix-sum frame (the q18/q26 metadata-scale class; the prefix sum
+  * itself is DistributedRank's range-partitioned pattern, and st19's runs
+  * over the maintained MV's rows). knn01 flags BroadcastNestedLoopJoin —
+  * the query × centroid probe cross join, the accounted
+  * ann03/ann05/km01/ann11 class; its candidate scan is label-equi-keyed
+  * and its top-10 is the TopKPerGroup bounded heap, not a window.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
