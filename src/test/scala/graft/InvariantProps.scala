@@ -78,4 +78,38 @@ object InvariantProps extends Properties("graft.invariants") {
         hs.forall(h => graft.functions.BloomHash.mightContain(blob, h))
     }
   }
+
+  // q55/st19's sweep algebra: collapsing half-open spans to per-timestamp
+  // net deltas and taking the prefix-sum max must equal brute-force overlap
+  // counting — peak value AND first peak instant. (The Spark plan is pinned
+  // separately by PeakConcurrencySpec + the DuckDB oracle; this proves the
+  // collapse itself is sound on arbitrary span multisets, including ties,
+  // nested/identical spans, and start==end points that the half-open rule
+  // drops.)
+  property("half-open sweep: net-delta prefix max == brute-force peak overlap") = {
+    val genSpan = for {
+      s <- Gen.chooseNum(0L, 60L); len <- Gen.chooseNum(0L, 20L)
+    } yield (s, s + len)
+    forAll(Gen.listOf(genSpan)) { spans =>
+      val iv = spans.filter { case (s, e) => s < e }
+      val net = (iv.map(x => (x._1, 1L)) ++ iv.map(x => (x._2, -1L)))
+        .groupBy(_._1).map { case (t, ds) => (t, ds.map(_._2).sum) }
+        .toList.sortBy(_._1)
+      val cum = net.scanLeft((Long.MinValue, 0L)) { case ((_, acc), (t, d)) => (t, acc + d) }.drop(1)
+      val alg = if (cum.isEmpty) None else {
+        val mx = cum.map(_._2).max
+        Some((mx, cum.filter(_._2 == mx).map(_._1).min))
+      }
+      // brute force: concurrency can peak only at a start instant; at t the
+      // open spans are {(s, e) : s <= t < e}
+      val starts = iv.map(_._1).distinct
+      val brute = starts.map(t => (iv.count { case (s, e) => s <= t && t < e }.toLong, t)) match {
+        case Nil => None
+        case cs =>
+          val mx = cs.map(_._1).max
+          Some((mx, cs.filter(_._1 == mx).map(_._2).min))
+      }
+      alg == brute
+    }
+  }
 }

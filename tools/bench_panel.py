@@ -26,6 +26,9 @@ DEFAULT_ENTRIES = [
     "dd01_exact_dedup", "mm07_real_frame_extract",
     "dc03_semantic_decontamination", "q01_pricing_summary",
     "q24_session_stats", "q37_topk_custom_operator",
+    # r11 addition: the kNN label-noise screen lands ~33 s at sf10 (its
+    # audited pair mass is rate-driven at test scale — SCALE.md §0f.8)
+    "knn01_knn_label_eval",
 ]
 
 ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
