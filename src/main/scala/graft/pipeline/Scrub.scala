@@ -405,5 +405,59 @@ object Scrub {
             .cast("double").as("new_value"))
         .orderBy("d", "event_type")
     },
+
+    // ----- vd01: corpus snapshot diff — the release-to-release audit a
+    // training-data pipeline runs before shipping a new corpus version:
+    // per source, how many documents were added, removed, changed, or
+    // carried unchanged. The two versions are derived deterministically
+    // from the one documents table so the oracle replays them exactly
+    // (old = docs with doc_id % 11 <> 3, with doc_id % 13 = 5 texts
+    // upper-cased; new = docs with doc_id % 17 <> 2 verbatim) — the same
+    // synthetic-split device dd08 uses for batch-vs-corpus. Plan: ONE
+    // doc_id-keyed full outer join + text equality + a |sources|-bounded
+    // rollup. At 100 TB both snapshots live bucketed by doc_id
+    // (Layout.writeBucketed), so the join is a shuffle-free co-partitioned
+    // sort-merge and the diff costs one pass over the two versions.
+    QueryDef.sql(
+      "vd01_snapshot_diff",
+      """WITH vold AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 5 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 3),
+        |vnew AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 2),
+        |j AS (
+        |  SELECT COALESCE(o.source, n.source) AS source,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text <> n.text THEN 'changed'
+        |         ELSE 'unchanged' END AS verdict
+        |  FROM vold o FULL OUTER JOIN vnew n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN verdict = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN verdict = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN verdict = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(SUM(CASE WHEN verdict = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val vold = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id").as("o_id"), col("source").as("o_source"),
+          when(col("doc_id") % 13 === 5, upper(col("text"))).otherwise(col("text")).as("o_text"))
+      val vnew = docs.filter(col("doc_id") % 17 =!= 2)
+        .select(col("doc_id").as("n_id"), col("source").as("n_source"), col("text").as("n_text"))
+      val verdict = when(col("o_id").isNull, "added")
+        .when(col("n_id").isNull, "removed")
+        .when(col("o_text") =!= col("n_text"), "changed")
+        .otherwise("unchanged")
+      vold.join(vnew, col("o_id") === col("n_id"), "full_outer")
+        .select(coalesce(col("o_source"), col("n_source")).as("source"), verdict.as("verdict"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("verdict") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("verdict") === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("verdict") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("verdict") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+        .orderBy("source")
+    },
   )
 }

@@ -286,4 +286,31 @@ class ScrubSpec extends SparkSpec {
       assert(math.abs((x.getDouble(4) - x.getDouble(5)) - dv) < 1e-9, s"$k value delta")
     }
   }
+
+  test("vd01: every planted verdict class lands in its bucket and counts reconcile") {
+    import spark.implicits._
+    // doc ids chosen so each derivation rule fires at least once:
+    //   3  -> % 11 == 3            -> not in old            -> added
+    //   2  -> % 17 == 2            -> not in new            -> removed
+    //   5  -> % 13 == 5            -> old text upper-cased  -> changed
+    //   1  -> in both, verbatim                             -> unchanged
+    //  19  -> % 17 == 2 AND % 11 == 8 -> removed (second removed case)
+    val rows = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "gone in new", "en", "web", 11L),
+      (3L, "fresh in new", "en", "books", 12L),
+      (5L, "Mixed Case body", "en", "books", 15L),
+      (19L, "also gone", "en", "web", 9L))
+    val dir = java.nio.file.Files.createTempDirectory("vd01_planted").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.Catalog.byName("vd01_snapshot_diff").build(spark, dir)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("books") == ((1L, 0L, 1L, 0L)), s"books: ${r("books")}") // added 3, changed 5
+    assert(r("web") == ((0L, 2L, 0L, 1L)), s"web: ${r("web")}") // removed 2+36, unchanged 1
+    // reconciliation: verdict totals must cover |old ∪ new| exactly
+    val total = r.values.map(t => t._1 + t._2 + t._3 + t._4).sum
+    assert(total == rows.length, s"verdicts $total != union ${rows.length}")
+  }
 }
