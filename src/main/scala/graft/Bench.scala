@@ -274,8 +274,11 @@ object Bench {
         shortNames.map { case (n, s) => "\"" + s + "\":" + (math.round(minOf(n) * 1000) / 1000.0) }
           .mkString("{", ",", "}")
       else fmtMap(n => math.round(minOf(n) * 1000) / 1000.0)
+    // Headline fields go AFTER the per-entry map (r11 verdict item 5): the
+    // driver's window keeps the TAIL, so when the map alone overflows it the
+    // surviving suffix still carries total/count/setup/ingest.
     val compactLine =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","runs":$rounds,"queries":$compactQueries,"streaming_setup_sec":${math.round(streamingSetup * 10) / 10.0},"codegen_fallbacks":$codegenTotal,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
+      s"""{"metric":"total","unit":"sec","runs":$rounds,"queries":$compactQueries,"value":${math.round(total * 1000) / 1000.0},"total_s":${math.round(total * 1000) / 1000.0},"n":${names.count(n => minOf(n) >= 0)},"setup_s":${math.round(streamingSetup * 10) / 10.0},"codegen_fallbacks":$codegenTotal,"ingest_eps":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)

@@ -646,6 +646,70 @@ object Analytics {
         .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
       peakFromSpans(iv)
     },
+
+    // ----- q56: intervalLengthSum — ClickHouse's merged-span length
+    // aggregate, the q55 sibling (r11 verdict item 7; reference anchor: the
+    // session-duration family, sample_queries.sql:414–438). Each event opens
+    // a 5-minute activity span [ts, ts+300s); per (user, day) the overlapping
+    // spans are MERGED and the total covered time emitted — the "how long was
+    // the user actually active" metric a naive SUM(duration) double-counts.
+    // Same sweep algebra as q55: collapse endpoints to per-instant net
+    // deltas, prefix-sum to a concurrency curve, and sum segment lengths
+    // where the curve is positive (half-open spans: touching intervals fuse,
+    // which only re-segments — the union length is invariant). Unlike q55's
+    // GLOBAL sweep (which needs DistributedRank), the sweep here is PER KEY:
+    // a window partitioned by (user_id, d) shuffles once on the group key and
+    // sorts only within groups — group size is events-per-user-day, so the
+    // plan holds at 100 TB with no single-partition exchange. Arithmetic is
+    // exact BIGINT micros on both engines (epoch_us / unix_micros).
+    QueryDef.sql(
+      "q56_interval_length_sum",
+      """WITH sp AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |pts AS (
+        |  SELECT user_id, d, s AS ts, 1 AS delta FROM sp
+        |  UNION ALL SELECT user_id, d, e AS ts, -1 AS delta FROM sp),
+        |net AS (SELECT user_id, d, ts, CAST(SUM(delta) AS BIGINT) AS net
+        |  FROM pts GROUP BY 1, 2, 3),
+        |run AS (SELECT user_id, d, ts, net,
+        |    SUM(net) OVER (PARTITION BY user_id, d ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS conc,
+        |    LEAD(ts) OVER (PARTITION BY user_id, d ORDER BY ts) AS nxt
+        |  FROM net),
+        |seg AS (SELECT user_id, d, conc, nxt, ts,
+        |    CASE WHEN conc > 0 AND COALESCE(LAG(conc) OVER (
+        |           PARTITION BY user_id, d ORDER BY ts), 0) = 0
+        |         THEN 1 ELSE 0 END AS opened
+        |  FROM run)
+        |SELECT user_id, d,
+        |  CAST(SUM(CASE WHEN conc > 0 THEN nxt - ts ELSE 0 END) AS BIGINT) AS covered_us,
+        |  CAST(SUM(opened) AS BIGINT) AS n_merged
+        |FROM seg GROUP BY 1, 2
+        |ORDER BY user_id, d""".stripMargin,
+    ) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val sp = ev.select(col("user_id"), to_date(col("ts")).as("d"),
+        unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + 300000000L)
+      val pts = sp.select(col("user_id"), col("d"), col("s").as("ts"), lit(1L).as("delta"))
+        .unionAll(sp.select(col("user_id"), col("d"), col("e").as("ts"), lit(-1L).as("delta")))
+      val net = pts.groupBy("user_id", "d", "ts").agg(sum(col("delta")).as("net"))
+      val w = Window.partitionBy("user_id", "d").orderBy("ts")
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      net
+        .withColumn("conc", sum(col("net")).over(wcum))
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .withColumn("opened",
+          when(col("conc") > 0 && coalesce(lag(col("conc"), 1).over(w), lit(0L)) === 0, 1L)
+            .otherwise(0L))
+        .groupBy("user_id", "d")
+        .agg(sum(when(col("conc") > 0, col("nxt") - col("ts")).otherwise(0L))
+          .cast("long").as("covered_us"),
+          sum(col("opened")).cast("long").as("n_merged"))
+        .orderBy("user_id", "d")
+    },
   )
 
   /** q55/st19's sweep over a frame of `(s, e)` span endpoints: half-open
@@ -661,7 +725,11 @@ object Analytics {
     val pts = iv.select(col("s").as("ts"), lit(1L).as("delta"))
       .unionAll(iv.select(col("e").as("ts"), lit(-1L).as("delta")))
     val net = pts.groupBy("ts").agg(sum(col("delta")).as("net"))
+    // two consumers (the max agg and the filter probe) — eager checkpoint so
+    // the prefix-sum window evaluates ONCE over the ranged blocks (r11
+    // advisory; harness releases via Residency)
     val run = DistributedRank.withRunningTotal(net, "conc", "net", col("ts"))
+      .localCheckpoint(true)
     run.join(broadcast(run.agg(max(col("conc")).as("mxc"))), col("conc") === col("mxc"))
       .groupBy(col("mxc").cast("long").as("max_concurrency"))
       .agg(min(col("ts")).as("at_ts"))

@@ -201,6 +201,28 @@ object Similarity {
       .select(col("vec_id"), col("table_id"),
         shiftrightunsigned(col("sig"), HMax - h).as("bucket"))
 
+  /** Full HMax-bit GATE signatures over `tables` fresh hyperplane tables —
+    * plane indices continue the bucketing family at l ∈ [L, L+tables), so
+    * (a) the gate bits are independent of the bucket-match conditioning
+    * (a candidate pair shares ≥h bits in some table l < L by construction;
+    * Hoeffding on the gate bits needs unconditioned Bernoullis), and
+    * (b) [[bucketCtesFor]]-style SQL replays them with the same flat-index
+    * sign formula. One codegen kernel call per row; (vec_id, gsig) rows are
+    * ~8·(1+tables) bytes — metadata-scale next to the embeddings.
+    */
+  private[pipeline] def gateSigs(e: DataFrame, tables: Int, mu: Array[Double]): DataFrame = {
+    val gatePlanes: Seq[Seq[Seq[Double]]] = Seq.tabulate(tables, HMax, 64)(
+      (l, h, d) => planeSign((((l + L) * HMax + h) * 64 + d).toLong))
+    val thr = Array.tabulate(tables, HMax) { (l, h) =>
+      var s = 0.0
+      var d = 0
+      while (d < mu.length && d < 64) { s += mu(d) * gatePlanes(l)(h)(d); d += 1 }
+      s
+    }
+    e.select(col("vec_id"), graft.functions.LshExpressions.hyperplaneBuckets(
+      col("embedding"), gatePlanes, thr).as("gsig"))
+  }
+
   private def lshTopK(spark: SparkSession, dir: String, multiProbe: Boolean): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val h = adaptiveBits(CorpusMeta.embeddingCount(spark, dir))
@@ -761,65 +783,102 @@ object Similarity {
     // the smaller label on both engines.
     QueryDef.sql(
       "knn01_knn_label_eval",
-      s"""WITH dimvals AS (
-         |  SELECT e.label, t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS c
-         |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1, 2),
-         |cent AS (SELECT label, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid FROM dimvals GROUP BY 1),
-         |q AS (SELECT vec_id AS qid, embedding AS qe, label AS own_label
-         |  FROM embeddings WHERE vec_id % 20 = 0),
-         |aq AS (
-         |  SELECT q.qid, q.qe, q.own_label, c.label,
-         |    ${cosSql("q.qe", "c.centroid")} AS ccos
-         |  FROM q, cent c),
-         |assign AS (
-         |  SELECT qid, qe, own_label, label FROM (
-         |    SELECT aq.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r FROM aq)
-         |  WHERE r <= 2),
-         |s AS (
-         |  SELECT a.qid, a.own_label, b.vec_id AS nid, b.label AS nlabel,
-         |    ${cosSql("a.qe", "b.embedding")} AS cosine
-         |  FROM assign a JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.qid),
-         |r AS (SELECT qid, own_label, nlabel,
-         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM s),
-         |votes AS (SELECT qid, own_label, nlabel, COUNT(*) AS cnt
-         |  FROM r WHERE rnk <= 10 GROUP BY 1, 2, 3),
-         |maj AS (SELECT qid, own_label, nlabel FROM (
-         |  SELECT v.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, nlabel) AS vr FROM votes v)
-         |  WHERE vr = 1)
-         |SELECT CAST(own_label AS BIGINT) AS label, COUNT(*) AS n_queries,
-         |  CAST(SUM(CASE WHEN nlabel = own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         |  CAST(SUM(CASE WHEN nlabel <> own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
-         |FROM maj GROUP BY 1 ORDER BY label""".stripMargin,
+      knnEvalOracleSql(
+        """q AS (SELECT vec_id AS qid, embedding AS qe, label AS own_label
+          |  FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin),
     ) { (spark, dir) =>
       val e = Tables(spark, dir).embeddings
-      val centroids = labelCentroids(e)
-      val q = e.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("own_label"))
-      val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
-      val assigned = q.crossJoin(broadcast(centroids))
-        .select(col("qid"), col("qe"), col("own_label"), col("label"),
-          VectorOps.cosine(col("qe"), col("centroid")).as("ccos"))
-        .withColumn("r", row_number().over(wAssign)).filter(col("r") <= 2)
-        .select("qid", "qe", "own_label", "label")
-      val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label"))
-      // top-10 via the bounded-heap operator, not a window: with a 5% query
-      // slice each qid group holds 2/nlist of the corpus — a row_number sort
-      // buffers whole groups, the heap keeps 10 rows/group with a map-side
-      // partial pass (q37's plan; ordering identical: cosine DESC, nid ASC)
-      val scored = assigned.join(n, Seq("label")).filter(col("nid") =!= col("qid"))
-        .select(col("qid"), col("own_label"), col("label").as("nlabel"), col("nid"),
-          VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
-      val top = graft.plans.TopKPerGroup.topK(scored, Seq("qid"), "cosine", "nid", 10)
-      val votes = top.groupBy("qid", "own_label", "nlabel").agg(count(lit(1)).as("cnt"))
-      val wVote = Window.partitionBy("qid").orderBy(desc("cnt"), asc("nlabel"))
-      val maj = votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
-      maj.groupBy(col("own_label").cast("long").as("label"))
-        .agg(count(lit(1)).as("n_queries"),
-          sum(when(col("nlabel") === col("own_label"), 1L).otherwise(0L)).as("n_correct"),
-          sum(when(col("nlabel") =!= col("own_label"), 1L).otherwise(0L)).as("n_flagged"))
-        .orderBy("label")
+      knnLabelEval(e, e.filter(col("vec_id") % 20 === 0))
+    },
+
+    // ----- knn02: knn01's SIZE-PINNED twin — the deployment shape (r11
+    // verdict item 4). knn01's 5% RATE slice makes the audited pair mass
+    // ∝ n²/nlist (quadratic-class by construction); a production audit pins
+    // an absolute sample size instead, so cost stays LINEAR in corpus size.
+    // The slice is vec_id % K = 0 with K = max(1, ⌊n/2000⌋) derived from
+    // COUNT(*) metadata — deterministic and oracle-replayable (the oracle
+    // derives the same K in SQL, the dd06 adaptive-bits pattern), bounding
+    // the audit at 2000–4000 queries at any scale. Below 2000 vectors the
+    // slice degenerates to the full corpus (K=1) — the audit IS exhaustive
+    // at toy scale, sampled at deployment scale.
+    QueryDef.sql(
+      "knn02_knn_label_eval_pinned",
+      knnEvalOracleSql(
+        """kk AS (SELECT GREATEST(1, COUNT(*) // 2000) AS k FROM embeddings),
+          |q AS (SELECT vec_id AS qid, embedding AS qe, label AS own_label
+          |  FROM embeddings WHERE vec_id % (SELECT k FROM kk) = 0)""".stripMargin),
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val k = math.max(1L, CorpusMeta.embeddingCount(spark, dir) / 2000L)
+      knnLabelEval(e, e.filter(col("vec_id") % k === 0))
     },
   )
+
+  /** Shared knn01/knn02 oracle — `qCtes` supplies the audited query slice
+    * (knn01: the 5% rate slice; knn02: the size-pinned `% K` slice with K
+    * derived in SQL from COUNT(*), so both engines replay the same set).
+    */
+  private def knnEvalOracleSql(qCtes: String): String =
+    s"""WITH dimvals AS (
+       |  SELECT e.label, t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS c
+       |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1, 2),
+       |cent AS (SELECT label, list(CAST(c AS FLOAT4) ORDER BY d) AS centroid FROM dimvals GROUP BY 1),
+       |$qCtes,
+       |aq AS (
+       |  SELECT q.qid, q.qe, q.own_label, c.label,
+       |    ${cosSql("q.qe", "c.centroid")} AS ccos
+       |  FROM q, cent c),
+       |assign AS (
+       |  SELECT qid, qe, own_label, label FROM (
+       |    SELECT aq.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, label) AS r FROM aq)
+       |  WHERE r <= 2),
+       |s AS (
+       |  SELECT a.qid, a.own_label, b.vec_id AS nid, b.label AS nlabel,
+       |    ${cosSql("a.qe", "b.embedding")} AS cosine
+       |  FROM assign a JOIN embeddings b ON b.label = a.label AND b.vec_id <> a.qid),
+       |r AS (SELECT qid, own_label, nlabel,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk FROM s),
+       |votes AS (SELECT qid, own_label, nlabel, COUNT(*) AS cnt
+       |  FROM r WHERE rnk <= 10 GROUP BY 1, 2, 3),
+       |maj AS (SELECT qid, own_label, nlabel FROM (
+       |  SELECT v.*, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, nlabel) AS vr FROM votes v)
+       |  WHERE vr = 1)
+       |SELECT CAST(own_label AS BIGINT) AS label, COUNT(*) AS n_queries,
+       |  CAST(SUM(CASE WHEN nlabel = own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN nlabel <> own_label THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+       |FROM maj GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** Shared knn01/knn02 body: 10-NN label-agreement over the `qs` query
+    * slice, neighbors from the 2 nearest IVF cells (never all-pairs).
+    */
+  private def knnLabelEval(e: DataFrame, qs: DataFrame): DataFrame = {
+    val centroids = labelCentroids(e)
+    val q = qs.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("label").as("own_label"))
+    val wAssign = Window.partitionBy("qid").orderBy(desc("ccos"), asc("label"))
+    val assigned = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qe"), col("own_label"), col("label"),
+        VectorOps.cosine(col("qe"), col("centroid")).as("ccos"))
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") <= 2)
+      .select("qid", "qe", "own_label", "label")
+    val n = e.select(col("vec_id").as("nid"), col("embedding").as("ne"), col("label"))
+    // top-10 via the bounded-heap operator, not a window: each qid group
+    // holds 2/nlist of the corpus — a row_number sort buffers whole groups,
+    // the heap keeps 10 rows/group with a map-side partial pass (q37's
+    // plan; ordering identical: cosine DESC, nid ASC)
+    val scored = assigned.join(n, Seq("label")).filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("own_label"), col("label").as("nlabel"), col("nid"),
+        VectorOps.cosine(col("qe"), col("ne")).as("cosine"))
+    val top = graft.plans.TopKPerGroup.topK(scored, Seq("qid"), "cosine", "nid", 10)
+    val votes = top.groupBy("qid", "own_label", "nlabel").agg(count(lit(1)).as("cnt"))
+    val wVote = Window.partitionBy("qid").orderBy(desc("cnt"), asc("nlabel"))
+    val maj = votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+    maj.groupBy(col("own_label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("nlabel") === col("own_label"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("nlabel") =!= col("own_label"), 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("label")
+  }
 
   /** rp01's ±1f sign row for projected dim `j`: parity of the first hex
     * digit of md5("rp:j:d") per input dim d — the same formula the oracle

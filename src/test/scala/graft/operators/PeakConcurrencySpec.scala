@@ -35,6 +35,26 @@ class PeakConcurrencySpec extends SparkSpec {
     assert(r(0).getTimestamp(1) == t(0), s"first peak instant should be 09:00, got ${r(0)}")
   }
 
+  test("q56 merged spans: overlap fuses, touching fuses, disjoint splits") {
+    import spark.implicits._
+    // one user, one day, 5-min spans:
+    //   09:00 and 09:02 -> overlap, merged [09:00, 09:07) = 420 s
+    //   10:00           -> disjoint, 300 s
+    //   11:00 and 11:05 -> touching (end == start), fuse to 600 s, ONE run
+    // expected: covered = 1320 s, n_merged = 3
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val rows = Seq("09:00", "09:02", "10:00", "11:00", "11:05").map(h => (7L, t(h)))
+    val dir = java.nio.file.Files.createTempDirectory("q56_planted").toString
+    rows.toDF("user_id", "ts")
+      .select(col("user_id"), col("ts"), lit(0L).as("event_id"),
+        lit("view").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Catalog.byName("q56_interval_length_sum").build(spark, dir).collect()
+    assert(r.length == 1, s"one (user, day) group expected, got ${r.toSeq}")
+    assert(r(0).getLong(2) == 1320L * 1000000L, s"covered_us: ${r(0)}")
+    assert(r(0).getLong(3) == 3L, s"n_merged: ${r(0)}")
+  }
+
   test("entry matches the naive single-partition window on sf0.001") {
     val ev = Tables(spark, sf()).events
     val iv = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))

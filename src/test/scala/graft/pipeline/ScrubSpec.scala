@@ -308,7 +308,7 @@ class ScrubSpec extends SparkSpec {
       .collect().map(x => x.getString(0) ->
         (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
     assert(r("books") == ((1L, 0L, 1L, 0L)), s"books: ${r("books")}") // added 3, changed 5
-    assert(r("web") == ((0L, 2L, 0L, 1L)), s"web: ${r("web")}") // removed 2+36, unchanged 1
+    assert(r("web") == ((0L, 2L, 0L, 1L)), s"web: ${r("web")}") // removed 2+19, unchanged 1
     // reconciliation: verdict totals must cover |old ∪ new| exactly
     val total = r.values.map(t => t._1 + t._2 + t._3 + t._4).sum
     assert(total == rows.length, s"verdicts $total != union ${rows.length}")

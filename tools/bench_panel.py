@@ -26,9 +26,11 @@ DEFAULT_ENTRIES = [
     "dd01_exact_dedup", "mm07_real_frame_extract",
     "dc03_semantic_decontamination", "q01_pricing_summary",
     "q24_session_stats", "q37_topk_custom_operator",
-    # r11 addition: the kNN label-noise screen lands ~33 s at sf10 (its
-    # audited pair mass is rate-driven at test scale — SCALE.md §0f.8)
-    "knn01_knn_label_eval",
+    # r12: the kNN label-noise screen joins the panel as its SIZE-PINNED
+    # twin (absolute ~2000-query audit, linear in corpus size) — knn01's 5%
+    # rate slice is quadratic-class by construction and would dominate panel
+    # growth at larger scales (r11 advisory; SCALE.md §0f.8)
+    "knn02_knn_label_eval_pinned",
 ]
 
 ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
