@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
 object DiagDd06Prefilter {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // phase-1b (r12): "uncentered" re-runs the histogram with ZERO-threshold
+    // gate planes. The centered-gate histogram falsified the centered family:
+    // the buckets condition candidates on small MEAN-CENTERED angle (the
+    // bucketing planes' own metric), so centered gate bits measure the very
+    // quantity the buckets already selected for and separate nothing; the
+    // confirm threshold lives in the UNCENTERED cosine's metric, which only
+    // zero-threshold planes estimate.
+    val uncentered = args.length >= 2 && args(1) == "uncentered"
     val gate = if (args.length >= 3) Some((args(1).toInt, args(2).toInt)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -63,7 +71,8 @@ object DiagDd06Prefilter {
     gate match {
       case None =>
         // ---- Phase 1: joint (ham, dup) histogram at 6/12/24 gate tables
-        val gs = Similarity.gateSigs(e, 24, mu).localCheckpoint(true)
+        val gateMu = if (uncentered) Array.fill(64)(0.0) else mu
+        val gs = Similarity.gateSigs(e, 24, gateMu).localCheckpoint(true)
         val ga = gs.toDF("vec_a", "ga")
         val gb = gs.toDF("vec_b", "gb")
         import graft.functions.LshExpressions.xorPopcount
@@ -74,8 +83,14 @@ object DiagDd06Prefilter {
             xorPopcount(slice(col("ga"), 1, 6), slice(col("gb"), 1, 6)).as("ham120"),
             xorPopcount(slice(col("ga"), 1, 12), slice(col("gb"), 1, 12)).as("ham240"),
             xorPopcount(col("ga"), col("gb")).as("ham480"),
-            (VectorOps.cosine(col("ea"), col("eb")) >= 0.4).as("dup"))
+            (VectorOps.cosine(col("ea"), col("eb")) >= 0.4).as("dup"),
+            floor(VectorOps.cosine(col("ea"), col("eb")) * 20).as("cosbin"))
           .localCheckpoint(true)
+        // candidate uncentered-cosine distribution (the confirm metric's view
+        // of the bucket-conditioned population — what any gate must separate)
+        scored.groupBy("cosbin").agg(count(lit(1)).as("pairs"))
+          .orderBy("cosbin").collect()
+          .foreach(r => println(s"""[prefilter-cos-json] {"cosbin":${r.get(0)},"pairs":${r.getLong(1)}}"""))
         for (w <- Seq(120, 240, 480)) {
           val rows = scored.groupBy(col(s"ham$w").as("ham"))
             .agg(count(lit(1)).as("pairs"),

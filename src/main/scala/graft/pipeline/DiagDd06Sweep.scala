@@ -4,26 +4,27 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-11 measurement (VERDICT r10 item 4): bend dd06's candidate-mass
-  * growth with its own geometry knobs. At this corpus's near-threshold
-  * similarity structure the candidate mass grows ~8× on 3× data at the
-  * default geometry (L=6 tables, occupancy target 8); the knobs that raise
-  * the effective similarity threshold of the bucketing are
-  *   - occ: smaller occupancy target → more leading signature bits → finer
-  *     buckets (near-identical vectors still collide; near-threshold pairs
-  *     split) — the hyperplane-LSH analog of "fewer, wider bands";
-  *   - L: fewer tables → fewer union-of-table candidates, recall falls
-  *     roughly linearly.
+/** dd06 geometry sweep, round-12 edition. The r11 sweep measured the
+  * (L, occ) grid under the DEGENERATE plane family (61 distinct directions
+  * across 600 "planes" — Similarity.planeSign scaladoc) and its conclusions
+  * do not survive the generator fix: the shipping geometry's candidate mass
+  * at sf3 fell 75.45 M → 2.05 M the moment the planes became independent,
+  * and recall-vs-shipping was measured against an accidentally-brute-force
+  * baseline. This edition measures the real trade:
   *
-  * For each grid point this harness measures, on real scaled data:
-  *   mass      — |distinct candidate pairs| (the quantity that grew 8×/3×)
-  *   confirmed — exact-cosine ≥ 0.4 survivors (every one a TRUE dup — the
-  *               confirm is exact, so precision is 1.0 by construction)
-  *   recall    — confirmed ∩ baseline-confirmed / baseline-confirmed
-  *               (baseline = the shipping L=6/occ=8 geometry)
+  *   mass      — |distinct candidate pairs|
+  *   confirmed — exact-cosine ≥ 0.4 survivors (precision 1.0 by construction)
+  *   recall    — confirmed / |TRUE all-pairs dups| (exact baseline computed
+  *               once per corpus by this harness — diag-only; the guarded
+  *               dd05 entry still refuses at this scale)
   *   wall      — the dd06 chain end-to-end at that geometry
   *
-  * Usage: DiagDd06Sweep <sfDir> [reps]
+  * Grid direction reversed vs r11: independent planes make buckets FINER
+  * than the degenerate family's, so the interesting knob motion is now UP
+  * (occ 16/32/64, L 9/12) — buying recall back at measured mass cost.
+  *
+  * Usage: DiagDd06Sweep <sfDir> (SPARK_GRAFT_SWEEP_SKIP_EXACT=1 reuses a
+  * prior run's baseline parquet)
   */
 object DiagDd06Sweep {
   def main(args: Array[String]): Unit = {
@@ -48,40 +49,50 @@ object DiagDd06Sweep {
     val mu = CorpusMeta.embeddingMeans(spark, sfDir)
     println(s"[sweep] n=$n baseline h=${Similarity.adaptiveBitsFor(n, Similarity.TargetOcc)}")
 
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+
     def cands(lp: Int, occ: Int): DataFrame = {
       val h = Similarity.adaptiveBitsFor(n, occ)
-      val bk = Similarity.buckets(e, h, mu).filter(col("table_id") < lp)
+      val bk = Similarity.bucketsFor(e, lp, h, mu)
       val a = bk.toDF("vec_a", "table_id", "bucket")
       val b = bk.toDF("vec_b", "table_id", "bucket")
       a.join(b, Seq("table_id", "bucket"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
     }
-    def confirmed(lp: Int, occ: Int): DataFrame = {
-      val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    def confirmed(lp: Int, occ: Int): DataFrame =
       cands(lp, occ).join(ea, "vec_a").join(eb, "vec_b")
         .select(col("vec_a"), col("vec_b"),
           VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .select("vec_a", "vec_b")
-    }
 
-    // baseline found set, pinned once to parquet (the recall denominator;
-    // localCheckpoint blocks would not survive the per-point Residency
-    // release below)
-    val basePath = s"target/dd06_sweep_base_$n"
-    confirmed(Similarity.L, Similarity.TargetOcc)
-      .write.mode("overwrite").parquet(basePath)
-    val base = spark.read.parquet(basePath)
-    val nBase = base.count()
-    println(s"[sweep] baseline confirmed dups = $nBase")
+    // TRUE ground truth: all-pairs exact confirm, pinned to parquet once per
+    // corpus (n=60 k → 1.8 B cosines ≈ minutes on 32 threads — a diag-only
+    // cost; the production answer to "I need exact" is dd05 below the guard).
+    val exactPath = s"target/dd06_sweep_exact_$n"
+    if (sys.env.get("SPARK_GRAFT_SWEEP_SKIP_EXACT").isEmpty) {
+      val t0 = System.nanoTime()
+      ea.join(eb, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .select("vec_a", "vec_b")
+        .write.mode("overwrite").parquet(exactPath)
+      println(f"[sweep] exact baseline built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      graft.Residency.release(spark)
+    }
+    val exact = spark.read.parquet(exactPath)
+    val nExact = exact.count()
+    println(s"[sweep] TRUE all-pairs dups = $nExact")
 
     val grid = Seq(
-      (Similarity.L, Similarity.TargetOcc), // shipping geometry, for wall ref
-      (6, 4), (6, 2), (6, 1),
-      (4, 8), (4, 4), (4, 2),
-      (3, 8), (2, 8),
+      (Similarity.L, Similarity.TargetOcc), // shipping geometry
+      (6, 16), (6, 32), (6, 64),            // fatter buckets
+      (9, 8), (12, 8),                      // more tables
+      (12, 16), (12, 32),                   // both
+      (6, 4), (3, 8),                       // r11's direction, for the record
     )
     for ((lp, occ) <- grid) {
       val h = Similarity.adaptiveBitsFor(n, occ)
@@ -91,12 +102,13 @@ object DiagDd06Sweep {
       graft.Residency.release(spark)
       val mass = cands(lp, occ).count()
       graft.Residency.release(spark)
-      val hit = confirmed(lp, occ).join(base, Seq("vec_a", "vec_b"), "left_semi").count()
+      val hit = confirmed(lp, occ).join(exact, Seq("vec_a", "vec_b"), "left_semi").count()
       graft.Residency.release(spark)
-      val rec = if (nBase == 0) 1.0 else hit.toDouble / nBase
+      require(hit == nConf, s"confirmed pair not in exact baseline at (L=$lp,occ=$occ) — impossible unless the confirm threshold drifted")
+      val rec = if (nExact == 0) 1.0 else nConf.toDouble / nExact
       println(f"[sweep-json] {" +
         f""""L":$lp,"occ":$occ,"h":$h,"mass":$mass,"confirmed":$nConf,""" +
-        f""""recall_vs_base":$rec%.4f,"chain_sec":$wall%.2f}""")
+        f""""recall_vs_exact":$rec%.4f,"chain_sec":$wall%.2f}""")
     }
     spark.stop()
   }

@@ -34,9 +34,30 @@ object Similarity {
 
   // L hash tables × up-to-HMax hyperplanes. Components are Rademacher ±1
   // signs (sign random projection — spherically unbiased for cosine LSH, like
-  // Gaussian draws) derived from a Knuth multiplicative hash of the flat
-  // component index, so the identical plane set is reconstructible in ANSI
-  // SQL:   sign(i) = +1 iff bit 16 of ((i * 2654435761) mod 2^32) is 0.
+  // Gaussian draws) derived from a two-round multiply/xorshift avalanche of
+  // the flat component index, so the identical plane set is reconstructible
+  // in ANSI SQL (every intermediate stays far below 2^63 — DuckDB BIGINTs
+  // ERROR on overflow rather than wrap, so the mixer is built from bounded
+  // products: i < 2^17 ⇒ i·2654435761 < 2^49; the second product caps its
+  // operand at 2^24):
+  //   v0 = i * 2654435761;  v1 = v0 XOR (v0 >> 13)
+  //   v2 = (v1 mod 2^24) * 2246822519;  v3 = v2 XOR (v2 >> 17)
+  //   sign(i) = +1 iff bit 16 of v3 is 0.
+  //
+  // WHY TWO ROUNDS (r12): the original single Knuth multiply took bit 16 of
+  // i·2654435761 mod 2^32 — a LINEAR map whose bit-16 sequence has short
+  // affine structure under the stride-64 window the plane tensor reads:
+  // across what the code believed were 600 independent planes (6 bucket + 24
+  // gate tables × 20 rows) only 61 DISTINCT directions existed, half of them
+  // appearing complemented, and 457 of the 480 "fresh" gate planes duplicated
+  // a bucketing plane. Found when the dd06 confirm-gate histogram (r11
+  // verdict item 1) returned an impossible population — 985 k candidate pairs
+  // at Hamming 0 across "480 bits" with cosine < 0.4; under working SRP that
+  // event has probability e^{−224} per pair. The avalanche restores 600/600
+  // distinct planes, zero complement collisions, mean pairwise |corr| 0.10 ≈
+  // the 1/√64 random ideal. Consequence at the bucketing layer: the 6 tables
+  // were effectively ~2.6 independent tables; with the fix, same-bucket
+  // candidate mass and recall both rise (re-measured in SCALE.md §0g).
   //
   // ADAPTIVE BUCKET WIDTH (r6): a fixed signature width makes the bucket join
   // Θ(n²/2^H) — the sf1 run measured dd06 scaling 29× on 10× rows because
@@ -63,10 +84,20 @@ object Similarity {
     h
   }
   private[pipeline] def adaptiveBits(n: Long): Int = adaptiveBitsFor(n, TargetOcc)
-  private def planeSign(i: Long): Double =
-    if ((((i * 2654435761L) % 4294967296L) & 65536L) == 0L) 1.0 else -1.0
-  private val planes: Seq[Seq[Seq[Double]]] =
-    Seq.tabulate(L, HMax, 64)((l, h, d) => planeSign(((l * HMax + h) * 64 + d).toLong))
+  private def planeSign(i: Long): Double = {
+    val v0 = i * 2654435761L
+    val v1 = v0 ^ (v0 >>> 13)
+    val v2 = (v1 % 16777216L) * 2246822519L
+    val v3 = v2 ^ (v2 >>> 17)
+    if ((v3 & 65536L) == 0L) 1.0 else -1.0
+  }
+  /** The full plane tensor for `lp` tables — [[planes]] is the shipping L=6
+    * prefix; the sweep diagnostics build wider families (the flat-index
+    * formula extends to any lp, and the oracle CTE interpolates the same lp).
+    */
+  private[pipeline] def planesFor(lp: Int): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(lp, HMax, 64)((l, h, d) => planeSign(((l * HMax + h) * 64 + d).toLong))
+  private val planes: Seq[Seq[Seq[Double]]] = planesFor(L)
 
   // MEAN-CENTERED projections (r6): sign-random-projection assumes the data
   // is centered — on a positive-mean corpus every vector agrees with the
@@ -82,13 +113,15 @@ object Similarity {
       .groupBy("d").agg(avg(col("v").cast("double")).as("m"))
       .orderBy("d").collect().map(_.getDouble(1))
 
-  private def planeThresholds(mu: Array[Double]): Array[Array[Double]] =
-    Array.tabulate(L, HMax) { (l, h) =>
+  private[pipeline] def planeThresholdsFor(ps: Seq[Seq[Seq[Double]]], mu: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(ps.length, HMax) { (l, h) =>
       var s = 0.0
       var d = 0
-      while (d < mu.length && d < 64) { s += mu(d) * planes(l)(h)(d); d += 1 }
+      while (d < mu.length && d < 64) { s += mu(d) * ps(l)(h)(d); d += 1 }
       s
     }
+  private def planeThresholds(mu: Array[Double]): Array[Array[Double]] =
+    planeThresholdsFor(planes, mu)
 
   /** DuckDB CTEs reconstructing the (vec_id, table_id, bucket) frame with the
     * same plane signs and the same `acc*2 + (dot>0)` bit packing as the
@@ -110,11 +143,15 @@ object Similarity {
     s"""hh AS (SELECT CASE $hCases ELSE $HMax END AS h FROM embeddings),
        |sgn AS (
        |  SELECT l, h, d,
-       |    CASE WHEN (((((l*$HMax+h)*64+d) * 2654435761) % 4294967296) & 65536) = 0
+       |    CASE WHEN (xor(v2, v2 >> 17) & 65536) = 0
        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
-       |  FROM generate_series(0, ${lp - 1}) tl(l),
-       |       generate_series(0, ${HMax - 1}) th(h),
-       |       generate_series(0, 63) td(d)),
+       |  FROM (
+       |    SELECT l, h, d, (xor(v0, v0 >> 13) % 16777216) * 2246822519 AS v2
+       |    FROM (
+       |      SELECT l, h, d, ((l*$HMax+h)*64+d) * 2654435761 AS v0
+       |      FROM generate_series(0, ${lp - 1}) tl(l),
+       |           generate_series(0, ${HMax - 1}) th(h),
+       |           generate_series(0, 63) td(d)) q0) q1),
        |mu AS (
        |  SELECT t.d, AVG(CAST(e.embedding[t.d] AS DOUBLE)) AS m
        |  FROM embeddings e, generate_series(1, 64) t(d) GROUP BY 1),
@@ -200,6 +237,19 @@ object Similarity {
       .toDF("vec_id", "table_id", "sig")
       .select(col("vec_id"), col("table_id"),
         shiftrightunsigned(col("sig"), HMax - h).as("bucket"))
+
+  /** [[buckets]] generalized to `lp` tables (sweep diagnostics; lp ≤ L is a
+    * strict prefix of the shipping family).
+    */
+  private[pipeline] def bucketsFor(e: DataFrame, lp: Int, h: Int, mu: Array[Double]): DataFrame = {
+    val ps = planesFor(lp)
+    e.select(col("vec_id"),
+      posexplode(graft.functions.LshExpressions.hyperplaneBuckets(
+        col("embedding"), ps, planeThresholdsFor(ps, mu))))
+      .toDF("vec_id", "table_id", "sig")
+      .select(col("vec_id"), col("table_id"),
+        shiftrightunsigned(col("sig"), HMax - h).as("bucket"))
+  }
 
   /** Full HMax-bit GATE signatures over `tables` fresh hyperplane tables —
     * plane indices continue the bucketing family at l ∈ [L, L+tables), so
