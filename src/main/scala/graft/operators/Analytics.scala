@@ -267,10 +267,28 @@ object Analytics {
       // 37.6 vs 38.7 s). See the class-level note above and SCALE.md §0f.3;
       // the remaining fourth-decade residual is 32-thread memory contention,
       // measured distribution-safe by the §0f.0 slice A/B.
+      // Round 12 (VERDICT r11 item 2): the pair aggregation now runs on ONE
+      // packed BIGINT key `(part_a << 32) | part_b` and unpacks at output —
+      // the r11 slice A/B proved the fourth-decade residual is memory-system
+      // pressure ∝ bytes moved, and shrinking the partial-agg exchange row
+      // from (long, long, count) to (long, count) moved the wall: sf10
+      // isolated min-of-3 273.4 → 111.5 s, medians 305 → 230 s, result sets
+      // identical (tools/DiagQ17Pack; SCALE.md §0g.3). This re-measures and
+      // OVERTURNS the r8-era rejection of the same idea — that A/B ran at
+      // sf3 under fixed 32 reducers where final-agg hash-map SIZE, not
+      // bytes, was the binding term. Pack safety: both ids must fit 32 bits
+      // (guarded below — at >4 B parts a deployment widens the key).
+      val maxPart = t.part.agg(max(col("p_partkey"))).head().getLong(0)
+      require(maxPart <= 0xFFFFFFFFL,
+        s"q17 pair pack needs partkey < 2^32, got max $maxPart — widen the pack")
       val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b")
+        .select(shiftleft(col("part_a"), 32).bitwiseOR(col("part_b")).as("pk"))
+        .groupBy("pk")
         .agg(count(lit(1)).as("both_count"))
         .filter(col("both_count") >= 3)
+        .select(shiftrightunsigned(col("pk"), 32).as("part_a"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"),
+          col("both_count"))
       pairs
         .join(buyers.withColumnRenamed("part_id", "part_a").withColumnRenamed("buyer_count", "part_a_buyers"), Seq("part_a"))
         .select(col("part_a"), col("part_b"), col("both_count"), col("part_a_buyers"),

@@ -516,6 +516,49 @@ object Dedup {
         .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
     },
 
+    // ----- dd15: the recall dial as a first-class operator — dd06's chain at
+    // the WIDE geometry (L=12 tables, occupancy target 16). Round 12's
+    // ground-truth sweep (SCALE.md §0g.1b) measured recall LINEAR in
+    // candidate mass on this corpus (dups sit at cos 0.40–0.55 where the
+    // hyperplane s-curve is shallow), so geometry is an honest knob, not a
+    // tuning trick: this point buys ~3.1× dd06's recall at ~3.9× its mass
+    // (sf3: recall 5.8 % vs 1.9 %, mass 7.9 M vs 2.05 M). The oracle
+    // interpolates the same (L, occ) into the shared CTE family, so the
+    // wide family is hash-checked end-to-end like the shipping one.
+    QueryDef.sql(
+      "dd15_embedding_neardup_lsh_wide",
+      s"""WITH ${Similarity.bucketCtesFor(12, 16)},
+         |cands AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b ON b.table_id = a.table_id AND b.bucket = a.bucket
+         |   AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |    ${Similarity.cosSql("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM cands c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+         |WHERE cosine >= 0.4
+         |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir).embeddings
+      val bk = Similarity.bucketsFor(e, 12,
+        Similarity.adaptiveBitsFor(CorpusMeta.embeddingCount(spark, dir), 16),
+        CorpusMeta.embeddingMeans(spark, dir))
+      val a = bk.toDF("vec_a", "table_id", "bucket")
+      val b = bk.toDF("vec_b", "table_id", "bucket")
+      val cands = a.join(b, Seq("table_id", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      cands.join(ea, "vec_a").join(eb, "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          VectorOps.cosine(col("ea"), col("eb")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy(desc("cosine"), asc("vec_a"), asc("vec_b"))
+    },
+
     // ----- dd14: SAMPLED exact-confirm — dd06's 100 TB operating posture for
     // the confirm stage (r9 verdict item 7; the doctrine dd13 pins in-code:
     // "at 100 TB you run this evaluation over a SAMPLE"). A pipeline that

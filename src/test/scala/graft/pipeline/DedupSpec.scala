@@ -57,6 +57,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.05, s"dd06 recall $recall collapsed (${lsh.size}/${exact.size})")
   }
 
+  test("wide-geometry twin (dd15) is exact-subset too and out-recalls dd06 (the measured dial)") {
+    val exact = Catalog.byName("dd05_embedding_neardup").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val narrow = Catalog.byName("dd06_embedding_neardup_lsh").build(spark, sf()).count()
+    val wide = Catalog.byName("dd15_embedding_neardup_lsh_wide").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    wide.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"dd15 emitted non-near-dup pair $pair")
+      assert(math.abs(exact(pair) - c) < 1e-12)
+    }
+    // 12 tables × occupancy 16 must find at least what 6 × 8 finds — not a
+    // set superset (different widths hash differently) but a count dominance
+    // any healthy point further up the measured recall-vs-mass line shows
+    assert(wide.size >= narrow,
+      s"dd15 recall count ${wide.size} below dd06's $narrow — wide geometry regressed")
+  }
+
   test("dd05 exact baseline refuses inputs above the configured ceiling, pointing at dd06") {
     // lower the ceiling below sf0.001's 500 embeddings so the guard fires;
     // the session is shared across suites, so restore it in finally
