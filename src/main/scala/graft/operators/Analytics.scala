@@ -271,13 +271,15 @@ object Analytics {
       // packed BIGINT key `(part_a << 32) | part_b` and unpacks at output —
       // the r11 slice A/B proved the fourth-decade residual is memory-system
       // pressure ∝ bytes moved, and shrinking the partial-agg exchange row
-      // from (long, long, count) to (long, count) moved the wall: sf10
-      // isolated min-of-3 273.4 → 111.5 s, medians 305 → 230 s, result sets
-      // identical (tools/DiagQ17Pack; SCALE.md §0g.3). This re-measures and
-      // OVERTURNS the r8-era rejection of the same idea — that A/B ran at
-      // sf3 under fixed 32 reducers where final-agg hash-map SIZE, not
-      // bytes, was the binding term. Pack safety: both ids must fit 32 bits
-      // (guarded below — at >4 B parts a deployment widens the key).
+      // from (long, long, count) to (long, count) is a measured ~20 % wall
+      // win at sf10, POSITION-MATCHED ACROSS BOTH RUN ORDERS (ratios 0.79 /
+      // 0.81 — tools/DiagQ17Pack ran the A/B twice with the variant order
+      // reversed because same-JVM warmth is worth ~2×, bigger than the plan
+      // effect itself; SCALE.md §0g.3). Re-measures and overturns the
+      // r8-era rejection, which ran at sf3 under fixed 32 reducers where
+      // final-agg hash-map SIZE, not bytes, was the binding term. Pack
+      // safety: both ids must fit 32 bits (guarded below — at >4 B parts a
+      // deployment widens the key).
       val maxPart = t.part.agg(max(col("p_partkey"))).head().getLong(0)
       require(maxPart <= 0xFFFFFFFFL,
         s"q17 pair pack needs partkey < 2^32, got max $maxPart — widen the pack")

@@ -480,8 +480,12 @@ object Dedup {
     // stays ≤8 at any corpus size and candidates grow linearly — the r6 sf1
     // run caught the fixed-width variant scaling 29× on 10× rows), exact
     // cosine + the same 0.4 threshold within buckets only. Recall vs dd05 is
-    // the LSH s-curve trade and is measured in DedupSpec. Raising L (more
-    // tables) buys recall linearly in cost; TargetOcc fattens buckets.
+    // the LSH s-curve trade and is measured in DedupSpec — and, since r12,
+    // against TRUE all-pairs ground truth in the DiagDd06Sweep grid: on this
+    // corpus (dups at cos 0.40–0.55, the shallow part of the s-curve) recall
+    // is LINEAR in candidate mass, ~175 candidates per recalled dup at sf3
+    // (SCALE.md §0g.1b). Raising L (more tables) buys recall linearly in
+    // cost; TargetOcc fattens buckets; dd15 ships the (12, 16) point.
     QueryDef.sql(
       "dd06_embedding_neardup_lsh",
       s"""WITH ${Similarity.bucketCtes},

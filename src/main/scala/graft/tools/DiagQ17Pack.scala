@@ -107,8 +107,19 @@ object DiagQ17Pack {
       }
       (best, rows)
     }
-    val (wBase, rBase) = time("baseline")(baseline _)
-    val (wPack, rPack) = time("packed")(packed _)
+    // SPARK_GRAFT_PACK_FIRST reverses run order — the first variant in a JVM
+    // pays cold page-cache + JIT, so a claimed win must survive BOTH orders
+    val packFirst = sys.env.contains("SPARK_GRAFT_PACK_FIRST")
+    val (wBase, rBase, wPack, rPack) =
+      if (packFirst) {
+        val (wp, rp) = time("packed")(packed _)
+        val (wb, rb) = time("baseline")(baseline _)
+        (wb, rb, wp, rp)
+      } else {
+        val (wb, rb) = time("baseline")(baseline _)
+        val (wp, rp) = time("packed")(packed _)
+        (wb, rb, wp, rp)
+      }
     println(s"[q17pack] results_equal=${rBase == rPack} rows=${rBase.length}")
     println(f"""[q17pack-json] {"wall_base":$wBase%.2f,"wall_packed":$wPack%.2f,"equal":${rBase == rPack},"reps":$reps}""")
     spark.stop()

@@ -31,6 +31,8 @@ DEFAULT_ENTRIES = [
     # rate slice is quadratic-class by construction and would dominate panel
     # growth at larger scales (r11 advisory; SCALE.md §0f.8)
     "knn02_knn_label_eval_pinned",
+    # r12: the wide-geometry recall-dial twin (the heaviest LSH point shipped)
+    "dd15_embedding_neardup_lsh_wide",
 ]
 
 ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [

@@ -163,7 +163,7 @@ def check_lsh_bucket_family(name, sql, sfdir, outdir, workdir):
     """dd06 / dd14: hyperplane-LSH bucket chain + entry-specific tail after
     the `cands` CTE (dd06: exact-cosine confirm; dd14: sampled confirm)."""
     tail_marker = ("SELECT vec_a, vec_b, cosine"
-                   if name.startswith("dd06") else "conf AS")
+                   if name.startswith(("dd06", "dd15")) else "conf AS")
     pre_cands, _, _ = slice_between(sql, "WITH hh AS", "cands AS")
     bk_with = pre_cands.rstrip().rstrip(",")
     run_stage(sfdir, workdir, [
@@ -235,6 +235,8 @@ HANDLERS = {
     "pp01_corpus_pipeline": check_minhash_family,
     "dd06_embedding_neardup_lsh": check_lsh_bucket_family,
     "dd14_sampled_confirm": check_lsh_bucket_family,
+    # r12: the wide-geometry twin shares dd06's CTE markers verbatim
+    "dd15_embedding_neardup_lsh_wide": check_lsh_bucket_family,
     "dd07_dedup_survivors": check_dd07,
 }
 
