@@ -166,8 +166,24 @@ def check_lsh_bucket_family(name, sql, sfdir, outdir, workdir):
                    if name.startswith(("dd06", "dd15")) else "conf AS")
     pre_cands, _, _ = slice_between(sql, "WITH hh AS", "cands AS")
     bk_with = pre_cands.rstrip().rstrip(",")
+    # stage the signature build PER TABLE: the sgn CTE's l-range is the only
+    # cross-table coupling, so generating one l at a time is an exact
+    # decomposition (union over l of sgn|l IS sgn) - the one-shot build's
+    # dots intermediate (n x lp x H x 64 rows) spilled past the disk at
+    # lp=12/sf10 (r12: dd15)
+    import re as _re
+    m = _re.search(r"generate_series\(0, (\d+)\) tl\(l\)", bk_with)
+    n_tables = int(m.group(1)) + 1
+    os.makedirs(f"{workdir}/bk", exist_ok=True)
+    for t in range(n_tables):
+        bk_t = bk_with.replace(m.group(0), f"generate_series({t}, {t}) tl(l)")
+        run_stage(sfdir, workdir, [
+            f"COPY ({bk_t} SELECT vec_id, table_id, bucket FROM bk) "
+            f"TO '{workdir}/bk/t{t}.parquet'"
+        ])
+        print(f"  [shard] table {t} signatures staged", flush=True)
     run_stage(sfdir, workdir, [
-        f"COPY ({bk_with} SELECT vec_id, table_id, bucket FROM bk) "
+        f"COPY (SELECT * FROM read_parquet('{workdir}/bk/t*.parquet')) "
         f"TO '{workdir}/bk.parquet'"
     ])
     cands_chunk = sql[sql.index("cands AS"):sql.index(tail_marker)]
