@@ -125,6 +125,35 @@ object Bench {
       java.lang.management.ManagementFactory.getMemoryMXBean
         .getHeapMemoryUsage.getUsed / (1024 * 1024)
 
+    // ---- Box-calibration canaries (r12 verdict item 1). Two pinned,
+    // DATA-INDEPENDENT micro-workloads run FIRST in every bench session, so
+    // cross-round comparisons can separate "the box is slow today" from "the
+    // plan regressed" without the ad-hoc forensics r12 needed twice (a +32 %
+    // uniform sf0.1 inflation and a +76 % identical-code sf10 witness, both
+    // box condition — SCALE.md §0g.5).
+    //   - canary_cpu: 2^29 rows of the avalanche-hash arithmetic through one
+    //     whole-stage-codegen aggregate — no I/O, no shuffle; tracks per-core
+    //     CPU throughput and nothing else.
+    //   - canary_mem: a fixed ~1.2 GB round-trip shuffle (16 M × 9-long rows
+    //     repartitioned by key to a noop sink) — tracks memory/serialization
+    //     bandwidth, the term the r12 sf10 witness showed inflating while
+    //     CPU-bound entries stayed flat.
+    // Both are min-of-3; coefficients are each canary's min divided by the
+    // reference minima pinned on the companion object (measured on the r13
+    // round box). A coefficient ≫ 1 says: divide this artifact's wall numbers
+    // by it before calling anything a regression.
+    val (canaryCpuS, canaryMemS) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) (-1.0, -1.0)
+      else gateCodegen("canary")(runCanaries(spark))
+    val boxCpuCoef =
+      if (canaryCpuS < 0) -1.0 else math.round(canaryCpuS / CanaryCpuRefS * 1000) / 1000.0
+    val boxMemCoef =
+      if (canaryMemS < 0) -1.0 else math.round(canaryMemS / CanaryMemRefS * 1000) / 1000.0
+    if (canaryCpuS >= 0)
+      System.err.println(f"[bench] canary: cpu=$canaryCpuS%.3f s (coef $boxCpuCoef), " +
+        f"mem=$canaryMemS%.3f s (coef $boxMemCoef)")
+    Residency.release(spark)
+
     // SPARK_GRAFT_BENCH_ONLY=dd07_x,dc02_y: time just those entries (targeted
     // scale-curve runs for new entries without re-benching the whole
     // catalog). Ingest and cascade setup are skipped unless a selected entry
@@ -262,7 +291,7 @@ object Bench {
       System.err.println(s"[bench] CODEGEN GATE FAILED: $codegenTotal whole-stage " +
         s"fallback(s) across the catalog (offenders: ${fallbackEntries.keys.mkString(", ")})")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"sf":"$sfDir"}"""
     // The driver keeps only a bounded (~2000-char) stdout tail and parses the
     // JSON line out of it; the full-name two-map line above is ~6 KB and has
     // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —
@@ -278,7 +307,7 @@ object Bench {
     // driver's window keeps the TAIL, so when the map alone overflows it the
     // surviving suffix still carries total/count/setup/ingest.
     val compactLine =
-      s"""{"metric":"total","unit":"sec","runs":$rounds,"queries":$compactQueries,"value":${math.round(total * 1000) / 1000.0},"total_s":${math.round(total * 1000) / 1000.0},"n":${names.count(n => minOf(n) >= 0)},"setup_s":${math.round(streamingSetup * 10) / 10.0},"codegen_fallbacks":$codegenTotal,"ingest_eps":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_eps_overall":${eps.overall},"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
+      s"""{"metric":"total","unit":"sec","runs":$rounds,"queries":$compactQueries,"value":${math.round(total * 1000) / 1000.0},"total_s":${math.round(total * 1000) / 1000.0},"n":${names.count(n => minOf(n) >= 0)},"setup_s":${math.round(streamingSetup * 10) / 10.0},"codegen_fallbacks":$codegenTotal,"ingest_eps":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)
@@ -298,6 +327,52 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     realOut.println(compactLine)
     realOut.flush()
+  }
+
+  // Canary reference minima, measured min-of-3 on the round-13 box in the
+  // round's first clean bench session (SCALE.md §0h). box_*_coef = 1.0 means
+  // "as healthy as that session"; r12's box condition would have shown as
+  // box_mem_coef ≈ 1.3–1.8 with box_cpu_coef ≈ 1.0.
+  private val CanaryCpuRefS = 0.557
+  private val CanaryMemRefS = 2.327
+
+  /** Min-of-3 walls for the two calibration canaries (see main). Fixed row
+    * counts and fixed seeds: the workloads measure the BOX, never the data —
+    * identical at every SF, every round, so their walls are comparable
+    * across artifacts unconditionally.
+    */
+  private def runCanaries(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    def minOf3(body: => Unit): Double = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        body
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        Residency.release(spark)
+      }
+      math.round(best * 1000) / 1000.0
+    }
+    val cpu = minOf3 {
+      // 2^29 rows × the avalanche arithmetic, one codegen'd aggregate; the
+      // single-row result makes the job pure map-side CPU (no exchange).
+      spark.range(0, 1L << 29, 1, 32)
+        .select((col("id") * lit(2654435761L)).as("v0"))
+        .select(col("v0").bitwiseXOR(shiftrightunsigned(col("v0"), 13)).as("v1"))
+        .select(((col("v1") % 16777216L) * lit(2246822519L)).as("v2"))
+        .agg(sum(col("v2").bitwiseXOR(shiftrightunsigned(col("v2"), 17))))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val mem = minOf3 {
+      // 16 M × 9-long rows (~1.2 GB) through one full repartition exchange —
+      // every byte is shuffle-written and shuffle-read; compute is trivial.
+      val payload = (0 until 8).map(i => (col("id") * lit(2654435761L + i)).as(s"p$i"))
+      spark.range(0, 16L * 1000 * 1000, 1, 32)
+        .select(((col("id") * lit(2654435761L)) % 1000000L).as("k") +: payload: _*)
+        .repartition(64, col("k"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    (cpu, mem)
   }
 
   /** Replace the log4j2 configuration with one that writes everything at
@@ -361,6 +436,26 @@ object Bench {
     def windowsJson: String = windows.map(w =>
       s"""{"eps":${math.round(w.eps * 10) / 10.0},"rows":${w.rows},"batches":${w.batches},"gc_ms":${w.gcMs}}""")
       .mkString("[", ",", "]")
+    // One-word spread attribution IN the artifact (r12 verdict item 6 — the
+    // 11.1 % r12 spread tripped the loud flag but the driver-captured tail
+    // carried no verdict; the counters that decide it were already here):
+    //   quantum   — the slow window completed fewer micro-batches (one ~50 k
+    //               batch quantum is the whole min-median gap, the r9 root
+    //               cause of the r8 "bimodality");
+    //   gc        — same batch count but the slow window lost ≥0.5 s more to
+    //               collections;
+    //   contended — neither counter explains it: external CPU/memory
+    //               contention on the box (the r12 condition).
+    def spreadCause: String =
+      if (median <= 0 || windows.isEmpty) "unmeasured"
+      else if (spreadPct <= 10.0) "none"
+      else {
+        val slow = windows.minBy(_.eps)
+        val fast = windows.maxBy(_.eps)
+        if (slow.batches < fast.batches) "quantum"
+        else if (slow.gcMs - fast.gcMs >= 500) "gc"
+        else "contended"
+      }
   }
 
   private def ingestEventsPerSec(spark: SparkSession): IngestStats = {

@@ -12,6 +12,7 @@ object Catalog {
       operators.Sketches.defs ++
       operators.DistributedRank.defs ++
       operators.AsOfJoin.defs ++
+      operators.Lttb.defs ++
       pipeline.Sampling.defs ++
       plans.TopKPerGroup.defs ++
       plans.MvRouting.defs ++

@@ -280,9 +280,16 @@ object Analytics {
       // final-agg hash-map SIZE, not bytes, was the binding term. Pack
       // safety: both ids must fit 32 bits (guarded below — at >4 B parts a
       // deployment widens the key).
-      val maxPart = t.part.agg(max(col("p_partkey"))).head().getLong(0)
-      require(maxPart <= 0xFFFFFFFFL,
-        s"q17 pair pack needs partkey < 2^32, got max $maxPart — widen the pack")
+      // Guard domain: the packed values are l_partkey (via up/part_id), not
+      // p_partkey — the part-table bounds are valid only under the TPC-H FK
+      // l_partkey ⊆ p_partkey, which Tables' generator upholds. Both bounds
+      // matter: a negative key would smear over part_a's bits and silently
+      // merge distinct pairs, so we check min ≥ 0 alongside max < 2^32.
+      val partBounds = t.part.agg(min(col("p_partkey")), max(col("p_partkey"))).head()
+      val (minPart, maxPart) = (partBounds.getLong(0), partBounds.getLong(1))
+      require(minPart >= 0L && maxPart <= 0xFFFFFFFFL,
+        s"q17 pair pack needs 0 <= partkey < 2^32 (FK l_partkey ⊆ p_partkey), " +
+          s"got [$minPart, $maxPart] — widen the pack")
       val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
         .select(shiftleft(col("part_a"), 32).bitwiseOR(col("part_b")).as("pk"))
         .groupBy("pk")

@@ -479,13 +479,22 @@ object Dedup {
     // signatures: the leading h bits where 2^h·8 ≥ n, so expected occupancy
     // stays ≤8 at any corpus size and candidates grow linearly — the r6 sf1
     // run caught the fixed-width variant scaling 29× on 10× rows), exact
-    // cosine + the same 0.4 threshold within buckets only. Recall vs dd05 is
-    // the LSH s-curve trade and is measured in DedupSpec — and, since r12,
-    // against TRUE all-pairs ground truth in the DiagDd06Sweep grid: on this
-    // corpus (dups at cos 0.40–0.55, the shallow part of the s-curve) recall
-    // is LINEAR in candidate mass, ~175 candidates per recalled dup at sf3
-    // (SCALE.md §0g.1b). Raising L (more tables) buys recall linearly in
-    // cost; TargetOcc fattens buckets; dd15 ships the (12, 16) point.
+    // cosine + the same 0.4 threshold within buckets only.
+    //
+    // *** MEASURED OPERATING POINT — READ BEFORE CALLING THIS A "DEDUP" ***
+    // At the shipping geometry this is a cheap low-recall SCREEN, not an
+    // exhaustive dedup: against TRUE all-pairs ground truth on this corpus
+    // (dups at cos 0.40–0.55, the shallow part of the hyperplane s-curve)
+    // recall is ≈2.9 % at sf1, ≈1.9 % at sf3 (full exact baselines,
+    // SCALE.md §0g.1b) and ≈1.0 % at sf10 (avalanche-sampled baseline,
+    // stride 97, SCALE.md §0h.2) — recall FALLS as n grows at fixed
+    // geometry because adaptive h widens buckets' bit depth. Every pair it
+    // DOES emit is an exact-cosine-confirmed true dup (precision 1.0 at
+    // τ=0.4). Need more recall? dd15 ships the measured wide point
+    // (L=12/occ=16, ~3.1× recall at ~3.9× mass); recall is LINEAR in
+    // candidate mass on this corpus (~175 candidates per recalled dup at
+    // sf3), so geometry is an honest, budgetable dial. Need the DUP RATE
+    // rather than the pairs? dd14 monitors it ~10× cheaper via sampling.
     QueryDef.sql(
       "dd06_embedding_neardup_lsh",
       s"""WITH ${Similarity.bucketCtes},

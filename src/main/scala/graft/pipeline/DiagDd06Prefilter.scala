@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * architecture with a deterministic gate instead of a sample) vs the
   * shipping ungated chain, plus result-set equality check.
   *
-  * Usage: DiagDd06Prefilter <sfDir> [gateTables D]
+  * Usage: DiagDd06Prefilter <sfDir> [uncentered] [gateTables D]
   */
 object DiagDd06Prefilter {
   def main(args: Array[String]): Unit = {
@@ -34,8 +34,17 @@ object DiagDd06Prefilter {
     // quantity the buckets already selected for and separate nothing; the
     // confirm threshold lives in the UNCENTERED cosine's metric, which only
     // zero-threshold planes estimate.
-    val uncentered = args.length >= 2 && args(1) == "uncentered"
-    val gate = if (args.length >= 3) Some((args(1).toInt, args(2).toInt)) else None
+    // "uncentered" is a consumed flag (r12 ADVICE: the old positional read
+    // made `<sfDir> uncentered <n>` throw and barred gate-mode composition).
+    val rest0 = args.drop(1)
+    val uncentered = rest0.headOption.contains("uncentered")
+    val rest = if (uncentered) rest0.drop(1) else rest0
+    val gate = rest.length match {
+      case 0 => None
+      case 2 => Some((rest(0).toInt, rest(1).toInt))
+      case _ => sys.error(
+        s"usage: DiagDd06Prefilter <sfDir> [uncentered] [gateTables D] — got: ${args.mkString(" ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -71,6 +71,13 @@ object Similarity {
   // scale. HMax=20 covers ~8 M vectors at occupancy 8; beyond that, widen
   // HMax (compile-time knob — planes tensor and oracle CTE scale with it).
   private[pipeline] val L = 6
+  /** Widest bucket family any shipped entry may instantiate via [[planesFor]]
+    * (dd15 uses 12). [[gateSigs]] bases its fresh-plane indices HERE, not at
+    * [[L]], so gate planes never alias a bucket family's planes no matter
+    * which shipped geometry conditioned the candidates (r12 ADVICE: the old
+    * l+L base made gate tables 0–5 bit-identical to dd15 bucket tables 6–11).
+    */
+  private[pipeline] val MaxBucketTables = 16
   private[pipeline] val HMin = 8
   private[pipeline] val HMax = 20
   private[pipeline] val TargetOcc = 8
@@ -252,17 +259,20 @@ object Similarity {
   }
 
   /** Full HMax-bit GATE signatures over `tables` fresh hyperplane tables —
-    * plane indices continue the bucketing family at l ∈ [L, L+tables), so
-    * (a) the gate bits are independent of the bucket-match conditioning
-    * (a candidate pair shares ≥h bits in some table l < L by construction;
-    * Hoeffding on the gate bits needs unconditioned Bernoullis), and
+    * plane indices start at l = [[MaxBucketTables]] (above the WIDEST shipped
+    * bucket family, not just the L=6 default), so
+    * (a) the gate bits are independent of the bucket-match conditioning for
+    * ANY shipped geometry (a candidate pair shares ≥h bits in some bucket
+    * table l < MaxBucketTables by construction; Hoeffding on the gate bits
+    * needs unconditioned Bernoullis — the old l+L base silently aliased
+    * dd15's tables 6–11), and
     * (b) [[bucketCtesFor]]-style SQL replays them with the same flat-index
     * sign formula. One codegen kernel call per row; (vec_id, gsig) rows are
     * ~8·(1+tables) bytes — metadata-scale next to the embeddings.
     */
   private[pipeline] def gateSigs(e: DataFrame, tables: Int, mu: Array[Double]): DataFrame = {
     val gatePlanes: Seq[Seq[Seq[Double]]] = Seq.tabulate(tables, HMax, 64)(
-      (l, h, d) => planeSign((((l + L) * HMax + h) * 64 + d).toLong))
+      (l, h, d) => planeSign((((l + MaxBucketTables) * HMax + h) * 64 + d).toLong))
     val thr = Array.tabulate(tables, HMax) { (l, h) =>
       var s = 0.0
       var d = 0

@@ -173,6 +173,8 @@ def check_lsh_bucket_family(name, sql, sfdir, outdir, workdir):
     # lp=12/sf10 (r12: dd15)
     import re as _re
     m = _re.search(r"generate_series\(0, (\d+)\) tl\(l\)", bk_with)
+    assert m, (f"sgn table series marker 'generate_series(0, N) tl(l)' not "
+               f"found in {name} oracle — the sgn CTE's formatting drifted")
     n_tables = int(m.group(1)) + 1
     os.makedirs(f"{workdir}/bk", exist_ok=True)
     for t in range(n_tables):
