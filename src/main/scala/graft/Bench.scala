@@ -329,12 +329,13 @@ object Bench {
     realOut.flush()
   }
 
-  // Canary reference minima, measured min-of-3 on the round-13 box in the
-  // round's first clean bench session (SCALE.md §0h). box_*_coef = 1.0 means
-  // "as healthy as that session"; r12's box condition would have shown as
-  // box_mem_coef ≈ 1.3–1.8 with box_cpu_coef ≈ 1.0.
-  private val CanaryCpuRefS = 0.557
-  private val CanaryMemRefS = 2.327
+  // Canary reference walls: the MEDIAN of three clean idle-box sessions'
+  // min-of-3 on the round-13 box (cpu 0.407/0.414/0.336 s, mem
+  // 1.256/1.373/1.323 s — SCALE.md §0h.1), so box_*_coef ≈ 1.0 ± 0.2 means
+  // healthy. r12's box condition would have shown as box_mem_coef ≈ 1.3–1.8
+  // with box_cpu_coef ≈ 1.0.
+  private val CanaryCpuRefS = 0.407
+  private val CanaryMemRefS = 1.323
 
   /** Min-of-3 walls for the two calibration canaries (see main). Fixed row
     * counts and fixed seeds: the workloads measure the BOX, never the data —
@@ -360,7 +361,9 @@ object Bench {
         .select((col("id") * lit(2654435761L)).as("v0"))
         .select(col("v0").bitwiseXOR(shiftrightunsigned(col("v0"), 13)).as("v1"))
         .select(((col("v1") % 16777216L) * lit(2246822519L)).as("v2"))
-        .agg(sum(col("v2").bitwiseXOR(shiftrightunsigned(col("v2"), 17))))
+        // mod before the SUM: 2^29 values × up to 2^55 would overflow the
+        // ANSI BIGINT accumulator; 2^29 × 10^6 stays far inside it
+        .agg(sum(col("v2").bitwiseXOR(shiftrightunsigned(col("v2"), 17)) % 1000000L))
         .write.format("noop").mode("overwrite").save()
     }
     val mem = minOf3 {

@@ -134,6 +134,21 @@ import org.apache.spark.sql.SparkSession
   * the query × centroid probe cross join, the accounted
   * ann03/ann05/km01/ann11 class; its candidate scan is label-equi-keyed
   * and its top-10 is the TopKPerGroup bounded heap, not a window.
+  *
+  * Round-12/13 audit (the r12 additions' deferred paragraph + r13's):
+  * q56 and dd15 are CLEAN — q56's sweep windows partition by the
+  * (user_id, d) group key (no global exchange; the q55 DistributedRank
+  * shape is not needed because the sweep is per-key), and dd15 is dd06's
+  * audited bucket chain at the (12, 16) geometry (equi-keyed bucket join +
+  * confirm joins, no new shapes). knn02 flags BroadcastNestedLoopJoin —
+  * the ~2000-query × centroid probe cross join, the same accounted
+  * ann03/ann05/km01/knn01 class (its candidate scan is 2-cell
+  * label-equi-keyed, its top-10 the bounded heap). lt01 (r13) is CLEAN:
+  * the series windows partition by event_type over PRE-AGGREGATED
+  * per-minute counts, bucket sums are a group-key agg, both anchor joins
+  * broadcast ≤(k−1)·|series| rows, and the per-bucket argmax window
+  * partitions by (series, bucket) — no global sort over the input, no
+  * BNLJ, no single-partition exchange.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -486,8 +486,9 @@ object Dedup {
     // exhaustive dedup: against TRUE all-pairs ground truth on this corpus
     // (dups at cos 0.40–0.55, the shallow part of the hyperplane s-curve)
     // recall is ≈2.9 % at sf1, ≈1.9 % at sf3 (full exact baselines,
-    // SCALE.md §0g.1b) and ≈1.0 % at sf10 (avalanche-sampled baseline,
-    // stride 97, SCALE.md §0h.2) — recall FALLS as n grows at fixed
+    // SCALE.md §0g.1b) and 0.75 % ± 0.02 at sf10 (avalanche-sampled
+    // baseline, stride 97, validated against the sf3 full baseline to
+    // ±0.02 pp — SCALE.md §0h.2) — recall FALLS as n grows at fixed
     // geometry because adaptive h widens buckets' bit depth. Every pair it
     // DOES emit is an exact-cosine-confirmed true dup (precision 1.0 at
     // τ=0.4). Need more recall? dd15 ships the measured wide point

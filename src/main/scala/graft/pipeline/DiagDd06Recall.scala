@@ -64,16 +64,22 @@ object DiagDd06Recall {
     println(s"[dd06recall] n=$n sample=$nS (stride $stride)")
 
     // truth over the sampled endpoints: |S|·n exact cosines, normalized to
-    // (vec_a < vec_b) pair identity
-    val truth = broadcast(sample).join(e, col("sid") =!= col("vec_id"))
+    // (vec_a < vec_b) pair identity. COLLECTED to the driver (tens of
+    // thousands of id pairs — metadata-scale) and re-created as a local
+    // relation: a localCheckpoint here would be freed by the per-arm
+    // Residency.release and break the second arm's lineage.
+    val truthRows = broadcast(sample).join(e, col("sid") =!= col("vec_id"))
       .select(
         least(col("sid"), col("vec_id")).as("vec_a"),
         greatest(col("sid"), col("vec_id")).as("vec_b"),
         VectorOps.cosine(col("se"), col("embedding")).as("cosine"))
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b").distinct()
-      .localCheckpoint(true)
-    val nTruth = truth.count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.Residency.release(spark)
+    import spark.implicits._
+    val truth = truthRows.toSeq.toDF("vec_a", "vec_b")
+    val nTruth = truthRows.length.toLong
     println(s"[dd06recall] truth pairs touching sample: $nTruth")
 
     def recallOf(label: String, tables: Int, occ: Int): (Long, Double, Double) = {
@@ -84,7 +90,7 @@ object DiagDd06Recall {
       val cands = a.join(b, Seq("table_id", "bucket"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
-      val hit = truth.join(cands, Seq("vec_a", "vec_b")).count()
+      val hit = broadcast(truth).join(cands, Seq("vec_a", "vec_b")).count()
       graft.Residency.release(spark)
       val r = if (nTruth == 0) 0.0 else hit.toDouble / nTruth
       val se = if (nTruth == 0) 0.0 else math.sqrt(r * (1 - r) / nTruth)

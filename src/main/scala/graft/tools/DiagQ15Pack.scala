@@ -100,10 +100,38 @@ object DiagQ15Pack {
       (best, rows)
     }
     // SPARK_GRAFT_PACK_FIRST reverses run order — the first variant in a JVM
-    // pays cold page-cache + JIT, so a claimed win must survive BOTH orders
+    // pays cold page-cache + JIT, so a claimed win must survive BOTH orders.
+    // SPARK_GRAFT_PACK_INTERLEAVE instead runs an ABBA ladder (BP PB BP PB …,
+    // `reps` pairs): both variants sample the SAME warmth/box-drift
+    // distribution inside one JVM, so a min-vs-min comparison is position-
+    // free — the instrument for a day when the two fixed orders disagree in
+    // DIRECTION (r13: 1.16× cold vs 0.69× warm under heavy box noise).
+    val interleave = sys.env.contains("SPARK_GRAFT_PACK_INTERLEAVE")
     val packFirst = sys.env.contains("SPARK_GRAFT_PACK_FIRST")
+    def timeOnce(label: String, i: Int)(mk: () => DataFrame): (Double, Seq[String]) = {
+      val t0 = System.nanoTime()
+      val rows = mk().collect().map(_.toString).toSeq
+      val w = (System.nanoTime() - t0) / 1e9
+      graft.Residency.release(spark)
+      println(f"[q15pack] $label rep$i wall=$w%.1f s")
+      (w, rows)
+    }
     val (wBase, rBase, wPack, rPack) =
-      if (packFirst) {
+      if (interleave) {
+        var (wb, wp) = (Double.MaxValue, Double.MaxValue)
+        var (rb, rp): (Seq[String], Seq[String]) = (Seq.empty, Seq.empty)
+        for (i <- 1 to reps) {
+          val baseFirstThisPair = i % 2 == 1
+          if (baseFirstThisPair) {
+            val (w1, r1) = timeOnce("baseline", i)(baseline _); wb = math.min(wb, w1); rb = r1
+            val (w2, r2) = timeOnce("packed", i)(packed _); wp = math.min(wp, w2); rp = r2
+          } else {
+            val (w2, r2) = timeOnce("packed", i)(packed _); wp = math.min(wp, w2); rp = r2
+            val (w1, r1) = timeOnce("baseline", i)(baseline _); wb = math.min(wb, w1); rb = r1
+          }
+        }
+        (wb, rb, wp, rp)
+      } else if (packFirst) {
         val (wp, rp) = time("packed")(packed _)
         val (wb, rb) = time("baseline")(baseline _)
         (wb, rb, wp, rp)
@@ -113,7 +141,7 @@ object DiagQ15Pack {
         (wb, rb, wp, rp)
       }
     println(s"[q15pack] results_equal=${rBase == rPack} rows=${rBase.length}")
-    println(f"""[q15pack-json] {"wall_base":$wBase%.2f,"wall_packed":$wPack%.2f,"equal":${rBase == rPack},"reps":$reps}""")
+    println(f"""[q15pack-json] {"wall_base":$wBase%.2f,"wall_packed":$wPack%.2f,"equal":${rBase == rPack},"reps":$reps,"mode":"${if (interleave) "abba" else if (packFirst) "packed_first" else "baseline_first"}"}""")
     spark.stop()
   }
 }

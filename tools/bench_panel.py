@@ -33,6 +33,10 @@ DEFAULT_ENTRIES = [
     "knn02_knn_label_eval_pinned",
     # r12: the wide-geometry recall-dial twin (the heaviest LSH point shipped)
     "dd15_embedding_neardup_lsh_wide",
+    # r13: the per-key sweep aggregate (certified 2.16x on the 3.33x fourth
+    # decade, §0h.4) and the LTTB downsample (window input saturates with the
+    # time range — the panel pins that it STAYS flat)
+    "q56_interval_length_sum", "lt01_lttb_downsample",
 ]
 
 ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
@@ -66,10 +70,18 @@ def run_entry(sfdir, entry, xmx="100g"):
     rec = {"min": d["queries"][entry], "median": d["queries_median"][entry],
            "runs": d["runs"], "process_wall_sec": round(wall, 1),
            "codegen_fallbacks": d["codegen_fallbacks"]}
+    # r13: each panel JVM runs the calibration canaries first (Bench §canary);
+    # carrying the per-entry coefficients makes the panel protocol's same-day
+    # box witness structural — an entry far above its class is box-attributable
+    # on sight when its own JVM's box_mem_coef is inflated too.
+    for k in ("canary_cpu_s", "canary_mem_s", "box_cpu_coef", "box_mem_coef"):
+        if k in d:
+            rec[k] = d[k]
     if d.get("streaming_setup_sec", -1) >= 0:
         rec["streaming_setup_sec"] = d["streaming_setup_sec"]
     print(f"PANEL {entry}: min={rec['min']} median={rec['median']} "
-          f"(proc {wall:.0f}s)", flush=True)
+          f"(proc {wall:.0f}s, box cpu={rec.get('box_cpu_coef')} "
+          f"mem={rec.get('box_mem_coef')})", flush=True)
     return rec
 
 
