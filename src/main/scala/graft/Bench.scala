@@ -284,6 +284,23 @@ object Bench {
     val streamMvs = graft.streaming.StreamingMVs.maintenanceBreakdown(sfDir)
       .map { case (n, s) => s""""$n":${math.round(s * 10) / 10.0}""" }
       .mkString("{", ",", "}")
+    // End-of-session canary pair: the start pair samples ~15 s of box time,
+    // which on a BURSTY box can read 2.5× while the session integral is
+    // near-healthy (measured in r13 — catalog 209 s ≈ r12's face value under
+    // a start-coef of 2.5). Start ≈ end ⇒ the condition was sustained and
+    // the coefficient is a valid deflator; start ≫ end (or vice versa) ⇒
+    // bursty, trust the catalog integral over either probe.
+    val (canaryCpuEndS, canaryMemEndS) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) (-1.0, -1.0)
+      else gateCodegen("canary_end")(runCanaries(spark))
+    val boxCpuCoefEnd =
+      if (canaryCpuEndS < 0) -1.0 else math.round(canaryCpuEndS / CanaryCpuRefS * 1000) / 1000.0
+    val boxMemCoefEnd =
+      if (canaryMemEndS < 0) -1.0 else math.round(canaryMemEndS / CanaryMemRefS * 1000) / 1000.0
+    if (canaryCpuEndS >= 0)
+      System.err.println(f"[bench] canary end: cpu=$canaryCpuEndS%.3f s (coef $boxCpuCoefEnd), " +
+        f"mem=$canaryMemEndS%.3f s (coef $boxMemCoefEnd)")
+    Residency.release(spark)
     val fallbacksJson = fallbackEntries
       .map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
     val codegenTotal = codegenFallbacks
@@ -291,7 +308,7 @@ object Bench {
       System.err.println(s"[bench] CODEGEN GATE FAILED: $codegenTotal whole-stage " +
         s"fallback(s) across the catalog (offenders: ${fallbackEntries.keys.mkString(", ")})")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"canary_cpu_end_s":$canaryCpuEndS,"canary_mem_end_s":$canaryMemEndS,"box_cpu_coef_end":$boxCpuCoefEnd,"box_mem_coef_end":$boxMemCoefEnd,"sf":"$sfDir"}"""
     // The driver keeps only a bounded (~2000-char) stdout tail and parses the
     // JSON line out of it; the full-name two-map line above is ~6 KB and has
     // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —
@@ -307,7 +324,7 @@ object Bench {
     // driver's window keeps the TAIL, so when the map alone overflows it the
     // surviving suffix still carries total/count/setup/ingest.
     val compactLine =
-      s"""{"metric":"total","unit":"sec","runs":$rounds,"queries":$compactQueries,"value":${math.round(total * 1000) / 1000.0},"total_s":${math.round(total * 1000) / 1000.0},"n":${names.count(n => minOf(n) >= 0)},"setup_s":${math.round(streamingSetup * 10) / 10.0},"codegen_fallbacks":$codegenTotal,"ingest_eps":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
+      s"""{"metric":"total","unit":"sec","runs":$rounds,"queries":$compactQueries,"value":${math.round(total * 1000) / 1000.0},"total_s":${math.round(total * 1000) / 1000.0},"n":${names.count(n => minOf(n) >= 0)},"setup_s":${math.round(streamingSetup * 10) / 10.0},"codegen_fallbacks":$codegenTotal,"ingest_eps":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"box_cpu_coef_end":$boxCpuCoefEnd,"box_mem_coef_end":$boxMemCoefEnd,"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)
