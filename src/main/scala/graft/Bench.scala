@@ -153,6 +153,16 @@ object Bench {
       System.err.println(f"[bench] canary: cpu=$canaryCpuS%.3f s (coef $boxCpuCoef), " +
         f"mem=$canaryMemS%.3f s (coef $boxMemCoef)")
     Residency.release(spark)
+    // Boundary hygiene after the canary pair (r13, measured): the canary's
+    // own 3× 1.2 GB shuffles reshape the fresh JVM's old gen, and exchange-
+    // heavy entries then run WILDLY slower in the same session — dd06 read
+    // 22.5 s min-of-3 in a canary JVM vs 4.6 s with SPARK_GRAFT_SKIP_CANARY,
+    // same box, same data (q15 read 2.8× its canary-free wall the same day).
+    // This is the r10 cascade/probe coupling class; the same gc+settle
+    // applied at that boundary restores the entries (re-measured: dd06 back
+    // to its r12-class wall with canaries ON). Instrument rule made explicit:
+    // a probe that shares the measured JVM must hand back a settled heap.
+    System.gc(); Thread.sleep(2000); System.gc()
 
     // SPARK_GRAFT_BENCH_ONLY=dd07_x,dc02_y: time just those entries (targeted
     // scale-curve runs for new entries without re-benching the whole
@@ -290,6 +300,13 @@ object Bench {
     // a start-coef of 2.5). Start ≈ end ⇒ the condition was sustained and
     // the coefficient is a valid deflator; start ≫ end (or vice versa) ⇒
     // bursty, trust the catalog integral over either probe.
+    // settle BEFORE probing too: the end pair measures the BOX, and without
+    // a collected heap it inherits the last entries' old-gen shape instead
+    // (observed: end-mem coef 5.08 right after dd06's exchanges, on a box
+    // whose start pair read 1.14)
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) {
+      System.gc(); Thread.sleep(2000); System.gc()
+    }
     val (canaryCpuEndS, canaryMemEndS) =
       if (sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) (-1.0, -1.0)
       else gateCodegen("canary_end")(runCanaries(spark))
