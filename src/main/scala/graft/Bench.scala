@@ -162,7 +162,12 @@ object Bench {
     // applied at that boundary restores the entries (re-measured: dd06 back
     // to its r12-class wall with canaries ON). Instrument rule made explicit:
     // a probe that shares the measured JVM must hand back a settled heap.
-    System.gc(); Thread.sleep(2000); System.gc()
+    // Guarded like the end pair (r13 ADVICE): SKIP_CANARY runs are the
+    // no-canary CONTROL in contamination A/Bs and must not carry the
+    // canary's own settle perturbation.
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) {
+      System.gc(); Thread.sleep(2000); System.gc()
+    }
 
     // SPARK_GRAFT_BENCH_ONLY=dd07_x,dc02_y: time just those entries (targeted
     // scale-curve runs for new entries without re-benching the whole

@@ -23,6 +23,7 @@ object Catalog {
       pipeline.Clustering.defs ++
       pipeline.TextAnalysis.defs ++
       pipeline.Scrub.defs ++
+      pipeline.UrlCuration.defs ++
       pipeline.Curation.defs ++
       pipeline.Multimodal.defs ++
       pipeline.CorpusPipeline.defs ++

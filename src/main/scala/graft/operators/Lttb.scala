@@ -77,20 +77,39 @@ object Lttb {
     val next = anchors.select(col("series"), (col("b") - 1).as("b"),
       col("sx").as("sxn"), col("sy").as("syn"), col("c").as("cn"))
     // ≤ (k−1)·series rows each — metadata-scale, broadcast both sides
+    // 2·area for triangle (a=prev avg, b=point, c=next avg) is
+    // (xa−xc)(yb−ya) − (xa−xb)(yc−ya); multiplying through by the positive
+    // cp²·cn turns every factor into the BIGINT forms below (LttbSpec pins
+    // this against hand-computed shoelace areas — the first draft had
+    // (ya−yc) in the second factor, a sign error both engines would have
+    // agreed on while selecting non-LTTB points).
+    val f1 = col("sxp") * col("cn") - col("sxn") * col("cp")
+    val f2 = col("y") * col("cp") - col("syp")
+    val f3 = col("sxp") - col("xr") * col("cp")
+    val f4 = col("syn") * col("cp") - col("syp") * col("cn")
+    // Overflow pin (r13 ADVICE): the BIGINT bound was only a docstring
+    // assumption (x < 5·10⁴ at per-minute grain). At the per-second/years
+    // scales LTTB exists for, sx·cn alone approaches 2^63. Pin it the way
+    // the q17 pack guard pins its 2^32 key domain — but per ROW, because
+    // the guarded quantities (bucket sums) only exist inside this plan and
+    // a driver-side agg would re-run the whole upstream. Sufficient
+    // condition, checked innermost-out so no product can overflow before
+    // its own check: every operand < 2^31 ⇒ each two-term product < 2^62
+    // and each difference < 2^63; every factor < 2^31 ⇒ f1·f2, f3·f4 < 2^62
+    // and area2 < 2^63. assert_true is codegen'd; folding its null result
+    // into area2 keeps column pruning from dropping the guard.
+    val lim = lit(1L << 31)
+    val operandsOk = abs(col("sxp")) < lim && abs(col("sxn")) < lim &&
+      col("cp") < lim && col("cn") < lim && abs(col("y")) < lim &&
+      col("xr") < lim && abs(col("syp")) < lim && abs(col("syn")) < lim
+    val guard = assert_true(
+      operandsOk && abs(f1) < lim && abs(f2) < lim && abs(f3) < lim && abs(f4) < lim,
+      lit("lttb area2 would overflow BIGINT: series x-range/count exceeds the " +
+        "2^31-per-factor budget — coarsen the x grain or raise k"))
     val scored = mid
       .join(broadcast(prev), Seq("series", "b"))
       .join(broadcast(next), Seq("series", "b"))
-      // 2·area for triangle (a=prev avg, b=point, c=next avg) is
-      // (xa−xc)(yb−ya) − (xa−xb)(yc−ya); multiplying through by the positive
-      // cp²·cn turns every factor into the BIGINT forms below (LttbSpec pins
-      // this against hand-computed shoelace areas — the first draft had
-      // (ya−yc) in the second factor, a sign error both engines would have
-      // agreed on while selecting non-LTTB points)
-      .withColumn("area2", abs(
-        (col("sxp") * col("cn") - col("sxn") * col("cp")) *
-          (col("y") * col("cp") - col("syp")) -
-          (col("sxp") - col("xr") * col("cp")) *
-            (col("syn") * col("cp") - col("syp") * col("cn"))))
+      .withColumn("area2", abs(f1 * f2 - f3 * f4) + coalesce(guard.cast("long"), lit(0L)))
     val pickW = Window.partitionBy("series", "b").orderBy(desc("area2"), asc("x"))
     val picked = scored.withColumn("pr", row_number().over(pickW))
       .filter(col("pr") === 1)
@@ -98,7 +117,11 @@ object Lttb {
     small.unionAll(edge.select("series", "x", "y")).unionAll(picked)
   }
 
-  private def minuteCol(ts: Column): Column = expr("unix_micros(ts) div 60000000")
+  // IntegralDivide via the registered `div` function so the expression is
+  // built from the PARAMETER (r13 ADVICE: the old expr("... ts ...") body
+  // hardcoded the column name and silently ignored its argument).
+  private def minuteCol(ts: Column): Column =
+    call_function("div", unix_micros(ts), lit(60000000L))
 
   val defs: Seq[QueryDef] = Seq(
     // ----- lt01: the timeline endpoint's per-minute event-count series per

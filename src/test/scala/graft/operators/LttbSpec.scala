@@ -73,6 +73,21 @@ class LttbSpec extends SparkSpec {
     assert(run(shifted, 3) == outBase)
   }
 
+  test("area2 overflow guard fails loudly past the 2^31-per-factor budget") {
+    // A series whose x-range breaks the per-operand budget: xr reaches
+    // 2^33 > 2^31, so the guard must raise with its named message instead
+    // of letting the BIGINT products overflow (silently pre-ANSI, with a
+    // generic arithmetic error under ANSI). n=7 > k=3 forces the scored
+    // (guarded) path; y values are non-collinear so area2 is load-bearing.
+    val ys = Seq(0L, 3L, 1L, 8L, 2L, 3L, 0L)
+    val pts = ys.zipWithIndex.map { case (y, x) => ("a", x.toLong << 31, y) }
+    val ex = intercept[Exception] { run(pts, 3) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("lttb area2 would overflow")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
   test("lt01 catalog entry runs green on testdata and is k-bounded per series") {
     val df = graft.Catalog.byName("lt01_lttb_downsample").build(spark, "/root/testdata/sf0.001")
     val perSeries = df.groupBy("event_type").agg(count(lit(1)).as("c"))

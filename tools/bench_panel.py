@@ -79,9 +79,12 @@ def run_entry(sfdir, entry, xmx="100g"):
             rec[k] = d[k]
     if d.get("streaming_setup_sec", -1) >= 0:
         rec["streaming_setup_sec"] = d["streaming_setup_sec"]
+    # omit the box clause entirely for pre-canary / SKIP_CANARY runs rather
+    # than rendering the literal string 'None' (r13 ADVICE)
+    box = (f", box cpu={rec['box_cpu_coef']} mem={rec['box_mem_coef']}"
+           if "box_cpu_coef" in rec and "box_mem_coef" in rec else "")
     print(f"PANEL {entry}: min={rec['min']} median={rec['median']} "
-          f"(proc {wall:.0f}s, box cpu={rec.get('box_cpu_coef')} "
-          f"mem={rec.get('box_mem_coef')})", flush=True)
+          f"(proc {wall:.0f}s{box})", flush=True)
     return rec
 
 
