@@ -32,6 +32,9 @@ object Verify {
       .config(graft.pipeline.ExactBaseline.ConfKey,
         sys.env.getOrElse("SPARK_GRAFT_EXACT_MAXROWS",
           graft.pipeline.ExactBaseline.DefaultMaxRows.toString))
+      // RocksDB state store by default (r13 item 2) — see StateStores
+      .config(graft.streaming.StateStores.ConfKey,
+        graft.streaming.StateStores.providerClass)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -120,16 +120,27 @@ object Lttb {
   // IntegralDivide via the registered `div` function so the expression is
   // built from the PARAMETER (r13 ADVICE: the old expr("... ts ...") body
   // hardcoded the column name and silently ignored its argument).
-  private def minuteCol(ts: Column): Column =
+  private[graft] def minuteCol(ts: Column): Column =
     call_function("div", unix_micros(ts), lit(60000000L))
 
-  val defs: Seq[QueryDef] = Seq(
-    // ----- lt01: the timeline endpoint's per-minute event-count series per
-    // event_type, LTTB-downsampled to K points (app_interactive.py:218–254
-    // rendered at chart width instead of raw grain).
-    QueryDef.sql(
-      "lt01_lttb_downsample",
-      s"""WITH pts AS (
+  /** The serve read shared by lt01 (batch pre-aggregation) and st20 (the
+    * streaming-maintained minute MV): downsample (series, x, y) points to K
+    * and project to the timeline-endpoint shape. Window input is whatever
+    * `pts` is — both callers hand it series×minutes, never raw events.
+    */
+  private[graft] def serveTimeline(pts: DataFrame): DataFrame =
+    downsample(pts, K)
+      .select(col("series").as("event_type"),
+        timestamp_micros(col("x") * 60000000L).as("minute_ts"),
+        col("y").cast("long").as("events"))
+      .orderBy("event_type", "minute_ts")
+
+  /** lt01's DuckDB oracle — also st20's verbatim (the maintained minute MV
+    * is the same per-(series, minute) counts the batch pass computes;
+    * incremental == batch because counts are order-independent).
+    */
+  private[graft] val TimelineOracle: String =
+    s"""WITH pts AS (
          |  SELECT event_type AS series, epoch_us(ts) // 60000000 AS x,
          |    COUNT(*) AS y
          |  FROM events GROUP BY 1, 2),
@@ -175,7 +186,15 @@ object Lttb {
          |SELECT series AS event_type, make_timestamp(x * 60000000) AS minute_ts,
          |  CAST(y AS BIGINT) AS events
          |FROM sel
-         |ORDER BY event_type, minute_ts""".stripMargin,
+         |ORDER BY event_type, minute_ts""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----- lt01: the timeline endpoint's per-minute event-count series per
+    // event_type, LTTB-downsampled to K points (app_interactive.py:218–254
+    // rendered at chart width instead of raw grain).
+    QueryDef.sql(
+      "lt01_lttb_downsample",
+      TimelineOracle,
     ) { (spark, dir) =>
       val ev = Tables(spark, dir).events
       // map-side-combinable pre-aggregation FIRST: the window input is
@@ -183,11 +202,7 @@ object Lttb {
       val pts = ev.groupBy(col("event_type").as("series"),
         minuteCol(col("ts")).as("x"))
         .agg(count(lit(1)).as("y"))
-      downsample(pts, K)
-        .select(col("series").as("event_type"),
-          timestamp_micros(col("x") * 60000000L).as("minute_ts"),
-          col("y").cast("long").as("events"))
-        .orderBy("event_type", "minute_ts")
+      serveTimeline(pts)
     },
   )
 }

@@ -29,9 +29,10 @@ object DiagSt19State {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
-    if (provider == "rocksdb")
-      b.config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // explicit per-run provider (this harness IS the A/B instrument);
+    // the engine's shipped default lives in StateStores
+    b.config(StateStores.ConfKey,
+      if (provider == "rocksdb") StateStores.RocksDB else StateStores.Heap)
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -63,7 +63,13 @@ object MvCascade {
     * Σ triggerExecution over its micro-batches (additive, the cost signal);
     * batches = micro-batch count.
     */
-  final case class MvSetupCost(wallSec: Double, busySec: Double, batches: Long)
+  /** stateBytes = the LAST progress event's Σ stateOperators.memoryUsedBytes
+    * (resident state under the session's provider — heap object bytes for
+    * the default provider, RocksDB mem+SST for the shipped one): the
+    * before/after evidence for the r14 provider flip.
+    */
+  final case class MvSetupCost(wallSec: Double, busySec: Double, batches: Long,
+      stateBytes: Long)
   private val breakdowns = TrieMap[String, Seq[(String, MvSetupCost)]]()
   def setupBreakdown(dir: String): Seq[(String, MvSetupCost)] =
     breakdowns.getOrElse(dir, Seq.empty)
@@ -228,6 +234,7 @@ object MvCascade {
     // superlinear member this breakdown exists to localize (ADVICE r9).
     val busyMs = TrieMap[java.util.UUID, Long]()
     val batchN = TrieMap[java.util.UUID, Long]()
+    val stateB = TrieMap[java.util.UUID, Long]()
     val term = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -236,6 +243,9 @@ object MvCascade {
           .getOrDefault("triggerExecution", java.lang.Long.valueOf(0L)).longValue
         busyMs.updateWith(e.progress.runId) { v => Some(v.getOrElse(0L) + trig) }
         batchN.updateWith(e.progress.runId) { v => Some(v.getOrElse(0L) + 1L) }
+        val st = Option(e.progress.stateOperators).toSeq.flatten
+          .map(_.memoryUsedBytes).sum
+        if (st > 0) stateB.put(e.progress.runId, st)
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         endNs.put(e.runId, System.nanoTime())
@@ -261,7 +271,8 @@ object MvCascade {
         val wall = endNs.get(q.runId).map(e => (e - t0) / 1e9).getOrElse(-1.0)
         name -> MvSetupCost(wall,
           busyMs.getOrElse(q.runId, 0L) / 1e3,
-          batchN.getOrElse(q.runId, 0L))
+          batchN.getOrElse(q.runId, 0L),
+          stateB.getOrElse(q.runId, 0L))
       })
     } finally spark.streams.removeListener(term)
     // MVs complete for `dir` → eligible for transparent aggregate routing

@@ -309,6 +309,24 @@ object StreamingMVs {
         .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
     }
 
+  /** st20's maintained MV: the live-timeline minute grain — per-(event_type,
+    * epoch-minute) event counts on the ingest stream. COUNT is the
+    * order-independent mergeable state (A8 discipline): any micro-batch
+    * split, replay, or late row folds into its (series, minute) group and
+    * lands on the identical total, so incremental == batch by construction.
+    * State is one fixed-width row per series×minute — bounded by the time
+    * range, not the event count (the lt01 design property, now holding for
+    * the STATE as well as the read). The LTTB downsample to chart width
+    * runs AT READ over this MV-sized input, never the event history.
+    */
+  def timelineMv(spark: SparkSession, dir: String): DataFrame =
+    maintainOnce(spark, dir, "st20_timeline") {
+      eventsStream(spark, dir)
+        .groupBy(col("event_type").as("series"),
+          graft.operators.Lttb.minuteCol(col("ts")).as("x"))
+        .agg(count(lit(1)).as("y"))
+    }
+
   /** st14's maintained MV: streaming IVF cell routing. Centroids are pinned
     * at MV creation (the index definition), the stream is the maintenance.
     */
@@ -756,6 +774,27 @@ object StreamingMVs {
     ) { (spark, dir) =>
       // serve read of the maintained span MV (see ivfRoutingMv note)
       graft.operators.Analytics.peakFromSpans(concurrencyMv(spark, dir))
+    },
+
+    // ----- st20: the live timeline at chart width (r13 verdict item 3) —
+    // the reference's per-minute last-hour endpoint (app_interactive.py:
+    // 218–254) re-queries raw events per request; here the minute grain is
+    // MAINTAINED on the ingest stream (timelineMv) and the serve read runs
+    // lt01's LTTB downsample over the MV-sized input. Oracle: lt01's
+    // verbatim — the maintained counts are the same per-(series, minute)
+    // totals the batch pre-aggregation computes (order-independent state).
+    QueryDef.sql(
+      "st20_streaming_timeline",
+      graft.operators.Lttb.TimelineOracle,
+    ) { (spark, dir) =>
+      // rebase the memory-sink read on a LogicalRDD leaf: the sink's table
+      // plan is not a MultiInstanceRelation, so the downsample's internal
+      // three-way self-join (mid ⋈ prev ⋈ next) can't deduplicate its
+      // references and resolution fails; an RDD leaf re-instances cleanly.
+      // Serve-scale input (series×minutes) — the conversion is noise.
+      val mv = timelineMv(spark, dir)
+      graft.operators.Lttb.serveTimeline(
+        spark.createDataFrame(mv.rdd, mv.schema))
     },
 
     // ----- st03: gap-based sessionization via session_window (ST6 — the

@@ -14,6 +14,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .config("spark.ui.enabled", "false")
+    // the shipped default: every streaming suite proves its MV under the
+    // same RocksDB provider Bench/Verify run (r13 item 2)
+    .config(graft.streaming.StateStores.ConfKey,
+      graft.streaming.StateStores.providerClass)
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"

@@ -270,6 +270,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("st20: streaming timeline MV equals lt01's batch recompute row-for-row") {
+    val streamed = graft.Catalog.byName("st20_streaming_timeline")
+      .build(spark, sf()).collect()
+    val batch = graft.Catalog.byName("lt01_lttb_downsample").build(spark, sf()).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getTimestamp(1), r.getLong(2))
+    assert(streamed.map(key).toSeq == batch.map(key).toSeq,
+      "incremental timeline diverged from the batch recompute")
+    assert(streamed.nonEmpty)
+    // the serve read's window input is PROVABLY series×minutes: the
+    // maintained MV has exactly one row per distinct (event_type, minute)
+    // of the raw events — MV-sized, not event-history-sized
+    val mv = StreamingMVs.timelineMv(spark, sf())
+    val distinctMinutes = graft.Tables(spark, sf()).events
+      .select(col("event_type"),
+        graft.operators.Lttb.minuteCol(col("ts")))
+      .distinct().count()
+    assert(mv.count() == distinctMinutes,
+      s"MV rows ${mv.count()} != distinct series-minutes $distinctMinutes")
+  }
+
   test("st19: streaming peak-concurrency MV equals q55's batch recompute") {
     val streamed = graft.Catalog.byName("st19_streaming_concurrency")
       .build(spark, sf()).collect()
