@@ -39,17 +39,25 @@ object Analytics {
   val PairCapPerOrder = 64
 
   /** Keep the `cap` smallest DISTINCT `itemCol` values per `keyCol` via the
-    * bounded-heap operator's dedup mode (rank DESC on the negated item =
-    * ascending item order; ordering-equal rows kept once). Callers feed the
-    * RAW (non-distinct) relation: the distinct rides the heap passes, so one
-    * exchange on `keyCol` replaces the old distinct-(key,item) exchange PLUS
-    * the top-K exchange — the r6→r7 fix for the basket caps' sf0.1 cost.
+    * bounded-heap operator's ascending dedup mode (ordering-equal rows kept
+    * once). Callers feed the RAW (non-distinct) relation: the distinct rides
+    * the heap passes, so one exchange on `keyCol` replaces the old
+    * distinct-(key,item) exchange PLUS the top-K exchange — the r6→r7 fix
+    * for the basket caps' sf0.1 cost.
+    *
+    * r14 (q15 capBasket decomposition, SCALE.md §0i): ascending mode drops
+    * the negated sort column the old formulation shipped through the
+    * exchange (three longs → two, −33 % bytes), and because (key, item) are
+    * non-null longs here (TPC-H NOT NULL keys), both heap passes run on the
+    * primitive long→long[] state instead of per-key TreeSets of copied rows
+    * — the decomposition measured the generic path GC-bound (15 s GC in a
+    * 45 s CPU stage at sf1; codegen-distinct does the same dedup with 0.5 s
+    * GC).
     */
   private[graft] def capBasket(df: org.apache.spark.sql.DataFrame, keyCol: String, itemCol: String, cap: Int) =
-    graft.plans.TopKPerGroup.topKDistinct(
-      df.withColumn("__neg_item", -col(itemCol)),
-      Seq(keyCol), "__neg_item", itemCol, cap)
-      .drop("__neg_item", "rnk")
+    graft.plans.TopKPerGroup.topKSmallestDistinct(
+      df.select(keyCol, itemCol), Seq(keyCol), itemCol, cap)
+      .drop("rnk")
 
   /** REMOVED in round 11: the r9/r10 pair-mass shuffle sizing
     * (pairMassUpperBound + sizePairShuffle — raise this job's AQE

@@ -48,12 +48,23 @@ object TopKPerGroup {
   def topKDistinct(df: DataFrame, groupCols: Seq[String], sortCol: String, tieCol: String, k: Int): DataFrame =
     plan(df, groupCols, sortCol, tieCol, k, dedup = true)
 
-  private def plan(df: DataFrame, groupCols: Seq[String], sortCol: String, tieCol: String, k: Int, dedup: Boolean): DataFrame = {
+  /** Keep the k SMALLEST distinct `itemCol` values per group — the basket-cap
+    * shape (r14, q15's capBasket decomposition): ranking ascending on the
+    * item itself removes the negated sort column the descending formulation
+    * needed, so the exchange carries (key, item) — two longs — instead of
+    * three, and when both columns are in fact non-null longs the heap passes
+    * run on PRIMITIVE state (open-addressed long→long[] — see
+    * [[TopKHeaps.LongTopKMap]]) instead of a TreeSet of copied rows per key.
+    */
+  def topKSmallestDistinct(df: DataFrame, groupCols: Seq[String], itemCol: String, k: Int): DataFrame =
+    plan(df, groupCols, itemCol, itemCol, k, dedup = true, ascending = true)
+
+  private def plan(df: DataFrame, groupCols: Seq[String], sortCol: String, tieCol: String, k: Int, dedup: Boolean, ascending: Boolean = false): DataFrame = {
     install(df.sparkSession)
     val child = df.queryExecution.analyzed
     def attr(n: String): Attribute = child.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(s"column $n not in ${child.output.map(_.name)}"))
-    val node = TopKPerGroupNode(k, groupCols.map(attr), attr(sortCol), attr(tieCol), child, dedup)
+    val node = TopKPerGroupNode(k, groupCols.map(attr), attr(sortCol), attr(tieCol), child, dedup, ascending)
     ColumnBridge.ofRows(df.sparkSession, node)
   }
 
@@ -158,6 +169,9 @@ case class TopKPerGroupNode(
     child: LogicalPlan,
     // dedup: rows equal under (sortExpr, tieExpr) within a group kept once
     dedup: Boolean = false,
+    // ascending: rank by sortExpr ASC (tie ASC) instead of the default DESC;
+    // the smallest-k shape basket caps use
+    ascending: Boolean = false,
     // constructor param (NOT a body val): plan transforms call copy(), and a
     // body val would mint a fresh exprId each time — parents bound to the
     // original rnk#N would then fail with ATTRIBUTE_NOT_FOUND at runtime
@@ -260,7 +274,7 @@ object TopKStrategy extends SparkStrategy {
       // partition — the top-K analog of partial aggregation
       TopKPerGroupExec(n.k, n.groupExprs, n.sortExpr, n.tieExpr, n.rankAttr,
         TopKPerGroupPartialExec(n.k, n.groupExprs, n.sortExpr, n.tieExpr,
-          planLater(n.child), n.dedup), n.dedup) :: Nil
+          planLater(n.child), n.dedup, n.ascending), n.dedup, n.ascending) :: Nil
     case _ => Nil
   }
 }
@@ -271,6 +285,162 @@ object TopKStrategy extends SparkStrategy {
   * better-than-current-worst case, not every input row.
   */
 private[plans] object TopKHeaps {
+
+  /** Primitive-path applicability (r14, from q15's capBasket decomposition:
+    * the generic path's per-key TreeSet of copied UnsafeRows is GC-bound —
+    * 15 s of GC in a 45 s CPU stage at sf1 vs 0.5 s for the same dedup in
+    * codegen'd hash-agg form). When the operator is the smallest-k-distinct
+    * shape over exactly (long key, long item), both heap passes run on an
+    * open-addressed long→long[] map instead: one array per key, no per-row
+    * copies, no comparator dispatch. Returns (keyOrdinal, itemOrdinal).
+    */
+  def primitiveOrds(
+      childOutput: Seq[Attribute],
+      groupExprs: Seq[Attribute],
+      sortExpr: Attribute,
+      tieExpr: Attribute,
+      dedup: Boolean,
+      ascending: Boolean): Option[(Int, Int)] = {
+    if (!(dedup && ascending && groupExprs.size == 1 &&
+        sortExpr.exprId == tieExpr.exprId && childOutput.size == 2)) return None
+    val keyOrd = childOutput.indexWhere(_.exprId == groupExprs.head.exprId)
+    val itemOrd = childOutput.indexWhere(_.exprId == sortExpr.exprId)
+    val ok = keyOrd >= 0 && itemOrd >= 0 && keyOrd != itemOrd &&
+      childOutput(keyOrd).dataType == LongType &&
+      childOutput(itemOrd).dataType == LongType
+    if (ok) Some((keyOrd, itemOrd)) else None
+  }
+
+  /** Open-addressed long→sorted-long[] map keeping the k smallest DISTINCT
+    * items per key. vals(slot)(0) = count m, items sorted ascending at
+    * 1..m. Insert is a binary search + bounded shift (baskets are ≤ k = 64
+    * by construction); memory is one long[] per key — ~5× fewer objects and
+    * zero per-row copies vs the generic TreeSet path.
+    */
+  final class LongTopKMap(k: Int) {
+    private var capacity = 1 << 12
+    private var mask = capacity - 1
+    private var keys = new Array[Long](capacity)
+    private var used = new Array[Boolean](capacity)
+    private var vals = new Array[Array[Long]](capacity)
+    private var n = 0
+
+    private def slotOf(key: Long): Int = {
+      var h = key * -7046029254386353131L // Murmur3 fmix-class avalanche
+      h ^= h >>> 32
+      var i = h.toInt & mask
+      while (used(i) && keys(i) != key) i = (i + 1) & mask
+      i
+    }
+
+    def insert(key: Long, item: Long): Unit = {
+      var i = slotOf(key)
+      if (!used(i)) {
+        if (n >= capacity - (capacity >> 2)) { grow(); i = slotOf(key) } // ≤ 0.75 load
+        used(i) = true; keys(i) = key
+        val arr = new Array[Long](1 + math.min(k, 8))
+        arr(0) = 1L; arr(1) = item
+        vals(i) = arr
+        n += 1
+      } else vals(i) = insertItem(vals(i), item)
+    }
+
+    private def insertItem(arr0: Array[Long], item: Long): Array[Long] = {
+      var arr = arr0
+      val m = arr(0).toInt
+      // first index in [1, m+1] with arr(idx) >= item
+      var lo = 1; var hi = m
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < item) lo = mid + 1 else hi = mid - 1
+      }
+      if (lo <= m && arr(lo) == item) return arr // distinct: duplicate is a no-op
+      if (m == k) {
+        if (lo > m) return arr // worse than the current worst
+        System.arraycopy(arr, lo, arr, lo + 1, m - lo) // evict the largest
+        arr(lo) = item
+        arr
+      } else {
+        if (m + 2 > arr.length) {
+          val b = new Array[Long](math.min(1 + k, (arr.length - 1) * 2 + 1))
+          System.arraycopy(arr, 0, b, 0, m + 1)
+          arr = b
+        }
+        System.arraycopy(arr, lo, arr, lo + 1, m - lo + 1)
+        arr(lo) = item
+        arr(0) = m + 1L
+        arr
+      }
+    }
+
+    private def grow(): Unit = {
+      val oldKeys = keys; val oldUsed = used; val oldVals = vals
+      capacity <<= 1; mask = capacity - 1
+      keys = new Array[Long](capacity)
+      used = new Array[Boolean](capacity)
+      vals = new Array[Array[Long]](capacity)
+      var i = 0
+      while (i < oldKeys.length) {
+        if (oldUsed(i)) {
+          val s = slotOf(oldKeys(i))
+          used(s) = true; keys(s) = oldKeys(i); vals(s) = oldVals(i)
+        }
+        i += 1
+      }
+    }
+
+    /** Stream rows out: (key, item[, rank]) written at the given ordinals
+      * through one reused row + UnsafeProjection (the standard operator
+      * emission contract — the exchange copies on buffer).
+      */
+    def rowIterator(keyOrd: Int, itemOrd: Int, rankOrd: Int): Iterator[InternalRow] = {
+      val width = if (rankOrd >= 0) 3 else 2
+      val row = new SpecificInternalRow(Seq.fill(width)(LongType))
+      val proj = UnsafeProjection.create(Array.fill[org.apache.spark.sql.types.DataType](width)(LongType))
+      val outer = this
+      new Iterator[InternalRow] {
+        private var slot = 0
+        private var idx = 1
+        private def advance(): Unit =
+          while (slot < outer.capacity &&
+            (!outer.used(slot) || idx > outer.vals(slot)(0).toInt)) {
+            slot += 1; idx = 1
+          }
+        override def hasNext: Boolean = { advance(); slot < outer.capacity }
+        override def next(): InternalRow = {
+          advance()
+          val arr = outer.vals(slot)
+          row.setLong(keyOrd, outer.keys(slot))
+          row.setLong(itemOrd, arr(idx))
+          if (rankOrd >= 0) row.setLong(rankOrd, idx.toLong)
+          idx += 1
+          proj(row)
+        }
+      }
+    }
+  }
+
+  /** Consume a partition into a [[LongTopKMap]]. Null in either column is a
+    * contract violation (the caller declared non-null longs) — fail loudly
+    * rather than mis-sort.
+    */
+  def buildPrimitive(
+      iter: Iterator[InternalRow],
+      keyOrd: Int,
+      itemOrd: Int,
+      k: Int): LongTopKMap = {
+    val map = new LongTopKMap(k)
+    while (iter.hasNext) {
+      val row = iter.next()
+      if (row.isNullAt(keyOrd) || row.isNullAt(itemOrd))
+        throw new IllegalStateException(
+          "TopKPerGroup primitive path: NULL in a declared non-null long column " +
+            "(basket-cap contract) — clean the input or use the generic descending API")
+      map.insert(row.getLong(keyOrd), row.getLong(itemOrd))
+    }
+    map
+  }
+
   def build(
       iter: Iterator[InternalRow],
       childOutput: Seq[Attribute],
@@ -279,10 +449,12 @@ private[plans] object TopKHeaps {
       tieExpr: Attribute,
       k: Int,
       dedup: Boolean,
+      ascending: Boolean = false,
   ): (java.util.HashMap[UnsafeRow, java.util.Collection[InternalRow]],
       java.util.Comparator[InternalRow]) = {
     val groupProj = UnsafeProjection.create(groupExprs, childOutput)
-    val sortOrd = SortOrder(sortExpr, Descending) ::
+    val dir = if (ascending) Ascending else Descending
+    val sortOrd = SortOrder(sortExpr, dir) ::
       SortOrder(tieExpr, Ascending) :: Nil
     val cmp = RowOrdering.create(sortOrd, childOutput)
     val heaps = new java.util.HashMap[UnsafeRow, java.util.Collection[InternalRow]]()
@@ -330,17 +502,26 @@ case class TopKPerGroupPartialExec(
     sortExpr: Attribute,
     tieExpr: Attribute,
     child: SparkPlan,
-    dedup: Boolean = false) extends UnaryExecNode {
+    dedup: Boolean = false,
+    ascending: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (childOutput, kL, gL, sL, tL, dL) = (child.output, k, groupExprs, sortExpr, tieExpr, dedup)
-    child.execute().mapPartitions({ iter =>
-      val (heaps, _) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL)
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-    }, preservesPartitioning = true)
+    val (childOutput, kL, gL, sL, tL, dL, aL) = (child.output, k, groupExprs, sortExpr, tieExpr, dedup, ascending)
+    TopKHeaps.primitiveOrds(childOutput, gL, sL, tL, dL, aL) match {
+      case Some((keyOrd, itemOrd)) =>
+        child.execute().mapPartitions({ iter =>
+          TopKHeaps.buildPrimitive(iter, keyOrd, itemOrd, kL)
+            .rowIterator(keyOrd, itemOrd, rankOrd = -1)
+        }, preservesPartitioning = true)
+      case None =>
+        child.execute().mapPartitions({ iter =>
+          val (heaps, _) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL, aL)
+          import scala.jdk.CollectionConverters._
+          heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+        }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
@@ -354,7 +535,8 @@ case class TopKPerGroupExec(
     tieExpr: Attribute,
     rankAttr: Attribute,
     child: SparkPlan,
-    dedup: Boolean = false) extends UnaryExecNode {
+    dedup: Boolean = false,
+    ascending: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -364,9 +546,17 @@ case class TopKPerGroupExec(
     ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (childOutput, kL, gL, sL, tL, dL) = (child.output, k, groupExprs, sortExpr, tieExpr, dedup)
+    val (childOutput, kL, gL, sL, tL, dL, aL) = (child.output, k, groupExprs, sortExpr, tieExpr, dedup, ascending)
+    TopKHeaps.primitiveOrds(childOutput, gL, sL, tL, dL, aL) match {
+      case Some((keyOrd, itemOrd)) =>
+        return child.execute().mapPartitions({ iter =>
+          TopKHeaps.buildPrimitive(iter, keyOrd, itemOrd, kL)
+            .rowIterator(keyOrd, itemOrd, rankOrd = childOutput.size)
+        }, preservesPartitioning = true)
+      case None => ()
+    }
     child.execute().mapPartitions({ iter =>
-      val (heaps, cmp) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL)
+      val (heaps, cmp) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL, aL)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
       val rankRow = new SpecificInternalRow(Seq(LongType))

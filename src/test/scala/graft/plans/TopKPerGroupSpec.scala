@@ -164,4 +164,55 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(out.length == out.toSet.size)
     assert(out.toSet == viaHeap)
   }
+
+  test("topKSmallestDistinct (primitive path) == distinct + ascending row_number cap") {
+    // the r14 basket-cap shape: non-null long (key, item) engages the
+    // open-addressed long→long[] state — same semantics as the generic
+    // descending-on-negated-item formulation, proven against the window
+    val t = Tables(spark, sf())
+    val raw = t.lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("item"))
+    val viaHeap = TopKPerGroup.topKSmallestDistinct(raw, Seq("k"), "item", 3)
+      .drop("rnk").collect().map(_.toSeq.toList).toSet
+    import org.apache.spark.sql.expressions.Window
+    val oracle = raw.distinct()
+      .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy(asc("item"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq.toList).toSet
+    assert(viaHeap == oracle && viaHeap.nonEmpty)
+    // ranks are 1..n ascending by item
+    val ranked = TopKPerGroup.topKSmallestDistinct(raw, Seq("k"), "item", 3)
+      .filter(col("k") === raw.select(min("k")).head.getLong(0))
+      .orderBy("rnk").collect()
+    assert(ranked.map(_.getLong(2)).toSeq == (1L to ranked.length).toSeq)
+    assert(ranked.map(_.getLong(1)).toSeq.sorted == ranked.map(_.getLong(1)).toSeq)
+  }
+
+  test("primitive map survives growth: many keys, duplicates, eviction, cross-partition") {
+    import spark.implicits._
+    // 20k keys forces LongTopKMap rehash (initial 4096 slots) and the
+    // per-key array growth (9 -> 17 items > the initial 8-slot value array);
+    // duplicates across partitions prove the final pass re-dedups
+    val rows = for (k <- 0L until 20000L; i <- 0L until 17L)
+      yield (k, (i * 7919L + k) % 1000L) // collisions within a key too
+    val df = rows.toDF("k", "item").union(rows.toDF("k", "item")).repartition(13)
+    val got = TopKPerGroup.topKSmallestDistinct(df, Seq("k"), "item", 12)
+      .drop("rnk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = rows.toSet[(Long, Long)].groupBy(_._1).toSeq.flatMap { case (k, s) =>
+      s.map(_._2).toSeq.distinct.sorted.take(12).map((k, _))
+    }.toSet
+    assert(got == exp)
+  }
+
+  test("primitive path fails loudly on a NULL in the declared non-null columns") {
+    import spark.implicits._
+    val df = Seq((1L, java.lang.Long.valueOf(5L)), (1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "item")
+    val ex = intercept[Exception] {
+      TopKPerGroup.topKSmallestDistinct(df, Seq("k"), "item", 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("primitive path: NULL")),
+      s"wrong failure: ${msgs(ex).mkString(" | ")}")
+  }
 }
