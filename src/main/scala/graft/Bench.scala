@@ -51,9 +51,9 @@ object Bench {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
-      val (c, m) = runCanaries(s)
+      val (c, m, sc) = runCanaries(s)
       s.stop()
-      realOut.println(s"""{"canary_child_cpu_s":$c,"canary_child_mem_s":$m}""")
+      realOut.println(s"""{"canary_child_cpu_s":$c,"canary_child_mem_s":$m,"canary_child_sched_s":$sc}""")
       realOut.flush()
       return
     }
@@ -168,16 +168,18 @@ object Bench {
     // reference minima pinned on the companion object (measured on the r13
     // round box). A coefficient ≫ 1 says: divide this artifact's wall numbers
     // by it before calling anything a regression.
-    val (canaryCpuS, canaryMemS) =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) (-1.0, -1.0)
+    val (canaryCpuS, canaryMemS, canarySchedS) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) (-1.0, -1.0, -1.0)
       else gateCodegen("canary")(runCanaries(spark))
     val boxCpuCoef =
       if (canaryCpuS < 0) -1.0 else math.round(canaryCpuS / CanaryCpuRefS * 1000) / 1000.0
     val boxMemCoef =
       if (canaryMemS < 0) -1.0 else math.round(canaryMemS / CanaryMemRefS * 1000) / 1000.0
+    val boxSchedCoef =
+      if (canarySchedS < 0) -1.0 else math.round(canarySchedS / CanarySchedRefS * 1000) / 1000.0
     if (canaryCpuS >= 0)
       System.err.println(f"[bench] canary: cpu=$canaryCpuS%.3f s (coef $boxCpuCoef), " +
-        f"mem=$canaryMemS%.3f s (coef $boxMemCoef)")
+        f"mem=$canaryMemS%.3f s (coef $boxMemCoef), sched=$canarySchedS%.3f s (coef $boxSchedCoef)")
     Residency.release(spark)
     // Boundary hygiene after the canary pair (r13, measured): the canary's
     // own 3× 1.2 GB shuffles reshape the fresh JVM's old gen, and exchange-
@@ -341,10 +343,10 @@ object Bench {
     // the old settle) only if the spawn fails; `canary_end_mode` records
     // which path produced the number.
     var canaryEndMode = "none"
-    val (canaryCpuEndS, canaryMemEndS) =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) (-1.0, -1.0)
+    val (canaryCpuEndS, canaryMemEndS, canarySchedEndS) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CANARY")) (-1.0, -1.0, -1.0)
       else spawnEndCanaries(cpus) match {
-        case Some((c, m)) => canaryEndMode = "child_jvm"; (c, m)
+        case Some((c, m, sc)) => canaryEndMode = "child_jvm"; (c, m, sc)
         case None =>
           canaryEndMode = "in_jvm"
           // settle before probing: without a collected heap the pair
@@ -357,6 +359,8 @@ object Bench {
       if (canaryCpuEndS < 0) -1.0 else math.round(canaryCpuEndS / CanaryCpuRefS * 1000) / 1000.0
     val boxMemCoefEnd =
       if (canaryMemEndS < 0) -1.0 else math.round(canaryMemEndS / CanaryMemRefS * 1000) / 1000.0
+    val boxSchedCoefEnd =
+      if (canarySchedEndS < 0) -1.0 else math.round(canarySchedEndS / CanarySchedRefS * 1000) / 1000.0
     if (canaryCpuEndS >= 0)
       System.err.println(f"[bench] canary end: cpu=$canaryCpuEndS%.3f s (coef $boxCpuCoefEnd), " +
         f"mem=$canaryMemEndS%.3f s (coef $boxMemCoefEnd)")
@@ -368,7 +372,7 @@ object Bench {
       System.err.println(s"[bench] CODEGEN GATE FAILED: $codegenTotal whole-stage " +
         s"fallback(s) across the catalog (offenders: ${fallbackEntries.keys.mkString(", ")})")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"canary_cpu_end_s":$canaryCpuEndS,"canary_mem_end_s":$canaryMemEndS,"box_cpu_coef_end":$boxCpuCoefEnd,"box_mem_coef_end":$boxMemCoefEnd,"canary_end_mode":"$canaryEndMode","state_provider":"${graft.streaming.StateStores.providerTag}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"canary_cpu_end_s":$canaryCpuEndS,"canary_mem_end_s":$canaryMemEndS,"box_cpu_coef_end":$boxCpuCoefEnd,"box_mem_coef_end":$boxMemCoefEnd,"canary_sched_s":$canarySchedS,"box_sched_coef":$boxSchedCoef,"canary_sched_end_s":$canarySchedEndS,"box_sched_coef_end":$boxSchedCoefEnd,"canary_end_mode":"$canaryEndMode","state_provider":"${graft.streaming.StateStores.providerTag}","sf":"$sfDir"}"""
     // The driver keeps only a bounded (~2000-char) stdout tail and parses the
     // JSON line out of it; the full-name two-map line above is ~6 KB and has
     // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —
@@ -413,6 +417,22 @@ object Bench {
   // with box_cpu_coef ≈ 1.0.
   private val CanaryCpuRefS = 0.407
   private val CanaryMemRefS = 1.323
+  // r14: third canary — small-task SCHEDULING/dispatch. Found the hard way:
+  // an r14 session read start AND end cpu/mem coefs healthy (0.83/0.88,
+  // 0.79/1.04) while the catalog's sub-second entries ran a uniform ~1.3×
+  // over r13 on unchanged code, reproduced in a minimal fresh JVM — the
+  // big-granule pair (one 2^29-row stage, one 1.2 GB shuffle) is blind to
+  // the dimension small entries are dominated by: per-stage launch +
+  // per-task dispatch. This probe runs 3 200 near-empty tasks through one
+  // single-row aggregate, min-of-3 — pure scheduler/dispatch throughput.
+  // Reference pinned from the same r14 evening that exposed the gap
+  // (sched 1.152 s measured WHILE the small-entry catalog ran ~1.3× over
+  // r13, i.e. the reference box was plausibly NOT healthy on this axis):
+  // until a quiet-morning session re-pins it, read box_sched_coef as
+  // RELATIVE to that condition (≪1 = better box than the r14 evening,
+  // and if the catalog recovers to r13 levels alongside a low sched coef,
+  // the blind-spot hypothesis is confirmed and the ref re-pins there).
+  private val CanarySchedRefS = 1.152
 
   /** Spawn a fresh JVM that runs ONLY the canary pair (SPARK_GRAFT_CANARY_
     * ONLY mode of this main) and parse its one-line JSON. Same java binary,
@@ -420,7 +440,7 @@ object Bench {
     * parent drive doesn't double-reserve the box (the canaries need ~2 g).
     * None on any failure — caller falls back to the in-JVM pair.
     */
-  private def spawnEndCanaries(cpus: String): Option[(Double, Double)] = try {
+  private def spawnEndCanaries(cpus: String): Option[(Double, Double, Double)] = try {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
@@ -437,8 +457,9 @@ object Bench {
     val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
     val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
     if (!done) { p.destroyForcibly(); return None }
-    val re = """"canary_child_cpu_s":([0-9.]+),"canary_child_mem_s":([0-9.]+)""".r
-    re.findFirstMatchIn(out).map(m => (m.group(1).toDouble, m.group(2).toDouble))
+    val re = """"canary_child_cpu_s":([0-9.]+),"canary_child_mem_s":([0-9.]+),"canary_child_sched_s":([0-9.]+)""".r
+    re.findFirstMatchIn(out).map(m =>
+      (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble))
   } catch {
     case e: Exception =>
       System.err.println(s"[bench] end-canary child failed: ${e.getMessage}")
@@ -450,7 +471,7 @@ object Bench {
     * identical at every SF, every round, so their walls are comparable
     * across artifacts unconditionally.
     */
-  private def runCanaries(spark: SparkSession): (Double, Double) = {
+  private def runCanaries(spark: SparkSession): (Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     def minOf3(body: => Unit): Double = {
       var best = Double.MaxValue
@@ -483,7 +504,15 @@ object Bench {
         .repartition(64, col("k"))
         .write.format("noop").mode("overwrite").save()
     }
-    (cpu, mem)
+    val sched = minOf3 {
+      // 3 200 near-empty tasks into one single-row aggregate: 100 dispatch
+      // waves on 32 threads, no data, no shuffle bytes — pure per-stage
+      // launch + per-task scheduling throughput (see CanarySchedRefS)
+      spark.range(0, 3200L, 1, 3200)
+        .agg(sum(lit(1L)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    (cpu, mem, sched)
   }
 
   /** Replace the log4j2 configuration with one that writes everything at

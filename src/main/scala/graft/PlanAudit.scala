@@ -149,6 +149,19 @@ import org.apache.spark.sql.SparkSession
   * broadcast ≤(k−1)·|series| rows, and the per-bucket argmax window
   * partitions by (series, bucket) — no global sort over the input, no
   * BNLJ, no single-partition exchange.
+  *
+  * Round-14 audit: st20 is CLEAN (lt01's serve shape over the maintained
+  * minute MV — same windows, MV-sized input), and q15/q17 keep their flag-
+  * free shapes through the capBasket primitive-state rework (the heap
+  * passes changed internals, not plan structure: TopKPerGroupPartial →
+  * exchange on the basket key → TopKPerGroup, ReusedExchange across the
+  * self-join intact — BasketCapSpec asserts it). ur01 flags
+  * `lambdafunction`: the tracking-param filter HOF runs ≤ 4 evals per URL
+  * (constant-width, the dd03/dd04 accounted class); every other ur01 step
+  * is codegen'd string expressions. ur02 adds the accounted 1-row
+  * token-total pattern: `SinglePartition` is the single-row global SUM and
+  * `BroadcastNestedLoopJoin` its broadcast cross join onto the ≤|domains|
+  * rollup (the q18/q26 anchor class — broadcasting one row is free).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

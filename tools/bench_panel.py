@@ -89,7 +89,8 @@ def run_entry(sfdir, entry, xmx="100g"):
     # carrying the per-entry coefficients makes the panel protocol's same-day
     # box witness structural — an entry far above its class is box-attributable
     # on sight when its own JVM's box_mem_coef is inflated too.
-    for k in ("canary_cpu_s", "canary_mem_s", "box_cpu_coef", "box_mem_coef"):
+    for k in ("canary_cpu_s", "canary_mem_s", "box_cpu_coef", "box_mem_coef",
+              "canary_sched_s", "box_sched_coef"):
         if k in d:
             rec[k] = d[k]
     if d.get("streaming_setup_sec", -1) >= 0:
