@@ -220,17 +220,41 @@ object Bench {
     val setupGc0 = gcMillisNow
     val setupHeap0 = heapUsedMb
     val setupT0 = System.nanoTime()
+    // Per-phase attribution (r14 verdict item 4: setup_s tripled 38.6→103.1
+    // across rounds with no in-artifact breakdown). Three named phases cover
+    // the whole block — state-store provider init (RocksDB native load +
+    // first store open, isolated on a 3-row MemoryStream probe), the 6-MV
+    // cascade, and the maintained streaming-MV family warm — plus an `other`
+    // residual so the fields sum to setup_s exactly.
+    var setupProviderInitS = -1.0
+    var setupCascadeS = -1.0
+    var setupStreamWarmS = -1.0
     val streamingSetup =
       if (!needsCascade) -1.0
       else try {
         gateCodegen("streaming_setup") {
+          val p0 = System.nanoTime()
+          stateProviderInitProbe(spark)
+          setupProviderInitS = (System.nanoTime() - p0) / 1e9
+          val c0 = System.nanoTime()
           graft.streaming.MvCascade.run(spark, sfDir)
+          setupCascadeS = (System.nanoTime() - c0) / 1e9
+          val w0 = System.nanoTime()
           graft.streaming.StreamingMVs.warm(spark, sfDir)
+          setupStreamWarmS = (System.nanoTime() - w0) / 1e9
           (System.nanoTime() - setupT0) / 1e9
         }
       }
       catch { case e: Throwable =>
         System.err.println(s"[bench] cascade setup failed: ${e.getMessage}"); -1.0
+      }
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val setupPhasesJson =
+      if (streamingSetup < 0) "{}"
+      else {
+        val other = math.max(0.0,
+          streamingSetup - setupProviderInitS - setupCascadeS - setupStreamWarmS)
+        s"""{"state_provider_init":${r3(setupProviderInitS)},"cascade":${r3(setupCascadeS)},"stream_warm":${r3(setupStreamWarmS)},"other":${r3(other)}}"""
       }
     val setupGcMs = gcMillisNow - setupGc0
     val setupHeap1 = heapUsedMb
@@ -372,7 +396,7 @@ object Bench {
       System.err.println(s"[bench] CODEGEN GATE FAILED: $codegenTotal whole-stage " +
         s"fallback(s) across the catalog (offenders: ${fallbackEntries.keys.mkString(", ")})")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"canary_cpu_end_s":$canaryCpuEndS,"canary_mem_end_s":$canaryMemEndS,"box_cpu_coef_end":$boxCpuCoefEnd,"box_mem_coef_end":$boxMemCoefEnd,"canary_sched_s":$canarySchedS,"box_sched_coef":$boxSchedCoef,"canary_sched_end_s":$canarySchedEndS,"box_sched_coef_end":$boxSchedCoefEnd,"canary_end_mode":"$canaryEndMode","state_provider":"${graft.streaming.StateStores.providerTag}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$rounds,"queries":${fmtMap(minOf)},"queries_median":${fmtMap(medianOf)},"streaming_setup_sec":$streamingSetup,"setup_phases":$setupPhasesJson,"setup_gc_ms":$setupGcMs,"setup_heap_mb":[$setupHeap0,$setupHeap1],"cascade_mvs":$cascadeBreakdown,"stream_mvs":$streamMvs,"codegen_fallbacks":$codegenTotal,"codegen_fallback_entries":$fallbacksJson,"ingest_events_per_sec":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"ingest_windows":${eps.windowsJson},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"canary_cpu_end_s":$canaryCpuEndS,"canary_mem_end_s":$canaryMemEndS,"box_cpu_coef_end":$boxCpuCoefEnd,"box_mem_coef_end":$boxMemCoefEnd,"canary_sched_s":$canarySchedS,"box_sched_coef":$boxSchedCoef,"canary_sched_end_s":$canarySchedEndS,"box_sched_coef_end":$boxSchedCoefEnd,"canary_end_mode":"$canaryEndMode","state_provider":"${graft.streaming.StateStores.providerTag}","sf":"$sfDir"}"""
     // The driver keeps only a bounded (~2000-char) stdout tail and parses the
     // JSON line out of it; the full-name two-map line above is ~6 KB and has
     // never fit (BENCH_r1–r3 all show `parsed: null`). Print a compact line —
@@ -388,7 +412,7 @@ object Bench {
     // driver's window keeps the TAIL, so when the map alone overflows it the
     // surviving suffix still carries total/count/setup/ingest.
     val compactLine =
-      s"""{"metric":"total","unit":"sec","runs":$rounds,"queries":$compactQueries,"value":${math.round(total * 1000) / 1000.0},"total_s":${math.round(total * 1000) / 1000.0},"n":${names.count(n => minOf(n) >= 0)},"setup_s":${math.round(streamingSetup * 10) / 10.0},"codegen_fallbacks":$codegenTotal,"ingest_eps":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"box_cpu_coef_end":$boxCpuCoefEnd,"box_mem_coef_end":$boxMemCoefEnd,"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
+      s"""{"metric":"total","unit":"sec","runs":$rounds,"queries":$compactQueries,"value":${math.round(total * 1000) / 1000.0},"total_s":${math.round(total * 1000) / 1000.0},"n":${names.count(n => minOf(n) >= 0)},"setup_s":${math.round(streamingSetup * 10) / 10.0},"setup_phases":$setupPhasesJson,"codegen_fallbacks":$codegenTotal,"ingest_eps":${eps.median},"ingest_eps_min":${eps.min},"ingest_eps_max":${eps.max},"ingest_eps_spread_pct":${eps.spreadPct},"ingest_spread_cause":"${eps.spreadCause}","ingest_eps_overall":${eps.overall},"canary_cpu_s":$canaryCpuS,"canary_mem_s":$canaryMemS,"box_cpu_coef":$boxCpuCoef,"box_mem_coef":$boxMemCoef,"box_cpu_coef_end":$boxCpuCoefEnd,"box_mem_coef_end":$boxMemCoefEnd,"sf":"$sfDir","full_names_and_medians":"target/bench_<sf>.json"}"""
     // Also persist: the driver captures a bounded stdout tail, and r1's
     // per-query numbers fell outside the window — the file copy is the
     // durable record. Keyed by scale factor so consecutive runs (one per sf)
@@ -434,6 +458,27 @@ object Bench {
   // the blind-spot hypothesis is confirmed and the ref re-pins there).
   private val CanarySchedRefS = 1.152
 
+  /** Isolate the state-store provider's one-time cost (RocksDB JNI library
+    * load + first store open + first snapshot machinery) on a 3-row
+    * MemoryStream dedup, so the cascade phase that follows measures MV work,
+    * not provider bring-up. Runs under whatever provider StateStores routed
+    * into the session conf — heap mode times its (near-zero) init the same
+    * way.
+    */
+  private def stateProviderInitProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L, 2L)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-provider-init")
+    val q = ms.toDF().dropDuplicates("value").writeStream
+      .format("noop")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Spawn a fresh JVM that runs ONLY the canary pair (SPARK_GRAFT_CANARY_
     * ONLY mode of this main) and parse its one-line JSON. Same java binary,
     * inherited --add-opens, same classpath; -Xmx capped at 8g so a 100 g
@@ -453,10 +498,24 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_CANARY_ONLY", "1")
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    // Child stdout goes to a temp FILE, not a parent-read pipe: reading the
+    // pipe to EOF before waitFor meant the 300 s timeout could never fire
+    // while the child was alive (a wedged Spark startup would block the
+    // parent bench forever and the in-JVM fallback was unreachable —
+    // ADVICE r14). With a file sink the parent can waitFor with the real
+    // timeout, destroy a hung child, and only then parse.
+    val outFile = java.nio.file.Files.createTempFile("graft-canary-child", ".json")
+    pb.redirectOutput(ProcessBuilder.Redirect.to(outFile.toFile))
     val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
     val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-    if (!done) { p.destroyForcibly(); return None }
+    if (!done) {
+      p.destroyForcibly()
+      System.err.println("[bench] end-canary child timed out after 300 s; killed")
+      java.nio.file.Files.deleteIfExists(outFile)
+      return None
+    }
+    val out = java.nio.file.Files.readString(outFile)
+    java.nio.file.Files.deleteIfExists(outFile)
     val re = """"canary_child_cpu_s":([0-9.]+),"canary_child_mem_s":([0-9.]+),"canary_child_sched_s":([0-9.]+)""".r
     re.findFirstMatchIn(out).map(m =>
       (m.group(1).toDouble, m.group(2).toDouble, m.group(3).toDouble))

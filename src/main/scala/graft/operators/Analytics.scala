@@ -246,9 +246,18 @@ object Analytics {
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id")),
         "user_id", "part_id", BasketCapPerUser)
-      val buyers = up.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
-      val a = up.toDF("u", "part_a")
-      val b = up.toDF("u", "part_b")
+      // r15: the frequency screen (below) adds a SECOND job over the capped
+      // baskets (the sketch pass), which ReusedExchange cannot span — reuse
+      // is per-query-execution. Persist the capped distinct once instead:
+      // the mass probe, the sketch pass, and the main pass (whose three
+      // consumers previously shared the exchange) all read the columnar
+      // cache, built in one pass and clustered by user so the self-join
+      // still plans without a fresh exchange. The harnesses' Residency
+      // .release drops the blocks after the entry is consumed.
+      val upC = up.persist()
+      val buyers = upC.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
+      val a = upC.toDF("u", "part_a")
+      val b = upC.toDF("u", "part_b")
       // The pair count is a near-no-reduction aggregation: at sf3, 394 M raw
       // pairs hold 381 M DISTINCT (part_a, part_b) groups (only 270 k reach
       // both_count >= 3), so at 32 FIXED reducers each final-agg hash map
@@ -298,8 +307,38 @@ object Analytics {
       require(minPart >= 0L && maxPart <= 0xFFFFFFFFL,
         s"q17 pair pack needs 0 <= partkey < 2^32 (FK l_partkey ⊆ p_partkey), " +
           s"got [$minPart, $maxPart] — widen the pack")
-      val pairs = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
+      // Round 15 (VERDICT r14 Next #2): exact-preserving FREQUENCY SCREEN on
+      // the pair exchange. HAVING both_count >= 3 discards the Zipfian tail
+      // of <3-count pairs AFTER shuffling it (at sf10 the 1.3 B-row pair
+      // exchange is the entry's dominant wall term; survivors are ~10⁻³ of
+      // distinct pairs). A first map-side pass builds a 2-bit saturating
+      // counting sketch over the packed pair key; the main pass drops
+      // non-candidate pairs BEFORE the exchange. False positives only —
+      // the exact recount + HAVING already in the plan absorb them, so the
+      // result (and the oracle SQL) is unchanged by construction. See
+      // FrequencyScreen's scaladoc for the load math and the loud refusal
+      // past the sketch's mass ceiling.
+      val pairStream = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
         .select(shiftleft(col("part_a"), 32).bitwiseOR(col("part_b")).as("pk"))
+      // exact screened mass from the capped basket sizes: upC is already
+      // clustered by user, so this aggregate adds no exchange
+      val massRow = upC.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - lit(1)))).head()
+      val pairMass = if (massRow.isNullAt(0)) 0L else massRow.getLong(0) / 2
+      val screened = graft.plans.FrequencyScreen.cellsFor(pairMass) match {
+        case Some(cells) =>
+          val sketch = graft.plans.FrequencyScreen.buildThresholdSketch(pairStream, "pk", cells)
+          val bc = spark.sparkContext.broadcast(sketch)
+          pairStream.filter(
+            graft.plans.FrequencyScreen.mightReachThree(col("pk"), bc, cells))
+        case None =>
+          System.err.println(s"[q17] frequency screen REFUSED: pair mass $pairMass " +
+            s"exceeds the sketch ceiling (load > ${graft.plans.FrequencyScreen.MaxLoad} " +
+            s"at ${graft.plans.FrequencyScreen.MaxCells} cells) — running unscreened; " +
+            "shard the sketch by key range to extend it")
+          pairStream
+      }
+      val pairs = screened
         .groupBy("pk")
         .agg(count(lit(1)).as("both_count"))
         .filter(col("both_count") >= 3)

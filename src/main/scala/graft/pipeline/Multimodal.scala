@@ -525,6 +525,97 @@ object Multimodal {
       }
   }
 
+  // pp04 gate bands: integer-exact bounds on the decoded mean signals —
+  // 64-sample aHash mean for images, decoded PCM mean amplitude for audio.
+  // Constants, not confs (the oracle bakes the same numbers — the
+  // basket-cap discipline); chosen so both kept and dropped sets are
+  // non-empty from sf0.001 up (pinned by MultimodalSpec).
+  val ImgGateLo = 120L
+  val ImgGateHi = 133L
+  val AudGateLo = 124L
+  val AudGateHi = 130L
+
+  /** pp04's Spark chain — see the entry comment. Each stage consumes the
+    * previous stage's DataFrame; the roster is computed from the partitioned
+    * export's READ-BACK so the chain_md5 witnesses the writer round trip.
+    */
+  def multimodalChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    // 1. real decode → signature + gate signal, ONE codec pass per medium
+    val imgSig = pngMediaTable(spark, dir).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val s = Array.tabulate(64) { k =>
+          (img.getRGB(((k % 8) * r.width) / 8, ((k / 8) * r.height) / 8) & 0xFF).toLong
+        }
+        val sum = s.sum
+        var hi = 0L; var lo = 0L; var k = 0
+        while (k < 64) {
+          if (64L * s(k) > sum) { if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32) }
+          k += 1
+        }
+        (r.media_id, hi, lo, sum)
+      }
+    }.toDF("media_id", "hash_hi", "hash_lo", "s64")
+    val audSig = wavMediaTable(spark, dir).mapPartitions { rows =>
+      val reader = wavReader() // per-partition SPI resolve — see decodeAudioStats
+      rows.map { r =>
+        val ais = reader.getAudioInputStream(new java.io.ByteArrayInputStream(r.payload))
+        val buf = ais.readAllBytes()
+        val n = buf.length
+        val sw = new Array[Long](16); val lw = new Array[Long](16)
+        var tot = 0L; var i = 0
+        while (i < n) {
+          val w = ((i.toLong * 16) / n).toInt
+          val v = (buf(i) & 0xff).toLong
+          sw(w) += v; lw(w) += 1; tot += v
+          i += 1
+        }
+        var fp = 0L; var w = 0
+        while (w < 16) { if (n.toLong * sw(w) > tot * lw(w)) fp |= 1L << w; w += 1 }
+        (r.media_id, fp, tot, n.toLong)
+      }
+    }.toDF("media_id", "fingerprint", "amp_sum", "n_samples")
+
+    // 2. first-seen-wins dedup per signature bucket (ur01's keep rule on
+    // the stage-1 signatures)
+    val imgKeep = imgSig.withColumn("rn",
+      row_number().over(Window.partitionBy("hash_hi", "hash_lo").orderBy("media_id")))
+      .filter(col("rn") === 1).drop("rn")
+    val audKeep = audSig.withColumn("rn",
+      row_number().over(Window.partitionBy("fingerprint").orderBy("media_id")))
+      .filter(col("rn") === 1).drop("rn")
+
+    // 3. feature gate on the decoded signals stage 1 already produced —
+    // a codegen'd predicate, no second decode
+    val imgGate = imgKeep.filter(col("s64") >= 64L * ImgGateLo && col("s64") < 64L * ImgGateHi)
+    val audGate = audKeep.filter(col("amp_sum") >= col("n_samples") * AudGateLo &&
+      col("amp_sum") < col("n_samples") * AudGateHi)
+
+    // 4. union + sharded export + read-back roster (ex01/pp03 round-trip proof)
+    val kept = imgGate.select(lit("img").as("kind"), col("media_id"),
+        col("hash_hi").as("sig_hi"), col("hash_lo").as("sig_lo"))
+      .unionByName(audGate.select(lit("aud").as("kind"), col("media_id"),
+        col("fingerprint").as("sig_hi"), col("amp_sum").as("sig_lo")))
+      .withColumn("shard", pmod(col("media_id"), lit(4L)))
+    val out = s"target/export_pp04_${math.abs(dir.hashCode)}"
+    kept.write.mode("overwrite").partitionBy("kind", "shard").json(out)
+    val back = spark.read
+      .schema("media_id BIGINT, sig_hi BIGINT, sig_lo BIGINT, kind STRING, shard BIGINT")
+      .json(out)
+    val itemMd5 = md5(concat_ws(":", col("kind"), col("media_id"),
+      col("sig_hi"), col("sig_lo")).cast("binary"))
+    val chainMd5 = md5(concat_ws("",
+      transform(array_sort(collect_list(struct(col("media_id"), itemMd5.as("h")))),
+        x => x.getField("h"))).cast("binary"))
+    back.groupBy("kind", "shard")
+      .agg(count(lit(1)).cast("long").as("n_media"), chainMd5.as("chain_md5"))
+      .orderBy("kind", "shard")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ----- mm03: image-resize plumbing — the oracle recomputes the resize
@@ -839,6 +930,77 @@ object Multimodal {
           col("bucket_size"), (col("bucket_size") > 1L).as("near_dup"))
         .orderBy("media_id")
     },
+
+    // ----- pp04: the mm* stages CHAINED (r14 verdict item 6) — real codec
+    // decode → perceptual-hash / audio-fingerprint dedup (first-seen-wins
+    // per signature bucket) → feature gate on the DECODED stats carried
+    // through → sharded export, with each stage consuming the previous
+    // stage's actual DataFrame and ONE chain_md5 per (kind, shard) computed
+    // from the EXPORT READ-BACK — the pp03 contract proof applied to the
+    // multimodal side: per-stage oracles (mm04/mm06/mm08/mm09) prove each
+    // stage in isolation; this entry proves the signatures each stage hands
+    // the next are byte-identical on both engines through the writer/codec
+    // round trip. 100 TB shape: decode+signature is one map-side pass per
+    // medium (the mm08/mm09 posture), dedup shuffles 2 BIGINTs per item on
+    // the signature key, the gate is a codegen'd predicate on columns the
+    // decode already produced (no second decode), and the export is a
+    // partitioned write keyed by (kind, shard).
+    QueryDef.sql(
+      "pp04_multimodal_chain",
+      s"""WITH imgs AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+         |    CAST(n_chars % 48 + 15 AS BIGINT) AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |smp AS (
+         |  SELECT i.media_id, k.k,
+         |    (i.media_id * 7 + (((k.k % 8) * i.w) // 8) * 3
+         |       + (((k.k // 8) * i.h) // 8) * 5) % 256 AS v
+         |  FROM imgs i, UNNEST(generate_series(0, 63)) AS k(k)),
+         |st AS (SELECT media_id, SUM(v) AS s FROM smp GROUP BY 1),
+         |bits AS (
+         |  SELECT m.media_id,
+         |    CAST(SUM(CASE WHEN m.k >= 32 AND 64 * m.v > t.s
+         |      THEN (CAST(1 AS BIGINT) << (m.k - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+         |    CAST(SUM(CASE WHEN m.k < 32 AND 64 * m.v > t.s
+         |      THEN (CAST(1 AS BIGINT) << m.k) ELSE 0 END) AS BIGINT) AS hash_lo
+         |  FROM smp m JOIN st t USING (media_id) GROUP BY 1),
+         |ikeep AS (SELECT media_id, hash_hi, hash_lo,
+         |    row_number() OVER (PARTITION BY hash_hi, hash_lo ORDER BY media_id) AS rn
+         |  FROM bits),
+         |igate AS (SELECT k.media_id, k.hash_hi AS sig_hi, k.hash_lo AS sig_lo
+         |  FROM ikeep k JOIN st t USING (media_id)
+         |  WHERE k.rn = 1 AND t.s >= 64 * $ImgGateLo AND t.s < 64 * $ImgGateHi),
+         |auds AS (
+         |  SELECT doc_id AS media_id, CAST(n_chars % 400 + 100 AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |smp2 AS (
+         |  SELECT a.media_id, a.n, i.i,
+         |    (a.media_id * 11 + i.i * 13) % 256 AS v,
+         |    (i.i * 16) // a.n AS w
+         |  FROM auds a, UNNEST(generate_series(0, a.n - 1)) AS i(i)),
+         |win AS (SELECT media_id, n, w, SUM(v) AS sw, COUNT(*) AS lw
+         |  FROM smp2 GROUP BY 1, 2, 3),
+         |tot AS (SELECT media_id, SUM(sw) AS s FROM win GROUP BY 1),
+         |fp AS (SELECT w.media_id,
+         |    CAST(SUM(CASE WHEN w.n * w.sw > t.s * w.lw
+         |      THEN (CAST(1 AS BIGINT) << CAST(w.w AS INT)) ELSE 0 END) AS BIGINT) AS fingerprint
+         |  FROM win w JOIN tot t USING (media_id) GROUP BY 1),
+         |akeep AS (SELECT media_id, fingerprint,
+         |    row_number() OVER (PARTITION BY fingerprint ORDER BY media_id) AS rn
+         |  FROM fp),
+         |agate AS (SELECT k.media_id, k.fingerprint AS sig_hi, t.s AS sig_lo
+         |  FROM akeep k JOIN tot t USING (media_id) JOIN auds a USING (media_id)
+         |  WHERE k.rn = 1 AND t.s >= $AudGateLo * a.n AND t.s < $AudGateHi * a.n),
+         |u AS (SELECT 'img' AS kind, media_id, sig_hi, sig_lo FROM igate
+         |  UNION ALL SELECT 'aud', media_id, sig_hi, sig_lo FROM agate)
+         |SELECT kind, CAST(media_id % 4 AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_media,
+         |  md5(string_agg(md5(kind || ':' || CAST(media_id AS VARCHAR) || ':' ||
+         |    CAST(sig_hi AS VARCHAR) || ':' || CAST(sig_lo AS VARCHAR)),
+         |    '' ORDER BY media_id)) AS chain_md5
+         |FROM u GROUP BY 1, 2 ORDER BY kind, shard""".stripMargin,
+    ) { (spark, dir) => multimodalChain(spark, dir) },
 
     // ----- mm09: audio-fingerprint near-dup — mm08's audio twin: decode
     // the REAL WAV with the codec, split the PCM stream into 16 windows by

@@ -81,7 +81,7 @@ object UrlCuration {
     * from g = doc_id % G; cosmetic variation (case, default port, tracking
     * params, param order, fragment) from doc_id itself.
     */
-  private[pipeline] def urlCol: Column = {
+  private[graft] def urlCol: Column = {
     val v = col("doc_id")
     val g = v % G
     val gs = g.cast("string")
@@ -142,7 +142,7 @@ object UrlCuration {
   /** Generic canonicalizer: (canon_url, etld1) columns from a raw `url`
     * column. Pure codegen'd string expressions.
     */
-  private[pipeline] def canonCols(url: Column): (Column, Column) = {
+  private[graft] def canonCols(url: Column): (Column, Column) = {
     val u0 = regexp_replace(url, "#.*$", "")
     val schC = lower(regexp_extract(u0, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(u0, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -218,6 +218,13 @@ object UrlCuration {
        |    $etld1Case AS etld1
        |  FROM c5)""".stripMargin
   }
+
+  /** The plant+canon oracle CTE pair (no token column) for reuse by the
+    * streaming twin st21 — st20/lt01 convention: the streaming entry's
+    * oracle is the batch entry's, verbatim.
+    */
+  private[graft] def oracleCtes: String =
+    s"${plantSql(withTokens = false)},\n${canonSql(withTokens = false)}"
 
   // ---------------------------------------------------------------- defs
 

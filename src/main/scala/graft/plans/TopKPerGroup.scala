@@ -420,25 +420,37 @@ private[plans] object TopKHeaps {
     }
   }
 
-  /** Consume a partition into a [[LongTopKMap]]. Null in either column is a
-    * contract violation (the caller declared non-null longs) — fail loudly
-    * rather than mis-sort.
+  /** Consume a partition into a [[LongTopKMap]]. Parquet attributes are
+    * typically nullable=true regardless of the data, so static typing can't
+    * prove the contract — a null mid-partition is handled by FALLING BACK to
+    * the generic comparator path for that partition (ADVICE r14; the old
+    * IllegalStateException aborted the whole query for callers outside the
+    * known-null-free TPC-H basket shapes). The accumulated primitive state
+    * is lossless here: in the 2-column dedup shape the (key, item) pairs ARE
+    * the rows, so on the first null they replay into the generic build ahead
+    * of the trigger row and the remaining input.
+    *
+    * Right(map) = the whole partition was null-free (the hot path, zero
+    * overhead beyond the isNullAt checks it always did); Left(iter) = an
+    * equivalent row iterator for the generic [[build]].
     */
   def buildPrimitive(
       iter: Iterator[InternalRow],
       keyOrd: Int,
       itemOrd: Int,
-      k: Int): LongTopKMap = {
+      k: Int): Either[Iterator[InternalRow], LongTopKMap] = {
     val map = new LongTopKMap(k)
     while (iter.hasNext) {
       val row = iter.next()
       if (row.isNullAt(keyOrd) || row.isNullAt(itemOrd))
-        throw new IllegalStateException(
-          "TopKPerGroup primitive path: NULL in a declared non-null long column " +
-            "(basket-cap contract) — clean the input or use the generic descending API")
+        // replay order is irrelevant: both heap builds are order-insensitive
+        // over a partition (bounded per-key state, not streaming rank)
+        return scala.Left(
+          map.rowIterator(keyOrd, itemOrd, rankOrd = -1) ++
+            Iterator.single[InternalRow](row.copy()) ++ iter)
       map.insert(row.getLong(keyOrd), row.getLong(itemOrd))
     }
-    map
+    scala.Right(map)
   }
 
   def build(
@@ -509,18 +521,21 @@ case class TopKPerGroupPartialExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (childOutput, kL, gL, sL, tL, dL, aL) = (child.output, k, groupExprs, sortExpr, tieExpr, dedup, ascending)
+    def generic(iter: Iterator[InternalRow]): Iterator[InternalRow] = {
+      val (heaps, _) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL, aL)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
     TopKHeaps.primitiveOrds(childOutput, gL, sL, tL, dL, aL) match {
       case Some((keyOrd, itemOrd)) =>
         child.execute().mapPartitions({ iter =>
-          TopKHeaps.buildPrimitive(iter, keyOrd, itemOrd, kL)
-            .rowIterator(keyOrd, itemOrd, rankOrd = -1)
+          TopKHeaps.buildPrimitive(iter, keyOrd, itemOrd, kL) match {
+            case scala.Right(map) => map.rowIterator(keyOrd, itemOrd, rankOrd = -1)
+            case scala.Left(rows) => generic(rows) // null seen: per-partition fallback
+          }
         }, preservesPartitioning = true)
       case None =>
-        child.execute().mapPartitions({ iter =>
-          val (heaps, _) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL, aL)
-          import scala.jdk.CollectionConverters._
-          heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
-        }, preservesPartitioning = true)
+        child.execute().mapPartitions(generic, preservesPartitioning = true)
     }
   }
 
@@ -547,18 +562,12 @@ case class TopKPerGroupExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (childOutput, kL, gL, sL, tL, dL, aL) = (child.output, k, groupExprs, sortExpr, tieExpr, dedup, ascending)
-    TopKHeaps.primitiveOrds(childOutput, gL, sL, tL, dL, aL) match {
-      case Some((keyOrd, itemOrd)) =>
-        return child.execute().mapPartitions({ iter =>
-          TopKHeaps.buildPrimitive(iter, keyOrd, itemOrd, kL)
-            .rowIterator(keyOrd, itemOrd, rankOrd = childOutput.size)
-        }, preservesPartitioning = true)
-      case None => ()
-    }
-    child.execute().mapPartitions({ iter =>
+    val outputL = output
+    val rankAttrL = rankAttr
+    def generic(iter: Iterator[InternalRow]): Iterator[InternalRow] = {
       val (heaps, cmp) = TopKHeaps.build(iter, childOutput, gL, sL, tL, kL, dL, aL)
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(output, childOutput :+ rankAttr)
+      val outProj = UnsafeProjection.create(outputL, childOutput :+ rankAttrL)
       val rankRow = new SpecificInternalRow(Seq(LongType))
       import scala.jdk.CollectionConverters._
       heaps.values().iterator().asScala.flatMap { heap =>
@@ -569,7 +578,18 @@ case class TopKPerGroupExec(
           outProj(joined(r, rankRow))
         }
       }
-    }, preservesPartitioning = true)
+    }
+    TopKHeaps.primitiveOrds(childOutput, gL, sL, tL, dL, aL) match {
+      case Some((keyOrd, itemOrd)) =>
+        child.execute().mapPartitions({ iter =>
+          TopKHeaps.buildPrimitive(iter, keyOrd, itemOrd, kL) match {
+            case scala.Right(map) => map.rowIterator(keyOrd, itemOrd, rankOrd = childOutput.size)
+            case scala.Left(rows) => generic(rows) // null seen: per-partition fallback
+          }
+        }, preservesPartitioning = true)
+      case None =>
+        child.execute().mapPartitions(generic, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

@@ -292,6 +292,7 @@ object StreamingMVs {
     decontamMv(spark, dir)
     neardupProbeMv(spark, dir)
     concurrencyMv(spark, dir)
+    urlDedupMv(spark, dir)
   }
 
   /** st19's maintained MV: per-(user, day) activity-span endpoints. min/max
@@ -325,6 +326,37 @@ object StreamingMVs {
         .groupBy(col("event_type").as("series"),
           graft.operators.Lttb.minuteCol(col("ts")).as("x"))
         .agg(count(lit(1)).as("y"))
+    }
+
+  /** st21's maintained MV: streaming URL dedup — ur01's first-seen-wins
+    * canonical-URL dedup applied at ingestion time (the C4 opening stage as
+    * a live firewall). The r14 sketch suggested dropDuplicates-with-
+    * watermark (st11's pattern), but that keeps the first ARRIVED row and
+    * micro-batch arrival order is partition-parallel — a nondeterministic
+    * survivor when duplicates DIFFER (st11 got away with it because its
+    * duplicates are bit-identical events). First-seen here means smallest
+    * doc_id, so the state is a per-canon_url `min(struct(doc_id, …))` —
+    * an order-free mergeable aggregate (A8 discipline): any micro-batch
+    * split or replay folds to the identical minimum, making incremental ==
+    * batch by construction and the entry hash-stable.
+    *
+    * 100 TB posture: state is one fixed-width row per DISTINCT canonical
+    * URL — the standing registry a crawl dedup necessarily maintains —
+    * keyed by the same canon_url a host shard partitions by, held off-heap
+    * by the RocksDB default; a re-crawl product would bound it with st11's
+    * within-watermark eviction instead. The canonicalizer itself is the
+    * batch entry's codegen'd string algebra, stateless and map-side.
+    */
+  def urlDedupMv(spark: SparkSession, dir: String): DataFrame =
+    maintainOnce(spark, dir, "st21_url_dedup") {
+      import graft.pipeline.UrlCuration
+      val raw = documentsStream(spark, dir)
+        .select(col("doc_id"), UrlCuration.urlCol.as("url"))
+      val (canon, etld1) = UrlCuration.canonCols(col("url"))
+      raw.select(col("doc_id"), col("url"), canon.as("canon_url"), etld1.as("etld1"))
+        .groupBy("canon_url")
+        .agg(min(struct(col("doc_id"), col("url"), col("etld1"))).as("keep"),
+          count(lit(1)).as("url_dups"))
     }
 
   /** st14's maintained MV: streaming IVF cell routing. Centroids are pinned
@@ -795,6 +827,30 @@ object StreamingMVs {
       val mv = timelineMv(spark, dir)
       graft.operators.Lttb.serveTimeline(
         spark.createDataFrame(mv.rdd, mv.schema))
+    },
+
+    // ----- st21: streaming URL-dedup firewall (r14 verdict item 5) — ur01's
+    // first-seen-wins canonical-URL dedup maintained ON the ingest stream
+    // (urlDedupMv: per-canon_url min-struct state, order-free mergeable so
+    // incremental == batch — see the MV scaladoc for why dropDuplicates
+    // was rejected). The serve read unnests the kept row; oracle = ur01's
+    // plant+canon CTEs verbatim with the keep filter applied.
+    QueryDef.sql(
+      "st21_streaming_url_dedup",
+      s"""WITH ${graft.pipeline.UrlCuration.oracleCtes},
+         |ranked AS (
+         |  SELECT doc_id, url, canon_url, etld1,
+         |    row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS url_dups
+         |  FROM canon)
+         |SELECT doc_id, url, canon_url, etld1, url_dups
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    ) { (spark, dir) =>
+      urlDedupMv(spark, dir)
+        .select(col("keep.doc_id").as("doc_id"), col("keep.url").as("url"),
+          col("canon_url"), col("keep.etld1").as("etld1"),
+          col("url_dups").cast("long").as("url_dups"))
+        .orderBy("doc_id")
     },
 
     // ----- st03: gap-based sessionization via session_window (ST6 — the

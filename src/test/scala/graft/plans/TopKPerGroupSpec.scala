@@ -203,16 +203,26 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got == exp)
   }
 
-  test("primitive path fails loudly on a NULL in the declared non-null columns") {
+  test("primitive path falls back per-partition on NULL (ADVICE r14) — generic semantics") {
     import spark.implicits._
-    val df = Seq((1L, java.lang.Long.valueOf(5L)), (1L, null.asInstanceOf[java.lang.Long]))
-      .toDF("k", "item")
-    val ex = intercept[Exception] {
-      TopKPerGroup.topKSmallestDistinct(df, Seq("k"), "item", 3).collect()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    assert(msgs(ex).exists(_.contains("primitive path: NULL")),
-      s"wrong failure: ${msgs(ex).mkString(" | ")}")
+    // parquet attrs are nullable=true regardless of data, so the primitive
+    // path engages on static LongType alone; a real null mid-partition must
+    // hand that partition to the generic comparator path (which orders nulls
+    // by the default ASC NULLS FIRST), not abort the query
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 5L), (1L, null), (1L, 2L), (1L, 7L), (1L, 2L),
+      (2L, 9L), (2L, 1L)).toDF("k", "item").repartition(3)
+    val got = TopKPerGroup.topKSmallestDistinct(df, Seq("k"), "item", 3)
+      .collect().map(r => (r.getLong(0), r.getAs[java.lang.Long]("item"), r.getLong(2))).toSet
+    // k=1: distinct {null,2,5,7} ASC NULLS FIRST capped at 3 -> null,2,5
+    val exp = Set[(Long, java.lang.Long, Long)](
+      (1L, null, 1L), (1L, 2L, 2L), (1L, 5L, 3L),
+      (2L, 1L, 1L), (2L, 9L, 2L))
+    assert(got == exp, s"got $got")
+    // and a null-free frame through the same code path is untouched
+    val clean = Seq((1L, 5L), (1L, 2L), (1L, 7L), (2L, 3L)).toDF("k", "item")
+    val got2 = TopKPerGroup.topKSmallestDistinct(clean, Seq("k"), "item", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == Set((1L, 2L, 1L), (1L, 5L, 2L), (2L, 3L, 1L)))
   }
 }

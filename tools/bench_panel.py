@@ -125,8 +125,22 @@ def compare_prev(rec, prev_entry):
     floor = rec.get("warm_floor", rec["min"])
     rec["prev_min"] = prev_min
     rec["ratio"] = round(floor / prev_min, 3)
-    healthy = (rec.get("box_cpu_coef", 1.0) < HEALTHY_COEF
-               and rec.get("box_mem_coef", 1.0) < HEALTHY_COEF)
+    # "Healthy box" needs POSITIVE EVIDENCE (ADVICE r14): absent keys or the
+    # -1.0 SKIP_CANARY sentinel used to default-pass the `< HEALTHY_COEF`
+    # check, so a run with no box evidence could fire the contamination flag.
+    # Require every coefficient the artifact carries to be present and >= 0;
+    # otherwise the record is box-unknown and the flag stays silent (an
+    # unexplained slow entry without box evidence is re-run, not flagged).
+    # box_sched_coef joins the rule (r14 Next #8): the r15 quiet-box
+    # arbitration confirmed the sched axis and re-pinned its reference, so a
+    # sched-inflated box is box-attributable like cpu/mem, not flag-worthy.
+    coefs = [rec.get("box_cpu_coef"), rec.get("box_mem_coef")]
+    if "box_sched_coef" in rec:
+        coefs.append(rec.get("box_sched_coef"))
+    if any(c is None or not isinstance(c, (int, float)) or c < 0 for c in coefs):
+        rec["box_evidence"] = "unknown"
+        return rec
+    healthy = all(c < HEALTHY_COEF for c in coefs)
     if rec["ratio"] > FLAG_RATIO and healthy:
         rec["flag"] = "regression-or-contamination: ratio %.2f with healthy box" \
             % rec["ratio"]
@@ -191,6 +205,22 @@ def selftest():
     r = compare_prev({"min": 25.0, "median": 26.0, "box_cpu_coef": 0.9,
                       "box_mem_coef": 2.2}, {"min": 10.0})
     assert r["ratio"] == 2.5 and "flag" not in r, r
+    # no flag without box EVIDENCE: absent coef -> box-unknown, not healthy
+    r = compare_prev({"min": 25.0, "median": 26.0, "box_cpu_coef": 0.9},
+                     {"min": 10.0})
+    assert r["ratio"] == 2.5 and "flag" not in r \
+        and r.get("box_evidence") == "unknown", r
+    # nor with the -1.0 SKIP_CANARY sentinel
+    r = compare_prev({"min": 25.0, "median": 26.0, "box_cpu_coef": -1.0,
+                      "box_mem_coef": -1.0}, {"min": 10.0})
+    assert "flag" not in r and r.get("box_evidence") == "unknown", r
+    # sched coef joins the health rule when present: inflated sched -> no flag
+    r = compare_prev({"min": 25.0, "median": 26.0, "box_cpu_coef": 0.9,
+                      "box_mem_coef": 1.0, "box_sched_coef": 2.4}, {"min": 10.0})
+    assert "flag" not in r, r
+    r = compare_prev({"min": 25.0, "median": 26.0, "box_cpu_coef": 0.9,
+                      "box_mem_coef": 1.0, "box_sched_coef": 0.8}, {"min": 10.0})
+    assert "flag" in r, r
     # no flag inside the 2x band
     r = compare_prev({"min": 18.0, "median": 19.0, "box_cpu_coef": 0.9,
                       "box_mem_coef": 1.0}, {"min": 10.0})
