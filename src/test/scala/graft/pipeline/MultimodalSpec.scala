@@ -164,4 +164,36 @@ class MultimodalSpec extends SparkSpec {
       assert(nd == (bs > 1), s"media $id flag")
     }
   }
+
+  test("pp04: chain gates discriminate, dedup keeps bucket minima, roster matches export") {
+    import org.apache.spark.sql.functions._
+    val roster = Multimodal.multimodalChain(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(roster.nonEmpty && roster.forall(_._4.length == 32))
+    val keptByKind = roster.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val imgTotal = Multimodal.pngMediaTable(spark, sf()).count()
+    val audTotal = Multimodal.wavMediaTable(spark, sf()).count()
+    // the gate bands must discriminate at this sf: kept non-empty AND below
+    // the per-kind total (pp04's constants are pinned by this assertion)
+    assert(keptByKind("img") > 0 && keptByKind("img") < imgTotal,
+      s"image gate degenerate: ${keptByKind("img")} of $imgTotal")
+    assert(keptByKind("aud") > 0 && keptByKind("aud") < audTotal,
+      s"audio gate degenerate: ${keptByKind("aud")} of $audTotal")
+    // dedup stage contract: every exported media_id is the minimum of its
+    // signature bucket per the independently-computed mm08 hashes
+    val out = s"target/export_pp04_${math.abs(sf().hashCode)}"
+    val back = spark.read
+      .schema("media_id BIGINT, sig_hi BIGINT, sig_lo BIGINT, kind STRING, shard BIGINT")
+      .json(out)
+    val imgKept = back.filter(col("kind") === "img")
+      .select("media_id", "sig_hi", "sig_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mm08 = graft.Catalog.byName("mm08_perceptual_hash_dedup").build(spark, sf())
+      .select("media_id", "hash_hi", "hash_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bucketMin = mm08.groupBy(r => (r._2, r._3)).view.mapValues(_.map(_._1).min).toMap
+    imgKept.foreach { case (id, hi, lo) =>
+      assert(bucketMin((hi, lo)) == id, s"exported image $id is not its bucket's first-seen")
+    }
+  }
 }

@@ -291,6 +291,42 @@ class StreamingSpec extends SparkSpec {
       s"MV rows ${mv.count()} != distinct series-minutes $distinctMinutes")
   }
 
+  test("st21: streaming URL dedup equals ur01's kept set; min-struct picks first-seen under any batch split") {
+    // catalog-level: the maintained MV read equals ur01's first_seen rows
+    val streamed = graft.Catalog.byName("st21_streaming_url_dedup")
+      .build(spark, sf()).collect()
+    val batch = graft.Catalog.byName("ur01_url_canonical").build(spark, sf())
+      .filter(col("first_seen")).collect()
+    val sKey = streamed.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSeq
+    val bKey = batch.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(5))).toSeq // ur01: ..., first_seen, url_dups
+    assert(sKey == bKey && sKey.nonEmpty,
+      "streaming URL dedup diverged from ur01's kept set")
+    // determinism under arrival order: the min-struct state must pick the
+    // SMALLEST doc_id even when a duplicate's larger doc arrives first —
+    // replay the same aggregate over a MemoryStream with adversarial batch
+    // splits (larger doc first, then the true first-seen in a later batch)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val agg = ms.toDF().toDF("doc_id", "canon_url")
+      .groupBy("canon_url")
+      .agg(min(struct(col("doc_id"))).as("keep"), count(lit(1)).as("url_dups"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("st21_order_test").start()
+    try {
+      ms.addData((7L, "u1"), (9L, "u2"))
+      q.processAllAvailable()
+      ms.addData((3L, "u1"), (9L, "u3")) // true first-seen of u1 arrives LAST
+      q.processAllAvailable()
+      val got = spark.table("st21_order_test")
+        .select(col("canon_url"), col("keep.doc_id"), col("url_dups"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("u1", 3L, 2L), ("u2", 9L, 1L), ("u3", 9L, 1L)), got.toString)
+    } finally q.stop()
+  }
+
   test("st19: streaming peak-concurrency MV equals q55's batch recompute") {
     val streamed = graft.Catalog.byName("st19_streaming_concurrency")
       .build(spark, sf()).collect()
