@@ -77,6 +77,16 @@ object Bench {
         graft.sources.Layout.initialPartitionsFor(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r15 (DiagStages): generated-class cache holds 100 entries by default
+      // while one catalog round compiles ~2 000 distinct codegen classes, so
+      // every min-of-3 re-run of an entry recompiled every stage (janino is
+      // 50–200 ms per class, charged to the driver gaps BETWEEN stages —
+      // q15's timed wall carried ~0.8 s of such gaps against 1.1 s of stage
+      // time). Scale-independent: compiled classes are keyed by source text,
+      // a few tens of KB each (~5 000 ≈ low hundreds of MB driver-side,
+      // sized for the 197-entry catalog; a deployment with one query per
+      // JVM can leave the default).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // split scans at row-group size (GenScale writes 8 MB groups): the
       // default 128 MB puts a whole ≤128 MB single-file table in ONE task,
       // serializing every map-side operator regardless of core count

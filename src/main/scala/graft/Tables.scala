@@ -14,7 +14,23 @@ import org.apache.spark.sql.functions._
   *     in `broadcast()` so fact-side shuffles never include dimension data.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** r15 (guide §1.2 "per-task work" / §7.3 driver latency): every bare
+    * `spark.read.parquet(path)` runs a 1-task footer-read JOB at DataFrame
+    * BUILD time to infer the schema — DiagStages measured 3 such jobs plus
+    * their driver gaps ≈ 150 ms at the head of q15's 1.9 s wall, paid again
+    * on every rebuild of every entry (the bench rebuilds each entry 3×).
+    * The testdata files are immutable for a process lifetime, so the schema
+    * is cached per path JVM-wide and handed to the reader explicitly —
+    * plans unchanged (schema identical), the inference job simply never
+    * runs again. NOT result caching: only the parquet footer's StructType
+    * is held (~KB per table).
+    */
+  private def t(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val st = Tables.schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(st).parquet(path)
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -58,4 +74,10 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   /** Same for orders ( `max(o_orderdate)` ). */
   def orderAnchor: DataFrame = orders.agg(max(col("o_orderdate")).as("anchor_dt"))
+}
+
+object Tables {
+  /** Parquet footer schemas by absolute path — see [[Tables.t]]. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 }

@@ -20,6 +20,8 @@ object Verify {
         graft.sources.Layout.initialPartitionsFor(sfDir, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen class cache sized for the catalog (r15) — see Bench.scala
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // row-group-sized splits — see Bench.scala (single-task scan pitfall)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       // open-cost floor below the split target: the default 4 MB makes
