@@ -27,10 +27,56 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   private def t(name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val st = Tables.schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    spark.read.schema(st).parquet(path)
+    val meta = Tables.metaCache.computeIfAbsent(path, { p =>
+      val st = spark.read.parquet(p).schema
+      val rowGroups = Tables.rowGroupCount(spark, p)
+      val bytes = try new java.io.File(p).length() catch { case _: Throwable => 0L }
+      Tables.TableMeta(st, rowGroups, bytes)
+    })
+    spark.read.schema(meta.schema).parquet(path)
   }
+
+  /** r15 (guide §2.5 "one huge unsplittable file"): parquet scans split at
+    * ROW-GROUP granularity, and every sf0.1 testdata file is a single row
+    * group — so every map-side stage over these tables runs on ONE task
+    * regardless of core count (DiagStages: pp03's redact+gate stage,
+    * 2.83 s wall / 2.82 s cpu, 1 task on a 32-core session; localCheckpoint
+    * then pins the 1-partition layout for the rest of the chain). For a
+    * KERNEL-HEAVY MAP consumer (regex scrubbing, shingle/signature builds,
+    * per-pair vector kernels) a hash repartition to the session parallelism
+    * restores the lost cores for one small exchange.
+    *
+    * Deliberately OPT-IN per call site, never blanket: a measured blanket
+    * version (applied inside [[t]]) ran the catalog 2× SLOWER — for
+    * agg-first consumers the inserted exchange ships raw rows that map-side
+    * partial aggregation previously never shuffled (guide §2.3 "aggregate
+    * before you shuffle"), e.g. prof01's per-column distincts went
+    * 0.33 → 1.9 s. Hash partitioning on the id column, not keyless
+    * round-robin — keyless repartition local-sorts its whole input for
+    * retry determinism (sortBeforeRepartition), serial on the single scan
+    * task; hash placement is deterministic without the sort.
+    *
+    * Scale-adaptive: GenScale/production files carry 8 MB row groups, so
+    * rowGroups ≥ cores/2 there and this is the identity — plans unchanged,
+    * scan-level pushdown preserved exactly where it matters. The target
+    * tracks defaultParallelism, so the driver's low-core runs get
+    * proportionally fewer partitions.
+    */
+  private def widen(df: DataFrame, name: String, key: String): DataFrame = {
+    val parallel = spark.sparkContext.defaultParallelism
+    val meta = Tables.metaCache.get(s"$dir/$name.parquet")
+    if (meta != null && meta.rowGroups > 0 && meta.rowGroups < (parallel + 1) / 2)
+      df.repartition(parallel, df.col(key))
+    else df
+  }
+
+  /** [[documents]] with scan parallelism restored for kernel-heavy map
+    * chains — see [[widen]].
+    */
+  def documentsWide: DataFrame = widen(documents, "documents", "doc_id")
+
+  /** [[embeddings]] with scan parallelism restored — see [[widen]]. */
+  def embeddingsWide: DataFrame = widen(embeddings, "embeddings", "vec_id")
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -77,7 +123,24 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  /** Parquet footer schemas by absolute path — see [[Tables.t]]. */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  final case class TableMeta(schema: org.apache.spark.sql.types.StructType,
+      rowGroups: Int, bytes: Long)
+
+  /** Parquet footer metadata (schema + row-group count) by absolute path —
+    * see [[Tables.t]]. Metadata only, never data.
+    */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TableMeta]()
+
+  /** Row groups in the parquet file — a driver-side footer read (~ms), done
+    * once per path per JVM. −1 when unreadable (no repartition then).
+    */
+  private def rowGroupCount(spark: SparkSession, path: String): Int =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.size finally reader.close()
+    } catch { case _: Throwable => -1 }
 }

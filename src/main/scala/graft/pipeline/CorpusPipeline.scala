@@ -267,7 +267,17 @@ object CorpusPipeline {
       lit(".0."), (col("doc_id") % 250L).cast("string"), lit(" end"))
     val t1 = regexp_replace(regexp_replace(regexp_replace(planted,
       Scrub.EmailRe, "<EMAIL>"), Scrub.PhoneRe, "<PHONE>"), Scrub.IpRe, "<IP>")
-    val redacted = Tables(spark, dir).documents.select(col("doc_id"), t1.as("t1"))
+    // documentsWide (r15): the redact+gate head was a measured 2.83 s
+    // SINGLE-TASK stage (DiagStages) — the whole chain then inherited the
+    // 1-partition layout through its checkpoints. The localCheckpoint is a
+    // PUSHDOWN BARRIER, not a convenience: without it Catalyst pushes the
+    // quality gate's filter (which re-embeds the full triple-regex chain in
+    // each of its six conditions) below the widening exchange, putting all
+    // the regex work back on the single scan task (verified in
+    // optimizedPlan: Filter(regexp_replace…) under RepartitionByExpression).
+    val redacted = Tables(spark, dir).documentsWide
+      .select(col("doc_id"), t1.as("t1"))
+      .localCheckpoint(true)
 
     // 2. quality gate (qf01's rules, applied to the REDACTED text)
     val words1 = split(col("t1"), " ")

@@ -139,7 +139,7 @@ object Dedup {
     * built ONCE at MV creation from the corpus carve (doc_id % 10 ≠ 0).
     */
   private[graft] def corpusIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val corpus = Tables(spark, dir).documents.filter(col("doc_id") % 10 =!= 0)
+    val corpus = Tables(spark, dir).documentsWide.filter(col("doc_id") % 10 =!= 0)
     val sigs = signatures(shingleHashes(corpus)).localCheckpoint(true)
     val bands = sigs.select(col("doc_id"), posexplode(bandArray(col("sig"))))
       .toDF("corpus_id", "band_id", "band_hash")
@@ -176,8 +176,11 @@ object Dedup {
   /** Candidate near-dup pairs via banded LSH + signature-estimated Jaccard. */
   private[pipeline] def minhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     // localCheckpoint, not cache: 3 consumers (bands, sig_a, sig_b), and the
-    // blocks free themselves when the result frame is dropped
-    val sigs = signatures(shingleHashes(Tables(spark, dir).documents)).localCheckpoint(true)
+    // blocks free themselves when the result frame is dropped.
+    // documentsWide (r15): the shingle+128-permutation signature build is
+    // the kernel-heavy map stage; widening by doc_id parallelizes it AND
+    // its groupBy(doc_id) reuses the same hash partitioning (no exchange).
+    val sigs = signatures(shingleHashes(Tables(spark, dir).documentsWide)).localCheckpoint(true)
     val bands = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
@@ -228,7 +231,7 @@ object Dedup {
   }
 
   private[pipeline] def simhashPairs(spark: SparkSession, dir: String, maxDist: Int): DataFrame = {
-    val sh = simhashes(Tables(spark, dir).documents).localCheckpoint(true)
+    val sh = simhashes(Tables(spark, dir).documentsWide).localCheckpoint(true)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")))
       .toDF("doc_id", "simhash", "chunk_id", "chunk")
@@ -266,7 +269,11 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM jtruth
          |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin,
     ) { (spark, dir) =>
-      ngramJaccardPairs(Tables(spark, dir).documents, threshold = 0.5, dfCap = ShingleDfCap)
+      // documentsWide (r15): the shingle explode + df-cap + pair join chain
+      // inherits the scan's single-partition layout; widening by doc_id
+      // restores map parallelism for the kernel stages. ts02 → dd07/dd11
+      // and sp01/sp02/pp03 inherit through Catalog.byName.
+      ngramJaccardPairs(Tables(spark, dir).documentsWide, threshold = 0.5, dfCap = ShingleDfCap)
     },
 
     // ----- dd03: MinHash + banded LSH (K=128, 32 bands × 4 rows) — the
@@ -370,7 +377,10 @@ object Dedup {
     ) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(spark, dir).documents
-      val sigs = signatures(shingleHashes(docs)).localCheckpoint(true)
+      // signature build over the widened scan (see minhashPairs); the
+      // roster read below keeps the narrow scan — it is one thin column
+      val sigs = signatures(shingleHashes(Tables(spark, dir).documentsWide))
+        .localCheckpoint(true)
       val bands = sigs.select(
         col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
@@ -462,12 +472,21 @@ object Dedup {
         |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (s, v) -> s + v))) >= 0.4
         |ORDER BY cosine DESC, vec_a, vec_b""".stripMargin,
     ) { (spark, dir) =>
-      val e = Tables(spark, dir).embeddings
+      val t = Tables(spark, dir)
       ExactBaseline.guard(spark, CorpusMeta.embeddingCount(spark, dir),
         "dd05_embedding_neardup", "dd06_embedding_neardup_lsh")
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      val cosine = VectorOps.cosine(col("ea"), col("eb"))
+      // r15: (1) the BNLJ STREAM side reads the single-row-group embeddings
+      // file — one task computed all n²/2 cosines; embeddingsWide restores
+      // the cores (measured 3.2 → 0.45 s at sf0.1). The broadcast build
+      // side keeps the narrow scan. (2) norms are projected per ROW before
+      // the join instead of per PAIR inside it — sqrt(sumSq(e)) is the same
+      // double either way (identical fold), so cosine stays bit-identical
+      // to the oracle while the pair kernel drops from 3 array passes to 1.
+      val a = t.embeddingsWide.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), VectorOps.norm(col("embedding")).as("na"))
+      val b = t.embeddings.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), VectorOps.norm(col("embedding")).as("nb"))
+      val cosine = VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
         .filter(col("cosine") >= 0.4)

@@ -78,7 +78,9 @@ object Scrub {
         lit(".0."), (col("doc_id") % 250L).cast("string"), lit(" end"))
       val redacted = regexp_replace(regexp_replace(regexp_replace(col("planted"),
         EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
-      Tables(spark, dir).documents
+      // documentsWide: 4 regexes over every doc are the entry's whole cost —
+      // the single-row-group scan serialized them on one core (r15)
+      Tables(spark, dir).documentsWide
         .select(col("doc_id"), planted.as("planted"))
         .select(col("doc_id"),
           regexp_count(col("planted"), lit(EmailRe)).cast("long").as("n_emails"),
