@@ -61,7 +61,10 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_AQE=off: diagnostic control for A/Bing AQE's per-stage
+      // re-optimization latency against its coalescing/skew wins (r15)
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "on") != "off").toString)
       // reducer count must TRACK data size, not sit pinned at core count:
       // AQE starts every un-pinned shuffle at inputBytes/8MB partitions
       // (floor cpus, cap 1024 — the same 8 MB granule as

@@ -246,15 +246,28 @@ object Analytics {
           .join(t.orders, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id")),
         "user_id", "part_id", BasketCapPerUser)
-      // r15: the frequency screen (below) adds a SECOND job over the capped
-      // baskets (the sketch pass), which ReusedExchange cannot span — reuse
-      // is per-query-execution. Persist the capped distinct once instead:
-      // the mass probe, the sketch pass, and the main pass (whose three
-      // consumers previously shared the exchange) all read the columnar
-      // cache, built in one pass and clustered by user so the self-join
-      // still plans without a fresh exchange. The harnesses' Residency
-      // .release drops the blocks after the entry is consumed.
-      val upC = up.persist()
+      // r15: the frequency screen (below) is ON at every scale. It was built
+      // for the fourth decade (the 1.3 B-row pair exchange is the entry's
+      // dominant wall term there — r14 verdict Next #2), and an r15
+      // scale-conditional gate was measured and REJECTED: even at sf0.1 the
+      // screened shape wins (2.29 s vs 3.17 s unscreened, same session,
+      // min-of-3) because the near-no-reduction pair aggregate shrinks to
+      // the screen's survivors. The loud cellsFor refusal already guards
+      // the only regime where the screen can't pay (mass past the sketch
+      // ceiling). SPARK_GRAFT_Q17_SCREEN=off remains as the diagnostic
+      // control for A/Bs.
+      //
+      // Screened mode: the sketch pass is a SECOND job over the capped
+      // baskets, which ReusedExchange cannot span (reuse is per-query-
+      // execution), so the capped distinct is persisted once — the mass
+      // probe, the sketch pass, and the main pass all read the columnar
+      // cache, still clustered by user. The off-control keeps the r14
+      // single-execution shape: three consumers share the cap's exchange
+      // via ReusedExchange, no materialization (round 2's eager
+      // localCheckpoint here cost 6.9×). Residency.release drops any
+      // persisted blocks after the entry is consumed.
+      val screenOn = sys.env.getOrElse("SPARK_GRAFT_Q17_SCREEN", "on") != "off"
+      val upC = if (screenOn) up.persist() else up
       val buyers = upC.groupBy("part_id").agg(count(lit(1)).as("buyer_count"))
       val a = upC.toDF("u", "part_a")
       val b = upC.toDF("u", "part_b")
@@ -320,23 +333,25 @@ object Analytics {
       // past the sketch's mass ceiling.
       val pairStream = a.join(b, Seq("u")).filter(col("part_a") < col("part_b"))
         .select(shiftleft(col("part_a"), 32).bitwiseOR(col("part_b")).as("pk"))
-      // exact screened mass from the capped basket sizes: upC is already
-      // clustered by user, so this aggregate adds no exchange
-      val massRow = upC.groupBy("user_id").agg(count(lit(1)).as("n"))
-        .agg(sum(col("n") * (col("n") - lit(1)))).head()
-      val pairMass = if (massRow.isNullAt(0)) 0L else massRow.getLong(0) / 2
-      val screened = graft.plans.FrequencyScreen.cellsFor(pairMass) match {
-        case Some(cells) =>
-          val sketch = graft.plans.FrequencyScreen.buildThresholdSketch(pairStream, "pk", cells)
-          val bc = spark.sparkContext.broadcast(sketch)
-          pairStream.filter(
-            graft.plans.FrequencyScreen.mightReachThree(col("pk"), bc, cells))
-        case None =>
-          System.err.println(s"[q17] frequency screen REFUSED: pair mass $pairMass " +
-            s"exceeds the sketch ceiling (load > ${graft.plans.FrequencyScreen.MaxLoad} " +
-            s"at ${graft.plans.FrequencyScreen.MaxCells} cells) — running unscreened; " +
-            "shard the sketch by key range to extend it")
-          pairStream
+      val screened = if (!screenOn) pairStream else {
+        // exact screened mass from the capped basket sizes: upC is already
+        // clustered by user, so this aggregate adds no exchange
+        val massRow = upC.groupBy("user_id").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - lit(1)))).head()
+        val pairMass = if (massRow.isNullAt(0)) 0L else massRow.getLong(0) / 2
+        graft.plans.FrequencyScreen.cellsFor(pairMass) match {
+          case Some(cells) =>
+            val sketch = graft.plans.FrequencyScreen.buildThresholdSketch(pairStream, "pk", cells)
+            val bc = spark.sparkContext.broadcast(sketch)
+            pairStream.filter(
+              graft.plans.FrequencyScreen.mightReachThree(col("pk"), bc, cells))
+          case None =>
+            System.err.println(s"[q17] frequency screen REFUSED: pair mass $pairMass " +
+              s"exceeds the sketch ceiling (load > ${graft.plans.FrequencyScreen.MaxLoad} " +
+              s"at ${graft.plans.FrequencyScreen.MaxCells} cells) — running unscreened; " +
+              "shard the sketch by key range to extend it")
+            pairStream
+        }
       }
       val pairs = screened
         .groupBy("pk")

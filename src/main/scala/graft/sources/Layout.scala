@@ -32,13 +32,16 @@ object Layout {
     * proportional to data so per-reducer hash state stays bounded, and AQE
     * coalesces the small shuffles back down. See Bench/Verify builders.
     */
-  def initialPartitionsFor(dir: String, cpus: Int): Int = {
-    val bytes =
-      try Files.walk(Paths.get(dir)).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
-      catch { case _: Throwable => 0L }
-    math.min(1024L, math.max(cpus.toLong, bytes / (8L << 20))).toInt
-  }
+  /** Total bytes under a data directory — the scale signal the AQE reducer
+    * sizing and the q17 screen gate derive from (r15).
+    */
+  def inputBytes(dir: String): Long =
+    try Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    catch { case _: Throwable => 0L }
+
+  def initialPartitionsFor(dir: String, cpus: Int): Int =
+    math.min(1024L, math.max(cpus.toLong, inputBytes(dir) / (8L << 20))).toInt
 
   /** Write events in the reference's events-table layout: monthly partitions,
     * sorted by (event_type, ts, user_id) within each, bloom filter on user_id.
