@@ -63,6 +63,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     * proportionally fewer partitions.
     */
   private def widen(df: DataFrame, name: String, key: String): DataFrame = {
+    if (sys.env.getOrElse("SPARK_GRAFT_WIDEN", "on") == "off") return df // A/B control
     val parallel = spark.sparkContext.defaultParallelism
     val meta = Tables.metaCache.get(s"$dir/$name.parquet")
     if (meta != null && meta.rowGroups > 0 && meta.rowGroups < (parallel + 1) / 2)
