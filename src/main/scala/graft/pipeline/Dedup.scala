@@ -91,7 +91,23 @@ object Dedup {
     * share ≥1 kept shingle (no quadratic blow-up on diverse corpora), and
     * the cap bounds fan-out even on boilerplate-dense ones.
     */
-  private[pipeline] def ngramJaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
+  private[pipeline] def ngramJaccardPairs(docs: DataFrame, threshold: Double, dfCap: Int): DataFrame =
+    ngramJaccardPairsRaw(docs, threshold, dfCap)
+      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+
+  /** dd02's exact near-dup edge set WITHOUT the presentation ORDER BY — for
+    * embedding consumers (ts02's connected components, dd13's truth join)
+    * that are order-insensitive: the global range-partition sort exchange is
+    * pure overhead there (guide §2.4 "an orderBy used only to make output
+    * deterministic"), and EliminateSorts does not remove a sort under a
+    * union/localCheckpoint.
+    */
+  private[graft] def nearDupEdges(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsRaw(Tables(spark, dir).documentsWide,
+      threshold = 0.5, dfCap = ShingleDfCap)
+      .select(col("doc_a"), col("doc_b"))
+
+  private def ngramJaccardPairsRaw(docs: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
     val shAll = docs.select(col("doc_id"), explode(shingleExpr(col("text"))).as("s"))
     // df cap: drop boilerplate shingles BEFORE pair generation. The extra
     // aggregate shares the candidate join's shuffle key (s), and at scale a
@@ -117,7 +133,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
   }
 
   private def shingleHashes(docs: DataFrame): DataFrame =
@@ -322,8 +337,9 @@ object Dedup {
          |  round(CAST(tp AS DOUBLE) / n_truth, 9) AS rec
          |FROM s CROSS JOIN nt ORDER BY stage""".stripMargin,
     ) { (spark, dir) =>
-      val truth = graft.Catalog.byName("dd02_ngram_jaccard").build(spark, dir)
-        .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1L))
+      // unordered edge set (same rows as dd02's entry): the truth frame only
+      // feeds a join and a count — see nearDupEdges
+      val truth = nearDupEdges(spark, dir).withColumn("t", lit(1L))
       val j = minhashPairs(spark, dir, threshold = 0.0)
         .join(truth, Seq("doc_a", "doc_b"), "left")
         .localCheckpoint(true) // feeds both stage aggregates

@@ -93,6 +93,45 @@ object SparseText {
   /** Conf key bounding ts02's label-propagation rounds (default 20). */
   val LabelPropMaxItersKey = "graft.labelProp.maxIters"
 
+  /** Conf key for the small-graph fast path (r16): an edge set at or below
+    * this many pairs is collected and resolved by exact union-find on the
+    * driver instead of the distributed fixpoint. Bound chosen for driver
+    * memory — 2 M pairs × 16 B ≈ 32 MB plus hash-map overhead — NOT for
+    * speed: the distributed path stays the default above it. 0 disables the
+    * local path (A/B control).
+    */
+  val LabelPropLocalMaxEdgesKey = "graft.labelProp.localMaxEdges"
+  private val LabelPropLocalMaxEdgesDefault = 2000000L
+
+  /** Exact connected components of an edge list by union-find with path
+    * compression — the driver-side twin of [[propagateMinLabels]] for
+    * metadata-scale graphs (guide §1.2: the distributed fixpoint costs ~15
+    * dispatch-bound jobs per run regardless of graph size; at sf0.1 the
+    * near-dup graph is ~500 edges and those jobs were ~0.9 s of the entry's
+    * 2.1 s wall — in SIX catalog entries that embed the cluster map).
+    * Returns (doc, cluster_id = min member of its component) for every node
+    * that appears in an edge, sorted by doc — identical by construction to
+    * the fixpoint's output (min is associative/commutative over the
+    * component; SparseTextSpec pins equality on a random graph).
+    */
+  private[graft] def localComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots are unioned min-first, so find(x) IS the component's min label
+    parent.keys.toArray.sorted.map(d => d -> find(d)).toSeq
+  }
+
   /** Min-label propagation to FIXPOINT over an undirected edge frame
     * `(src, dst)` — connected components with cluster_id = min member.
     *
@@ -205,18 +244,44 @@ object SparseText {
          |FROM cl
          |ORDER BY doc_id""".stripMargin,
     ) { (spark, dir) =>
-      // exact near-dup edges (same definition as dd02)
-      val edges = graft.Catalog.byName("dd02_ngram_jaccard").build(spark, dir)
-        .select(col("doc_a"), col("doc_b"))
-      val undirected = edges
-        .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst")
-        .localCheckpoint(true) // edges are reused every round; snap the
-                               // expensive dd02 shingle join exactly once
-      val maxIters = spark.conf.get(LabelPropMaxItersKey, "20").toInt
-      propagateMinLabels(undirected, maxIters)
-        .select(col("doc").as("doc_id"), col("label").cast("long").as("cluster_id"))
-        .orderBy("doc_id")
+      // exact near-dup edges (same definition as dd02, minus dd02's
+      // presentation ORDER BY — both component algorithms are
+      // order-insensitive, and the union below is not a node EliminateSorts
+      // removes a sort beneath, so the range-partition sort exchange was
+      // materialized into the checkpoint for nothing)
+      val edges = Dedup.nearDupEdges(spark, dir)
+        .localCheckpoint(true) // reused by count + (collect | every round);
+                               // snap the expensive dd02 shingle join once
+      val maxLocal = spark.conf.get(LabelPropLocalMaxEdgesKey,
+        LabelPropLocalMaxEdgesDefault.toString).toLong
+      // metadata job over the materialized blocks, not a recompute
+      val nEdges = edges.count()
+      if (nEdges <= maxLocal) {
+        // Small-graph fast path: exact union-find on the collected edge
+        // list (bounded by maxLocal — see the key's doc). Same components,
+        // same (doc_id, min-member) rows; the result is driver-local, so
+        // downstream joins (dd07/dd11/sp01/sp02/pp03) broadcast it for free.
+        val comp = localComponents(
+          edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("cluster_id", LongType, nullable = false)))
+        // comp is sorted by doc_id; one partition keeps that order — the
+        // ORDER BY contract holds without a range-exchange job
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            comp.map(p => org.apache.spark.sql.Row(p._1, p._2)), 1),
+          schema)
+      } else {
+        val undirected = edges
+          .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst")
+        val maxIters = spark.conf.get(LabelPropMaxItersKey, "20").toInt
+        propagateMinLabels(undirected, maxIters)
+          .select(col("doc").as("doc_id"), col("label").cast("long").as("cluster_id"))
+          .orderBy("doc_id")
+      }
     },
 
     // ----- ts03: TF-IDF top terms per document (keyword extraction) — the

@@ -26,6 +26,29 @@ class SparseTextSpec extends SparkSpec {
       s"path graph must collapse to cluster 1, got $got")
   }
 
+  test("localComponents (driver union-find) == propagateMinLabels on a random graph (r16)") {
+    import spark.implicits._
+    // 200 nodes, 150 random edges from a fixed seed: a mix of singleton
+    // pairs, chains and merged components — the two algorithms must produce
+    // the identical (doc, min-member) map. Only nodes that appear in an
+    // edge are labeled (the ts02 contract: `cl` holds clustered docs only).
+    val rnd = new scala.util.Random(7)
+    val edges = Array.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val local = SparseText.localComponents(edges).toMap
+    val undirected = edges.toSeq.toDF("src", "dst")
+      .unionByName(edges.toSeq.map(_.swap).toDF("src", "dst"))
+    val dist = SparseText.propagateMinLabels(undirected, maxIters = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"union-find and fixpoint disagree: " +
+      s"only-local=${(local.toSet -- dist.toSet).take(5)} only-dist=${(dist.toSet -- local.toSet).take(5)}")
+    // the fast path must also be byte-compatible with the entry contract:
+    // sorted by doc_id, min-member labels
+    assert(SparseText.localComponents(edges).map(_._1).toSeq ==
+      SparseText.localComponents(edges).map(_._1).toSeq.sorted)
+  }
+
   test("ir01: BM25 top-20 matches a brute-force recompute of every doc's score") {
     val got = graft.Catalog.byName("ir01_bm25_retrieval").build(spark, sf()).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
