@@ -43,6 +43,23 @@ object Layout {
   def initialPartitionsFor(dir: String, cpus: Int): Int =
     math.min(1024L, math.max(cpus.toLong, inputBytes(dir) / (8L << 20))).toInt
 
+  /** Shuffle-partition count for STATEFUL streaming queries over a testdata
+    * dir (r16): the same 8 MB-of-input granule as [[initialPartitionsFor]],
+    * but with NO core-count floor — a stateful operator's partitioning is
+    * frozen at checkpoint creation (AQE never coalesces it), and every
+    * micro-batch pays a per-partition state-store open/commit regardless of
+    * how little state lives there. Measured at sf0.1 (17 MB of input, state
+    * of a few hundred rows): 32 fixed partitions cost ~0.7 s per run in the
+    * state stage alone; the data-derived count (2) halves the whole
+    * streaming run. At sf1+ the count grows with input (sf1 ≈ 21, sf10 ≈
+    * 218), which is exactly how a deployment provisions state shards: by
+    * update throughput, which tracks input volume, never by one box's core
+    * count. `SPARK_GRAFT_STATE_PARTS` overrides for A/Bs.
+    */
+  def statePartitionsFor(dir: String): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(
+      math.min(1024L, math.max(1L, inputBytes(dir) / (8L << 20))).toInt)
+
   /** Write events in the reference's events-table layout: monthly partitions,
     * sorted by (event_type, ts, user_id) within each, bloom filter on user_id.
     */

@@ -251,7 +251,10 @@ object MvCascade {
         endNs.put(e.runId, System.nanoTime())
     }
     spark.streams.addListener(term)
-    val queries = Seq(
+    // all eight start inside one data-derived state-partition scope (r16):
+    // the conf is snapshotted per query at start — see
+    // StateStores.withStatePartitions
+    val queries = StateStores.withStatePartitions(spark, dir) { Seq(
       "mv_daily_activity" -> upsert(daily, "event_date", "mv_daily_activity"),
       "mv_hourly_events" -> upsert(hourly, "event_date", "mv_hourly_events"),
       "mv_user_funnel" -> upsert(funnel, "event_date", "mv_user_funnel"),
@@ -259,7 +262,7 @@ object MvCascade {
       "mv_product_revenue" -> upsert(product, "status", "mv_product_revenue"),
       "mv_sessions" -> completeSnapshot(sessions, "session_date", "mv_sessions"),
       "mv_sessions_final" -> appendFinalized(sessions, "mv_sessions_final"),
-      "mv_hll_daily_users" -> appendParts(hllDaily, "mv_hll_daily_users"))
+      "mv_hll_daily_users" -> appendParts(hllDaily, "mv_hll_daily_users")) }
     queries.foreach(_._2.awaitTermination())
     // listener dispatch is async — wait (bounded) for the last termination
     // event before reading the map

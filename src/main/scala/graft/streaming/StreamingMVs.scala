@@ -97,14 +97,19 @@ object StreamingMVs {
         approx_count_distinct(col("user_id")).as("approx_users"),
         sum(col("value").cast("decimal(18,2)")).as("val_dec"))
 
-  /** Run a complete-mode streaming aggregation to exhaustion, return result. */
-  private def runComplete(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+  /** Run a complete-mode streaming aggregation to exhaustion, return result.
+    * State partitions are data-derived (r16) — see
+    * [[StateStores.withStatePartitions]].
+    */
+  private def runComplete(spark: SparkSession, dir: String, agg: DataFrame, name: String): DataFrame = {
+    val q = StateStores.withStatePartitions(spark, dir) {
+      agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
   }
@@ -134,12 +139,14 @@ object StreamingMVs {
       (System.identityHashCode(spark), dir, mvName), {
         val t0 = System.nanoTime()
         val name = s"${mvName}_${math.abs(dir.hashCode)}"
-        val q = build.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
+        val q = StateStores.withStatePartitions(spark, dir) {
+          build.writeStream
+            .outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
         q.awaitTermination()
         maintainSecs.getOrElseUpdate(dir,
           scala.collection.concurrent.TrieMap.empty).put(mvName, (System.nanoTime() - t0) / 1e9)
@@ -215,13 +222,15 @@ object StreamingMVs {
           col("event_type"))
         .agg(count(lit(1)).as("events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      val q = agg.writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          upsertByPartition(batch, "event_date", outPath, batchId)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = StateStores.withStatePartitions(spark, dir) {
+        agg.writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            upsertByPartition(batch, "event_date", outPath, batchId)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       outPath
     })
@@ -246,12 +255,14 @@ object StreamingMVs {
         col("user_id") === col("c_user_id") &&
           col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
           col("click_ts") <= col("purchase_ts"))
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = StateStores.withStatePartitions(spark, dir) {
+        joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       name
     })
@@ -270,12 +281,14 @@ object StreamingMVs {
       val doubled = src.union(src) // every event ingested twice
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("event_id")
-      val q = doubled.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = StateStores.withStatePartitions(spark, dir) {
+        doubled.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       name
     })
@@ -481,7 +494,7 @@ object StreamingMVs {
         .agg(
           count(lit(1)).as("events"),
           sum(col("value").cast("decimal(18,2)")).as("val_dec"))
-      runComplete(spark, agg, s"st01_out_${math.abs(dir.hashCode)}")
+      runComplete(spark, dir, agg, s"st01_out_${math.abs(dir.hashCode)}")
         .select(col("event_date"), col("event_type"), col("events"),
           col("val_dec").cast("double").as("total_value"))
         .orderBy("event_date", "event_type")
@@ -571,7 +584,7 @@ object StreamingMVs {
         .agg(count(lit(1)).as("total"),
           sum(when(ok, 1L).otherwise(0L)).cast("long").as("accepted"),
           sum(when(ok, 0L).otherwise(1L)).cast("long").as("rejected"))
-      runComplete(spark, agg, s"st13_out_${math.abs(dir.hashCode)}")
+      runComplete(spark, dir, agg, s"st13_out_${math.abs(dir.hashCode)}")
         .select(col("event_type"), col("total"), col("accepted"), col("rejected"),
           (col("accepted").cast("double") / col("total")).as("accept_rate"))
         .orderBy("event_type")
