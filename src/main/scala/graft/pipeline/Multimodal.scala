@@ -423,6 +423,11 @@ object Multimodal {
       .select(
         col("doc_id").as("media_id"),
         (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
+      // repartition BEFORE the encode, explicit count — the wavMediaTable
+      // recipe (r16: mm07's encode ran as ONE 807 ms task off the
+      // single-split documents scan; the pre-encode rows are two ints each,
+      // so the exchange is noise while the PNG encode is the kernel)
+      .repartition(spark.sparkContext.defaultParallelism, col("media_id"))
       .as[(Long, Int)]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -494,7 +499,11 @@ object Multimodal {
   def decodeVideoStats(media: Dataset[VideoRow]): Dataset[VideoStats] = {
     import media.sparkSession.implicits._
     media
-      .repartition(col("media_id"))
+      // explicit count (r16, the decodeAudioStats recipe): AQE coalesces a
+      // bare repartition(col) of the few-MB payload frame back to ONE task
+      // and the whole demux+decode runs serially (measured: 475+535 ms
+      // single-task stages in mm07 at sf0.1)
+      .repartition(media.sparkSession.sparkContext.defaultParallelism, col("media_id"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
