@@ -258,6 +258,13 @@ object CorpusPipeline {
     import graft.functions.TextExpressions
     import org.apache.spark.sql.expressions.Window
 
+    // The cluster map (step 6) derives from the RAW documents, independent
+    // of stages 1–5 — start its eager subchain (dd02 shingle join + the
+    // union-find edge collect) now so its jobs back-fill the serial chain's
+    // executor slack (guide §2.6); joined where step 6 needs it.
+    val clustersF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+      graft.Catalog.byName("ts02_dedup_clusters").build(spark, dir))
+
     // 1. PII redaction (px01's planted-PII construction)
     val planted = concat(
       col("text"), lit(" reach x"), col("doc_id").cast("string"),
@@ -347,7 +354,12 @@ object CorpusPipeline {
       .select("doc_id", "t2")
 
     // 6. leakage-safe split (sp01's cluster-representative hash)
-    val clusters = graft.Catalog.byName("ts02_dedup_clusters").build(spark, dir)
+    val clusters =
+      try clustersF.join()
+      catch {
+        case e: java.util.concurrent.CompletionException if e.getCause != null =>
+          throw e.getCause
+      }
     val rep = coalesce(col("cluster_id"), col("doc_id"))
     val bkt = pmod((rep % 1000L) * Curation.KnuthA, lit(1000L))
     val withSplit = selected.join(clusters, Seq("doc_id"), "left")

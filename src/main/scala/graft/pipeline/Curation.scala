@@ -313,9 +313,12 @@ object Curation {
          |WHERE m.doc_id % 20 <> 0
          |ORDER BY m.doc_id""".stripMargin,
     ) { (spark, dir) =>
-      val clusters = graft.Catalog.byName("ts02_dedup_clusters").build(spark, dir)
-      val cont = graft.Catalog.byName("dc01_decontamination").build(spark, dir)
-        .select(col("doc_id"), col("contaminated"))
+      // cluster map and contamination verdicts derive independently; overlap
+      // their eager build jobs (guide §2.6)
+      val (clusters, cont0) = graft.Concurrently(
+        graft.Catalog.byName("ts02_dedup_clusters").build(spark, dir),
+        graft.Catalog.byName("dc01_decontamination").build(spark, dir))
+      val cont = cont0.select(col("doc_id"), col("contaminated"))
       val mem = Tables(spark, dir).documents.select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))

@@ -338,9 +338,14 @@ object Dedup {
          |FROM s CROSS JOIN nt ORDER BY stage""".stripMargin,
     ) { (spark, dir) =>
       // unordered edge set (same rows as dd02's entry): the truth frame only
-      // feeds a join and a count — see nearDupEdges
-      val truth = nearDupEdges(spark, dir).withColumn("t", lit(1L))
-      val j = minhashPairs(spark, dir, threshold = 0.0)
+      // feeds a join and a count — see nearDupEdges. Truth (shingle snap)
+      // and candidates (signature snap) build independently — overlap their
+      // eager checkpoint jobs (guide §2.6).
+      val (truth0, j0) = graft.Concurrently(
+        nearDupEdges(spark, dir),
+        minhashPairs(spark, dir, threshold = 0.0))
+      val truth = truth0.withColumn("t", lit(1L))
+      val j = j0
         .join(truth, Seq("doc_a", "doc_b"), "left")
         .localCheckpoint(true) // feeds both stage aggregates
       val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
@@ -814,10 +819,16 @@ object Dedup {
          |LEFT JOIN sem ON ex.doc_id = sem.doc_id
          |ORDER BY ex.doc_id""".stripMargin,
     ) { (spark, dir) =>
-      val exact = graft.Catalog.byName("dd01_exact_dedup").build(spark, dir)
-      val near = graft.Catalog.byName("dd07_dedup_survivors").build(spark, dir)
+      // the three detectors are independent until the final joins; their
+      // eager build jobs (ts02's edge snap + union-find inside dd07, sd01's
+      // centroid work) overlap instead of serializing (guide §2.6)
+      val (near0, sem0, exact) = graft.Concurrently(
+        graft.Catalog.byName("dd07_dedup_survivors").build(spark, dir),
+        graft.Catalog.byName("sd01_semantic_dedup").build(spark, dir),
+        graft.Catalog.byName("dd01_exact_dedup").build(spark, dir))
+      val near = near0
         .select(col("doc_id"), col("cluster_size"), col("keep").as("near_keep"))
-      val sem = graft.Catalog.byName("sd01_semantic_dedup").build(spark, dir)
+      val sem = sem0
         .select(col("vec_id").as("doc_id"), col("n_dups").as("semantic_dups"),
           col("keep").as("sem_keep"))
       exact.join(near, "doc_id")
