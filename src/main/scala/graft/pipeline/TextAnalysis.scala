@@ -587,14 +587,70 @@ object TextAnalysis {
     * metacharacters — so a winning pair outside [a-z]+ fails LOUDLY here
     * instead of silently mis-merging (ADVICE r8).
     */
+  /** Conf key for the small-vocab fast path (r16): a weighted vocabulary at
+    * or below this many rows is collected and the merge rounds run on the
+    * driver — the ts02 union-find pattern. The distributed loop costs 2
+    * dispatch-bound jobs per round (pair TakeOrdered + checkpoint) however
+    * small the vocab; the corpus vocab here is tens of rows. Bound chosen
+    * for driver memory, not speed; 0 disables (A/B + equivalence-test
+    * control).
+    */
+  private[pipeline] val BpeLocalMaxVocabKey = "graft.bpe.localMaxVocab"
+
+  /** Driver-side merge loop — exact twin of the distributed one: same pair
+    * counting (Σc per adjacent pair), same argmax order (cnt DESC, a ASC,
+    * b ASC — pure-ASCII tokens, so UTF8-binary and String order agree; the
+    * [a-z]+ guard below enforces that), same java.util.regex replacement
+    * both engines use. Pinned equal to the distributed loop in ScrubSpec.
+    */
+  private def trainMergesLocal(vocab: Array[(String, Long)], rounds: Int,
+      guard: (Int, String, String) => Unit): Seq[(Int, String, String, String, Long)] = {
+    var cur = vocab
+    val steps = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to rounds if !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      cur.foreach { case (sp, c) =>
+        val t = sp.split(" ")
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (t(i), t(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = cnt.minBy { case ((a, b), c) => (-c, a, b) }
+        guard(step, a, b)
+        steps += ((step, a, b, a + b, c))
+        if (step < rounds)
+          cur = cur.map { case (sp, w) =>
+            (sp.replaceAll(s"\\b$a $b\\b", a + b), w)
+          }
+      }
+    }
+    steps.result()
+  }
+
   private def trainMerges(spark: org.apache.spark.sql.SparkSession, dir: String,
       rounds: Int = DefaultMergeRounds): Seq[(Int, String, String, String, Long)] = {
+    def charsetGuard(step: Int, a: String, b: String): Unit =
+      for (t <- Seq(a, b))
+        require(t.matches("[a-z]+"),
+          s"BPE merge round $step won a pair outside [a-z]+ ('$a','$b'): regex-interpolated " +
+            "merges are only exact for plain lowercase tokens — extend the charset contract " +
+            "(and escape the interpolation on both engines) before training on this corpus")
     var cur = Tables(spark, dir).documents
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(length(col("w")) >= 2)
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sp"), col("c"))
       .localCheckpoint(true) // vocab-sized; re-read every merge round
+    val maxLocal = spark.conf.get(BpeLocalMaxVocabKey, "2000000").toLong
+    if (cur.count() <= maxLocal)
+      return trainMergesLocal(
+        cur.collect().map(r => (r.getString(0), r.getLong(1))), rounds, charsetGuard)
     val steps = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false
     for (step <- 1 to rounds if !exhausted) {
@@ -613,11 +669,7 @@ object TextAnalysis {
       val best = top.head
       val a: String = best.getString(0)
       val b: String = best.getString(1)
-      for (t <- Seq(a, b))
-        require(t.matches("[a-z]+"),
-          s"BPE merge round $step won a pair outside [a-z]+ ('$a','$b'): regex-interpolated " +
-            "merges are only exact for plain lowercase tokens — extend the charset contract " +
-            "(and escape the interpolation on both engines) before training on this corpus")
+      charsetGuard(step, a, b)
       steps += ((step, a, b, a + b, best.getLong(2)))
       if (step < rounds)
         cur = cur.select(

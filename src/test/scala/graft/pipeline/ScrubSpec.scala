@@ -157,6 +157,22 @@ class ScrubSpec extends SparkSpec {
     assert(!ctes.contains("b6 AS "))
   }
 
+  test("bp02: driver-local merge loop == distributed loop (r16 fast path)") {
+    import spark.implicits._
+    // ties on count (abab/xy families), early exhaustion, multi-merge words —
+    // both paths must produce the identical merge sequence
+    val docs = Seq((1L, "abab abc abab x abcd abcd xy xy zq zq zq"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bp02eq").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val local = TextAnalysis.trainMergesAt(spark, dir, 6) // default: local path
+    spark.conf.set(TextAnalysis.BpeLocalMaxVocabKey, "0") // force distributed
+    try {
+      val dist = TextAnalysis.trainMergesAt(spark, dir, 6)
+      assert(local == dist, s"local $local vs distributed $dist")
+    } finally spark.conf.unset(TextAnalysis.BpeLocalMaxVocabKey)
+  }
+
   test("bp02: a winning pair outside [a-z]+ fails loudly (regex-interp guard)") {
     import spark.implicits._
     val docs = Seq((1L, "a1 a1 a1")).toDF("doc_id", "text")
