@@ -96,6 +96,14 @@ object Sketches {
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     ) { (spark, dir) =>
       Tables(spark, dir).orders
+        .select("o_orderstatus", "o_totalprice")
+        // r16: the exact-percentile PARTIAL buffers every value it sees, and
+        // the 3-split orders scan ran that buffering on 3 tasks (1.1 s
+        // stage). Round-robin the two projected columns across the cores
+        // first: the exchange ships ~16 B/row once, the per-task value
+        // buffering and partial sort spread 32-ways. Aggregation result is
+        // partitioning-independent.
+        .repartition(spark.sparkContext.defaultParallelism)
         .groupBy("o_orderstatus")
         .agg(
           expr("percentile(o_totalprice, 0.5)").as("m"),
