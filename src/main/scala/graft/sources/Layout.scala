@@ -45,20 +45,27 @@ object Layout {
 
   /** Shuffle-partition count for STATEFUL streaming queries over a testdata
     * dir (r16): the same 8 MB-of-input granule as [[initialPartitionsFor]],
-    * but with NO core-count floor — a stateful operator's partitioning is
-    * frozen at checkpoint creation (AQE never coalesces it), and every
-    * micro-batch pays a per-partition state-store open/commit regardless of
-    * how little state lives there. Measured at sf0.1 (17 MB of input, state
-    * of a few hundred rows): 32 fixed partitions cost ~0.7 s per run in the
-    * state stage alone; the data-derived count (2) halves the whole
-    * streaming run. At sf1+ the count grows with input (sf1 ≈ 21, sf10 ≈
-    * 218), which is exactly how a deployment provisions state shards: by
-    * update throughput, which tracks input volume, never by one box's core
-    * count. `SPARK_GRAFT_STATE_PARTS` overrides for A/Bs.
+    * but with NO core-count floor and a core-count CAP — a stateful
+    * operator's partitioning is frozen at checkpoint creation (AQE never
+    * coalesces it), and every micro-batch pays a per-partition state-store
+    * open/commit regardless of how little state lives there.
+    *
+    * Measured, both directions: at sf0.1 (17 MB of input, state of a few
+    * hundred rows) the fixed 32 cost ~0.7 s per run in the state stage
+    * alone and the derived count (2) halves the whole streaming run; at sf1
+    * (129 MB → 16) it beats 32 on every stateful entry and halves the
+    * cascade warm. The cap exists because the opposite overshoot is just as
+    * real: an uncapped bytes/8 MB gave sf10 161 partitions on 32 execution
+    * slots — five task WAVES of store open/commit per stateful stage per
+    * micro-batch — and the sf10 A/B read the cascade 427 s vs 176 s and
+    * st19's warm 45.7 s vs 17.2 s against a 32-pin. State shards provision
+    * by update throughput (input volume) UP TO the session's execution
+    * slots; a cluster drive raises the cap automatically through
+    * SPARK_GRAFT_CPUS. `SPARK_GRAFT_STATE_PARTS` overrides for A/Bs.
     */
-  def statePartitionsFor(dir: String): Int =
+  def statePartitionsFor(dir: String, cpus: Int): Int =
     sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(
-      math.min(1024L, math.max(1L, inputBytes(dir) / (8L << 20))).toInt)
+      math.min(cpus.toLong, math.max(1L, inputBytes(dir) / (8L << 20))).toInt)
 
   /** Write events in the reference's events-table layout: monthly partitions,
     * sorted by (event_type, ts, user_id) within each, bloom filter on user_id.

@@ -47,7 +47,8 @@ object StateStores {
   def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession, dir: String)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, graft.sources.Layout.statePartitionsFor(dir).toString)
+    spark.conf.set(key, graft.sources.Layout
+      .statePartitionsFor(dir, spark.sparkContext.defaultParallelism).toString)
     try body finally spark.conf.set(key, prev)
   }
 }
